@@ -1,0 +1,440 @@
+"""From-scratch HTML processing kernel.
+
+Two extraction paths, mirroring the reference's two content branches
+(src/feeds/rss_feeds/mod.rs:170-181):
+
+fast path  (``html`` spans — RSS ``content:encoded`` fragments)
+    The behavioral spec is the reference regex ``<[^>]*>`` -> ""
+    (mod.rs:213-217, identical in src/crawler/native/mod.rs:12-16).
+    ``strip_tags`` reproduces it byte-for-byte (including its quirks: the
+    regex is quote-blind, so ``<a href="a>b">`` strips only ``<a href="a>``).
+    ``extract_html_spans`` additionally captures ``<img>``/``<video>`` refs
+    as media spans interleaved at the exact offsets where the tags occurred.
+
+page path  (``page`` spans — full article HTML, the crawler-llm branch)
+    A from-scratch byte-stream tokenizer -> DOM tree -> prune
+    nav/head/header/footer (parity: src/crawler/llm/mod.rs:91-97) ->
+    block segmentation -> text-density + link-density boilerplate scoring
+    (deterministic replacement for the LLM semantic-block filter,
+    src/crawler/llm/prompt.rs + retriever.rs:58-70 whitelist intent) ->
+    ordered text spans with media refs interleaved at correct offsets.
+
+No third-party HTML library is used anywhere (north rule: tokenizer, DOM
+build, density scoring from scratch).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# --------------------------------------------------------------------------
+# fast path: regex parity with the reference tag-strip
+# --------------------------------------------------------------------------
+
+TAG_RE = re.compile(r"<[^>]*>")  # exact reference regex (mod.rs:214)
+_SRC_RE = re.compile(r"""\bsrc\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+_TAG_NAME_RE = re.compile(r"^<\s*/?\s*([A-Za-z][A-Za-z0-9-]*)")
+
+
+def strip_tags(content: str) -> str:
+    """Exact parity with the reference ``clear_html_tags`` (mod.rs:213-217)."""
+    return TAG_RE.sub("", content)
+
+
+def _src_of(tag_text: str) -> str | None:
+    m = _SRC_RE.search(tag_text)
+    if not m:
+        return None
+    return next(g for g in m.groups() if g is not None)
+
+
+def extract_html_spans(content: str) -> list[tuple[str, str | None, str | None]]:
+    """Fast-path extraction of an RSS ``content:encoded`` HTML fragment.
+
+    Returns ordered ``(kind, text, media_ref)`` tuples where the
+    concatenation of all ``text`` spans plus the dropped whitespace-only
+    segments equals ``strip_tags(content)`` — i.e. tag-strip parity — and
+    ``img``/``video`` spans sit exactly where their tags occurred in the
+    fragment.  Tags other than img/video are dropped (matching ``<[^>]*>``
+    -> ""); a media tag flushes the text accumulated so far so the relative
+    order of text and media is preserved.
+    """
+    spans: list[tuple[str, str | None, str | None]] = []
+    buf: list[str] = []
+    pos = 0
+    for m in TAG_RE.finditer(content):
+        buf.append(content[pos:m.start()])
+        pos = m.end()
+        tag = m.group(0)
+        name_m = _TAG_NAME_RE.match(tag)
+        name = name_m.group(1).lower() if name_m else ""
+        if name in ("img", "video"):
+            src = _src_of(tag)
+            if src:
+                text = "".join(buf)
+                if text.strip():
+                    spans.append(("text", text, None))
+                buf = []
+                spans.append((name, None, src))
+    buf.append(content[pos:])
+    text = "".join(buf)
+    if text.strip():
+        spans.append(("text", text, None))
+    return spans
+
+
+# --------------------------------------------------------------------------
+# page path: tokenizer
+# --------------------------------------------------------------------------
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+RAWTEXT_ELEMENTS = frozenset(("script", "style", "textarea", "title"))
+# elements pruned wholesale before scoring.  nav/head/header/footer are the
+# reference's own DOM-prune selectors (src/crawler/llm/mod.rs:91-97); the
+# rest never contain article text by construction.
+PRUNE_ELEMENTS = frozenset(
+    "nav head header footer script style noscript template svg form iframe button select".split()
+)
+BLOCK_ELEMENTS = frozenset(
+    (
+        "p h1 h2 h3 h4 h5 h6 li blockquote pre td th dd dt figcaption caption "
+        "summary div section article main aside ul ol table figure body html"
+    ).split()
+)
+HEADING_ELEMENTS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+_ENTITIES = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+    "nbsp": " ", "mdash": "—", "ndash": "–",
+    "lsquo": "‘", "rsquo": "’", "ldquo": "“", "rdquo": "”",
+    "hellip": "…", "copy": "©", "reg": "®", "trade": "™",
+    "amp;": "&",
+}
+_ENTITY_RE = re.compile(r"&(#x?[0-9A-Fa-f]+|[A-Za-z][A-Za-z0-9]*);")
+
+
+def decode_entities(text: str) -> str:
+    """Minimal from-scratch entity decoder (named subset + numeric refs)."""
+
+    def _sub(m: re.Match) -> str:
+        body = m.group(1)
+        if body.startswith("#"):
+            try:
+                cp = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
+                return chr(cp) if 0 < cp <= 0x10FFFF else m.group(0)
+            except ValueError:
+                return m.group(0)
+        return _ENTITIES.get(body, m.group(0))
+
+    return _ENTITY_RE.sub(_sub, text)
+
+
+@dataclass
+class Node:
+    """DOM node. ``tag`` is None for text nodes."""
+
+    tag: str | None
+    attrs: dict[str, str] = field(default_factory=dict)
+    children: list["Node"] = field(default_factory=list)
+    text: str = ""
+
+
+_ATTR_RE = re.compile(
+    r"""([A-Za-z_:][-A-Za-z0-9_:.]*)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?"""
+)
+
+
+def _parse_attrs(raw: str) -> dict[str, str]:
+    attrs: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        val = m.group(2) if m.group(2) is not None else m.group(3)
+        if val is None:
+            val = m.group(4) or ""
+        if name not in attrs:
+            attrs[name] = val
+    return attrs
+
+
+def tokenize(html: str):
+    """Byte-stream HTML tokenizer (from scratch).
+
+    Yields ``("text", data)``, ``("start", name, attrs, self_closing)``,
+    ``("end", name)``.  Comments, doctypes, CDATA and processing
+    instructions are consumed and dropped.  Quoted attribute values may
+    contain ``>`` (unlike the fast-path regex — the page path is a real
+    tokenizer).  Raw-text elements (script/style/textarea/title) swallow
+    everything up to their matching close tag.
+    """
+    i, n = 0, len(html)
+    while i < n:
+        lt = html.find("<", i)
+        if lt == -1:
+            if i < n:
+                yield ("text", html[i:])
+            return
+        if lt > i:
+            yield ("text", html[i:lt])
+        if lt + 1 >= n:
+            yield ("text", html[lt:])
+            return
+        c = html[lt + 1]
+        if c == "!":
+            if html.startswith("<!--", lt):
+                end = html.find("-->", lt + 4)
+                i = n if end == -1 else end + 3
+            elif html.startswith("<![CDATA[", lt):
+                end = html.find("]]>", lt + 9)
+                if end == -1:
+                    yield ("text", html[lt + 9:])
+                    i = n
+                else:
+                    yield ("text", html[lt + 9:end])
+                    i = end + 3
+            else:  # doctype or bogus declaration
+                end = html.find(">", lt)
+                i = n if end == -1 else end + 1
+            continue
+        if c == "?":
+            end = html.find(">", lt)
+            i = n if end == -1 else end + 1
+            continue
+        if c == "/":
+            m = re.compile(r"</\s*([A-Za-z][A-Za-z0-9-]*)[^>]*>").match(html, lt)
+            if m:
+                yield ("end", m.group(1).lower())
+                i = m.end()
+            else:
+                yield ("text", html[lt])
+                i = lt + 1
+            continue
+        if not c.isalpha():
+            yield ("text", html[lt])
+            i = lt + 1
+            continue
+        # start tag: scan respecting quotes
+        j = lt + 1
+        while j < n and (html[j].isalnum() or html[j] in "-:"):
+            j += 1
+        name = html[lt + 1:j].lower()
+        k = j
+        quote: str | None = None
+        while k < n:
+            ch = html[k]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "\"'":
+                quote = ch
+            elif ch == ">":
+                break
+            k += 1
+        if k >= n:  # unterminated tag -> treat rest as text (regex spec drops it; we keep parity by dropping)
+            return
+        raw_attrs = html[j:k]
+        self_closing = raw_attrs.rstrip().endswith("/")
+        attrs = _parse_attrs(raw_attrs.rstrip().rstrip("/"))
+        yield ("start", name, attrs, self_closing)
+        i = k + 1
+        if name in RAWTEXT_ELEMENTS and not self_closing:
+            close_re = re.compile(rf"</\s*{name}\s*>", re.I)
+            m = close_re.search(html, i)
+            if m:
+                # raw text content is dropped for script/style, kept for title/textarea
+                if name in ("title", "textarea"):
+                    yield ("text", html[i:m.start()])
+                yield ("end", name)
+                i = m.end()
+            else:
+                i = n
+
+
+def build_dom(html: str) -> Node:
+    """Stack-based DOM builder with void elements and mismatch tolerance."""
+    root = Node("#root")
+    stack = [root]
+    # auto-close: a new <p>/<li> closes an open one at the same level
+    AUTOCLOSE = {"p": {"p"}, "li": {"li"}, "td": {"td", "th"}, "th": {"td", "th"},
+                 "tr": {"tr"}, "dd": {"dd", "dt"}, "dt": {"dd", "dt"}}
+    for tok in tokenize(html):
+        if tok[0] == "text":
+            stack[-1].children.append(Node(None, text=tok[1]))
+        elif tok[0] == "start":
+            _, name, attrs, self_closing = tok
+            closes = AUTOCLOSE.get(name)
+            if closes and stack[-1].tag in closes:
+                stack.pop()
+            node = Node(name, attrs)
+            stack[-1].children.append(node)
+            if not self_closing and name not in VOID_ELEMENTS:
+                stack.append(node)
+        else:  # end
+            name = tok[1]
+            for idx in range(len(stack) - 1, 0, -1):
+                if stack[idx].tag == name:
+                    del stack[idx:]
+                    break
+            # unmatched end tag: ignored
+    return root
+
+
+# --------------------------------------------------------------------------
+# page path: block segmentation + boilerplate scoring
+# --------------------------------------------------------------------------
+
+_NEGATIVE_RE = re.compile(
+    r"nav|menu|sidebar|footer|header|comment|share|social|related|promo|"
+    r"breadcrumb|widget|banner|\bad\b|advert|sponsor|subscribe|newsletter|"
+    r"masthead|pagination|popup|cookie",
+    re.I,
+)
+_POSITIVE_RE = re.compile(
+    r"article|content|story|post|text|body|news|entry|main",
+    re.I,
+)
+
+MIN_BLOCK_CHARS = 25
+MIN_BLOCK_CHARS_POSITIVE = 13
+MIN_HEADING_CHARS = 10
+MAX_LINK_DENSITY = 0.33
+
+_WS_RE = re.compile(r"[ \t\r\n\f ]+")
+
+
+def _norm_text(s: str) -> str:
+    return _WS_RE.sub(" ", s).strip()
+
+
+@dataclass
+class Block:
+    """One candidate content block: inline flow of text + media."""
+
+    tag: str
+    # ordered inline items: ("text", str) | ("img"/"video", src)
+    items: list[tuple[str, str]] = field(default_factory=list)
+    link_chars: int = 0
+    positive: bool = False
+    negative: bool = False
+
+    @property
+    def text_chars(self) -> int:
+        return sum(len(t) for k, t in self.items if k == "text")
+
+    @property
+    def link_density(self) -> float:
+        tc = self.text_chars
+        return self.link_chars / tc if tc else (1.0 if self.link_chars else 0.0)
+
+
+def _class_id(node: Node) -> str:
+    return f"{node.attrs.get('class', '')} {node.attrs.get('id', '')}"
+
+
+def _media_ref(node: Node) -> str | None:
+    src = node.attrs.get("src") or node.attrs.get("data-src")
+    if src:
+        return src
+    for ch in node.children:
+        if ch.tag == "source":
+            s = ch.attrs.get("src")
+            if s:
+                return s
+    return None
+
+
+def segment_blocks(root: Node) -> list[Block]:
+    """Walk the (pruned) DOM emitting candidate blocks in document order.
+
+    A block is the inline flow of a block-level element; inline text that
+    sits directly inside a container between block children forms anonymous
+    blocks, so ``<div>loose text<p>para</p></div>`` yields two blocks.
+    """
+    blocks: list[Block] = []
+
+    def walk(node: Node, positive: bool, negative: bool, in_link: bool,
+             current: Block | None, host_tag: str) -> Block | None:
+        """Returns the still-open anonymous block (or None)."""
+        for ch in node.children:
+            if ch.tag is None:
+                norm = _norm_text(decode_entities(ch.text))
+                if norm:
+                    if current is None:
+                        current = Block(host_tag, positive=positive, negative=negative)
+                        blocks.append(current)
+                    if current.items and current.items[-1][0] == "text":
+                        current.items[-1] = ("text", f"{current.items[-1][1]} {norm}")
+                    else:
+                        current.items.append(("text", norm))
+                    if in_link:
+                        current.link_chars += len(norm)
+                continue
+            tag = ch.tag
+            if tag in PRUNE_ELEMENTS:
+                continue
+            if tag in ("img", "video"):
+                ref = _media_ref(ch)
+                if ref:
+                    if current is None:
+                        current = Block(host_tag, positive=positive, negative=negative)
+                        blocks.append(current)
+                    current.items.append((tag, ref))
+                continue
+            ci = _class_id(ch)
+            ch_neg = negative or bool(_NEGATIVE_RE.search(ci))
+            ch_pos = positive or tag == "article" or bool(_POSITIVE_RE.search(ci))
+            if tag in BLOCK_ELEMENTS:
+                # entering a block element ends any open anonymous run
+                inner = Block(tag, positive=ch_pos, negative=ch_neg)
+                blocks.append(inner)
+                walk(ch, ch_pos, ch_neg, in_link, inner, tag)
+                current = None
+            else:
+                current = walk(ch, ch_pos, ch_neg, in_link or tag == "a",
+                               current, host_tag)
+        return current
+
+    walk(root, False, False, False, None, "body")
+    return [b for b in blocks if b.items]
+
+
+def keep_block(b: Block) -> bool:
+    """Deterministic boilerplate verdict (replaces the reference's LLM
+    semantic-block whitelist, retriever.rs:5,58-70: keep article/content/text
+    blocks, drop nav/menu/about chrome)."""
+    if b.negative:
+        return False
+    tc = b.text_chars
+    if b.tag in HEADING_ELEMENTS:
+        return tc >= MIN_HEADING_CHARS and b.link_chars == 0
+    if b.link_density > MAX_LINK_DENSITY:
+        return False
+    threshold = MIN_BLOCK_CHARS_POSITIVE if b.positive else MIN_BLOCK_CHARS
+    if tc >= threshold:
+        return True
+    # short blocks that are pure media (figure with img) survive
+    return tc == 0 and any(k in ("img", "video") for k, _ in b.items)
+
+
+def extract_page_spans(html: str) -> list[tuple[str, str | None, str | None]]:
+    """Page-path extraction: full article HTML -> ordered content spans.
+
+    Pipeline: tokenize -> DOM -> prune nav/head/header/footer (+ script et
+    al.) -> segment into blocks -> keep blocks by text/link-density scoring
+    -> emit one ``text`` span per kept text run, media spans interleaved at
+    their positions inside kept blocks.
+    """
+    root = build_dom(html)
+    blocks = segment_blocks(root)
+    spans: list[tuple[str, str | None, str | None]] = []
+    for b in blocks:
+        if not keep_block(b):
+            continue
+        for kind, val in b.items:
+            if kind == "text":
+                spans.append(("text", val, None))
+            else:
+                spans.append((kind, None, val))
+    return spans

@@ -1,0 +1,141 @@
+"""Spark pipeline tests: extraction stage parity with the kernel,
+dedup semantics, lineage, and checkpoint-resume idempotency
+(SURVEY.md §5 test strategy items 1, 2, 4)."""
+
+import shutil
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from news_rss_spark.operators.dedup import anti_join_seen, dedup_within_run
+from news_rss_spark.operators.extraction import extract_articles, to_publish_news
+from news_rss_spark.operators.lineage import salted_agg, with_bucket
+from news_rss_spark.plans.pipeline import run_extraction_job
+from news_rss_spark.sources.synth import SPANS_DDL, documents_df
+from tests.fixture_docs import fixture_corpus
+
+NOW = datetime(2025, 1, 15, 12, 0, 0)
+
+
+def _corpus_df(spark):
+    rows = [
+        (d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+        for d in fixture_corpus()
+    ]
+    return spark.createDataFrame(rows, schema=SPANS_DDL)
+
+
+class TestExtractionStage:
+    def test_spark_matches_kernel_goldens(self, spark):
+        """The distributed stage must equal the single-process kernel."""
+        import json
+        import os
+
+        golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "fixtures", "golden_spans.json")
+        with open(golden_path) as f:
+            goldens = {g["doc_id"]: g for g in json.load(f)}
+
+        out = extract_articles(_corpus_df(spark).repartition(4), now_utc=NOW)
+        rows = {r["id"] or r["error"]: r for r in out.collect() if r["status"] == "ok"}
+        n_ok = sum(1 for g in goldens.values() if g["status"] == "ok")
+        assert len(rows) == n_ok
+        for doc_id, g in goldens.items():
+            if g["status"] != "ok":
+                continue
+            r = rows[doc_id]
+            got = [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+            want = [(s["kind"], s["text"], s["media_ref"]) for s in g["spans"]]
+            assert got == want, doc_id
+            assert (r["pub_date"].isoformat() if r["pub_date"] else None) == g["pub_date"]
+            assert r["source"] == g["source"]
+            assert r["photo_path"] == g["photo_path"]
+
+    def test_publish_news_projection(self, spark):
+        ext = extract_articles(_corpus_df(spark), now_utc=NOW)
+        news = to_publish_news(ext)
+        assert news.columns == ["id", "message_url", "datetime", "source", "photo_path", "text"]
+        assert news.filter(F.col("id").isNull()).count() == 0
+
+
+class TestDedup:
+    def test_within_run(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "id string, v int"
+        )
+        assert dedup_within_run(df).count() == 2
+
+    def test_anti_join_ttl(self, spark):
+        fresh = datetime(2025, 1, 10)
+        stale = datetime(2024, 1, 1)  # older than 120-day TTL
+        sink = spark.createDataFrame(
+            [("a", fresh), ("b", stale)], "id string, datetime timestamp_ntz"
+        )
+        batch = spark.createDataFrame(
+            [("a",), ("b",), ("c",)], "id string"
+        )
+        out = anti_join_seen(batch, sink, NOW)
+        got = {r["id"] for r in out.collect()}
+        # 'a' suppressed (live), 'b' re-published (TTL-expired), 'c' new
+        assert got == {"b", "c"}
+
+
+class TestLineageAndResume:
+    @pytest.fixture()
+    def paths(self, tmp_path):
+        return str(tmp_path / "news"), str(tmp_path / "lineage")
+
+    def test_idempotent_rerun(self, spark, paths):
+        sink, lineage = paths
+        docs = documents_df(spark, 120, seed=3, num_partitions=4)
+        r1 = run_extraction_job(spark, docs, sink, lineage, NOW, "r1", n_buckets=8)
+        r2 = run_extraction_job(spark, docs, sink, lineage, NOW, "r2", n_buckets=8)
+        assert r2.skipped_buckets == 8
+        assert r2.published_count == r1.published_count
+
+    def test_resume_after_partial_lineage(self, spark, paths, tmp_path):
+        sink, lineage = paths
+        docs = documents_df(spark, 120, seed=3, num_partitions=4)
+        r1 = run_extraction_job(spark, docs, sink, lineage, NOW, "r1", n_buckets=8)
+        full = spark.read.parquet(sink)
+        full_rows = {(r["id"], r["text"]) for r in full.collect()}
+
+        # simulate crash: lineage only recorded for buckets < 4
+        partial = (spark.read.parquet(lineage)
+                   .filter(F.col("bucket") < 4).localCheckpoint(eager=True))
+        shutil.rmtree(lineage)
+        partial.write.parquet(lineage)
+
+        r3 = run_extraction_job(spark, docs, sink, lineage, NOW, "r3", n_buckets=8)
+        assert r3.skipped_buckets == 4
+        after = spark.read.parquet(sink)
+        after_rows = {(r["id"], r["text"]) for r in after.collect()}
+        assert after_rows == full_rows  # byte-identical content
+        assert r3.published_count == r1.published_count
+
+    def test_lineage_counts(self, spark, paths):
+        sink, lineage = paths
+        docs = documents_df(spark, 120, seed=3, num_partitions=4)
+        run_extraction_job(spark, docs, sink, lineage, NOW, "r1", n_buckets=8)
+        lin = spark.read.parquet(lineage)
+        agg = lin.agg(F.sum("doc_count").alias("d"),
+                      F.sum("ok_count").alias("o"),
+                      F.sum("failure_count").alias("f")).collect()[0]
+        assert agg["d"] == 120
+        assert agg["o"] + agg["f"] == 120
+        assert agg["f"] >= 0
+
+
+class TestSaltedAgg:
+    def test_matches_plain_groupby(self, spark):
+        df = documents_df(spark, 200, seed=5)
+        ext = extract_articles(df, now_utc=NOW).filter(F.col("status") == "ok")
+        plain = {r["source"]: (r["cnt"], r["bytes"]) for r in
+                 ext.groupBy("source").agg(F.count("*").alias("cnt"),
+                                           F.sum("byte_count").alias("bytes")).collect()}
+        salted = {r["source"]: (r["cnt"], r["bytes"]) for r in
+                  salted_agg(ext, "source",
+                             {"cnt": ("count", "*"), "bytes": ("sum", "byte_count")},
+                             n_salts=4).collect()}
+        assert plain == salted
