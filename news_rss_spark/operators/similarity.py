@@ -1,0 +1,152 @@
+"""Embedding similarity search (engine-new, training-data pipeline).
+
+- ``cosine_topk``: brute-force top-k — the correctness baseline.  The dot
+  product is a JVM-side ``aggregate(zip_with(...))`` expression: no Python,
+  no shuffle except the final top-k (which AQE keeps tiny: per-partition
+  local top-k then a k-row merge via sort-limit).
+- ``lsh_bucket_topk``: the scale path — random-hyperplane (sign) LSH.
+  Signatures are computed by a vectorized pandas UDF (one numpy matmul per
+  Arrow batch); the query probes only its own bucket (+ optional multiprobe
+  by flipping bits), turning a 100 TB scan into a bucket-pruned lookup.
+  Bucket assignment is deterministic (seeded hyperplanes).
+- ``embedding_near_dup_pairs``: cosine >= threshold pair mining, bucketed
+  by LSH so the n² verify stays inside buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_sim_col(vec_col, query: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = float(np.sqrt(np.dot(query, query)))
+    denom = _norm(vec_col) * F.lit(qn)
+    return F.when(denom > 0, _dot(vec_col, q) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_sim_col(F.col(vec_col), query), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------- LSH
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(np.float32)
+
+
+def signature_udf(planes: np.ndarray):
+    """Vectorized sign-LSH signature: one numpy matmul per Arrow batch."""
+
+    @pandas_udf("int")
+    def sig(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # (batch, dim)
+        bits = (mat @ planes.T) > 0  # (batch, n_planes)
+        out = np.zeros(len(v), dtype=np.int32)
+        for j in range(planes.shape[0]):
+            out |= bits[:, j].astype(np.int32) << j
+        return pd.Series(out)
+
+    return sig
+
+
+def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 12,
+                    seed: int = 42, vec_col: str = "embedding",
+                    out: str = "bucket") -> DataFrame:
+    planes = hyperplanes(dim, n_planes, seed)
+    return df.withColumn(out, signature_udf(planes)(F.col(vec_col)))
+
+
+def _query_buckets(query: list[float], planes: np.ndarray,
+                   multiprobe: int = 0) -> list[int]:
+    q = np.asarray(query, dtype=np.float32)
+    margins = planes @ q
+    base = 0
+    for j, m in enumerate(margins):
+        base |= int(m > 0) << j
+    buckets = [base]
+    if multiprobe:
+        # flip the bits with the smallest |margin| (most uncertain planes)
+        order = np.argsort(np.abs(margins))[:multiprobe]
+        for j in order:
+            buckets.append(base ^ (1 << int(j)))
+    return buckets
+
+
+def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
+                    dim: int | None = None, n_planes: int = 12,
+                    seed: int = 42, multiprobe: int = 3,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """ANN top-k: probe the query's LSH bucket (+ multiprobe neighbors).
+
+    At scale the table is WRITTEN partitioned by bucket, so this filter is
+    partition pruning — the scan touches only probed buckets.
+    """
+    dim = dim or len(query)
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col)
+    probes = _query_buckets(query, planes, multiprobe)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query, k, vec_col, id_col)
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             dim: int = 64, n_planes: int = 8,
+                             seed: int = 42, vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Cosine near-duplicate pairs, LSH-bucketed: the quadratic verify runs
+    only within buckets (near-identical vectors collide with high prob.)."""
+    b = with_lsh_bucket(df, dim, n_planes, seed, vec_col)
+    a = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+    c = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                 F.col("bucket").alias("bucket_b"))
+    pairs = a.join(c, (F.col("bucket") == F.col("bucket_b")) & (F.col("a") < F.col("b")))
+    denom = _norm(F.col("va")) * _norm(F.col("vb"))
+    cos = F.when(denom > 0, _dot(F.col("va"), F.col("vb")) / denom).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def brute_force_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id") -> DataFrame:
+    """Exact pair mining (oracle-checkable); quadratic — small inputs only."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    c = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(c, F.col("a") < F.col("b"))
+    denom = _norm(F.col("va")) * _norm(F.col("vb"))
+    cos = F.when(denom > 0, _dot(F.col("va"), F.col("vb")) / denom).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,115 @@
+"""Text analysis operators for training-data pipelines (engine-new):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+Everything is built-in pyspark.sql.functions — whole-stage codegen, no
+Python — and each has a bit-exact DuckDB oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker words per language for the n-gram language-ID heuristic
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|que|pour|dans)\b",
+    "es": r"\b(el|la|los|las|y|es|una|que|por|con)\b",
+}
+
+STOPWORD_RE = LANG_MARKERS["en"]
+
+# BPE-ish token regex: words, numbers, or single non-space symbols —
+# approximates subword token counts without a vocab file
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Regex token count approximating a BPE tokenizer's granularity."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0))
+
+
+def marker_hits(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), 0))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out: str = "pred_lang") -> DataFrame:
+    """Argmax over per-language marker-word hit rates; 'und' if no marker
+    matches (deterministic tie-break by fixed language order)."""
+    text = F.col(text_col)
+    hits = {lang: marker_hits(text, pat) for lang, pat in LANG_MARKERS.items()}
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in LANG_MARKERS:  # fixed iteration order = deterministic ties
+        h = hits[lang]
+        is_better = h > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, h).otherwise(best_hits)
+    return df.withColumn(out, best_lang)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + composite score in [0, 1].
+
+    Features mirror standard corpus-filtering heuristics: alphabetic ratio,
+    stopword rate, mean word length sanity, punctuation density.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    toks = token_count(text)
+    stop_hits = marker_hits(text, STOPWORD_RE)
+
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    mean_word_len = F.when(toks > 0, n_alpha / toks).otherwise(F.lit(0.0))
+    stop_ratio = F.when(toks > 0, stop_hits / toks).otherwise(F.lit(0.0))
+
+    word_len_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 10),
+                         F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        0.4 * alpha_ratio
+        + 0.2 * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+        + 0.2 * word_len_ok
+        + 0.2 * (1 - F.least(digit_ratio + punct_ratio, F.lit(1.0)))
+    )
+    return (
+        df.withColumn("n_tokens", toks)
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                shingle_n: int = 3) -> DataFrame:
+    """Two document fingerprints:
+
+    - ``norm_fp``: md5 of the lowercased text with all non-alphanumerics
+      removed (whitespace/punct-invariant exact fingerprint);
+    - ``min_shingle_fp``: lexicographic min of md5 over word n-gram
+      shingles (a 1-hash MinHash — stable under local edits).
+    """
+    from news_rss_spark.operators.text_dedup import with_shingles
+
+    norm = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]", "")))
+    sh = with_shingles(df, text_col, n=shingle_n, out="_sh")
+    return (
+        sh.withColumn("norm_fp", norm)
+        .withColumn("min_shingle_fp",
+                    F.array_min(F.transform("_sh", lambda s: F.md5(s))))
+        .drop("_sh")
+    )

@@ -1,0 +1,212 @@
+"""Document-level deduplication for training-data pipelines (engine-new;
+generalizes the reference's GUID dedup D1, src/feeds/rss_feeds/mod.rs:128-136,
+from identity to content similarity).
+
+All hot paths are JVM-side column expressions (md5 / array_min / transform /
+explode) — no Python UDFs — so every operator whole-stage-codegens and
+shuffles only on compact keys:
+
+- exact:    one groupBy on a 128-bit content hash (map-side partial agg);
+- MinHash:  shingle -> k independent min-hashes -> band join; the candidate
+  join shuffles (seed, minhash) pairs (16 bytes/doc/seed), never documents;
+- SimHash:  near-dup bit signature via explode + bit-bucket aggregation;
+- n-gram Jaccard: exact verify step on candidate pairs only (never all
+  pairs) — at 100 TB the candidate set after LSH is linear-ish, the n²
+  verify is confined to tiny buckets;
+- embedding cosine near-dup: see similarity.py.
+
+Hashing uses md5 (not xxhash64) so every step has a bit-exact DuckDB oracle.
+At cluster scale swap HASH = xxhash64 for speed; semantics are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    smallest id as keeper and the duplicate count."""
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per distinct content value."""
+    w = exact_dedup_groups(df.select(id_col, text_col), text_col, id_col)
+    return df.join(
+        w.select(F.col("keeper_id").alias(id_col)), on=id_col, how="left_semi"
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 2,
+                  out: str = "shingles") -> DataFrame:
+    """Distinct word n-grams as an array column (JVM-side transform/slice)."""
+    toks = _tokens(text_col)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+    return df.withColumn(out, F.when(F.size(toks) >= n, shingles)
+                         .otherwise(F.array(F.array_join(toks, " "))))
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signature(df: DataFrame, n_hashes: int = 8,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      shingle_n: int = 2) -> DataFrame:
+    """Long format (id, seed, minhash): minhash_s = min over shingles of
+    md5(seed || ':' || shingle).  Long format keeps the band join a plain
+    equi-join on (seed, minhash)."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    sig = sh.select(
+        F.col(id_col),
+        F.explode(seeds).alias("seed"),
+        F.col("shingles"),
+    ).select(
+        id_col,
+        "seed",
+        F.array_min(
+            F.transform(
+                "shingles",
+                lambda s: F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), s)),
+            )
+        ).alias("minhash"),
+    )
+    return sig
+
+
+def minhash_candidate_pairs(df: DataFrame, n_hashes: int = 8,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            shingle_n: int = 2) -> DataFrame:
+    """LSH banding with r=1 (one hash per band): docs sharing ANY minhash
+    become a candidate pair.  Self-join on the compact (seed, minhash) key;
+    a < b dedups the symmetric pairs."""
+    sig = minhash_signature(df, n_hashes, text_col, id_col, shingle_n)
+    a = sig.select(F.col(id_col).alias("a"), "seed", "minhash")
+    b = sig.select(F.col(id_col).alias("b"), "seed", "minhash")
+    return (
+        a.join(b, on=["seed", "minhash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 2,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    With ``candidates`` (e.g. from MinHash LSH) the verify is confined to
+    those pairs; without, shingle-inverted-index self-join generates
+    intersections directly (still never a full cross join — only docs
+    sharing at least one shingle meet).
+    """
+    sh = with_shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    inv = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    a = inv.select(F.col(id_col).alias("a"), "sh")
+    b = inv.select(F.col(id_col).alias("b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["a", "b"], how="left_semi")
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash16(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash from token hashes (md5 -> low 16 bits).
+
+    bit_j(doc) = 1 iff sum over tokens of (+1 if bit_j(h(token)) else -1) > 0.
+    Computed via explode + one groupBy per doc (map-side combined); 16 bits
+    keeps the oracle SQL tractable while demonstrating the real structure —
+    widen to 64 by taking 16 hex chars at scale.
+    """
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+    h = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    agg = h.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Scale path: block on the two 8-bit halves (a pair within Hamming<=2 of
+    16 bits shares at least one exact half) — the join key is a byte, never
+    a cross join.
+    """
+    sim = simhash16(df, text_col, id_col)
+    halves = sim.select(
+        id_col, "simhash",
+        (F.col("simhash") % 256).alias("lo"),
+        (F.shiftright("simhash", 8)).alias("hi"),
+    )
+    a = halves.select(F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"),
+                      "lo", "hi")
+    b = halves.select(F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"),
+                      F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"))
+    cand = a.join(b, (F.col("lo") == F.col("lo_b")) | (F.col("hi") == F.col("hi_b"))) \
+            .filter(F.col("a") < F.col("b"))
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    hamming = sum(
+        F.shiftright(xor, j).bitwiseAND(F.lit(1)) for j in range(16)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )
