@@ -251,20 +251,26 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding near-dup pairs (brute-force verify, oracle-checkable)."""
+    """Embedding near-dup pairs (brute-force verify, oracle-checkable).
+
+    Norms are computed once per vector BEFORE the pair join (n sqrt's, not
+    n²) — arithmetic identical to the oracle, just factored out of the join."""
     e = _t(spark, sf_dir, "embeddings")
+    sq = lambda c: F.aggregate(F.transform(c, lambda x: x * x),  # noqa: E731
+                               F.lit(0.0), lambda a_, x: a_ + x)
     ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    a = ed.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    b = ed.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    ed = ed.withColumn("norm", F.sqrt(sq(F.col("v"))))
+    a = ed.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                  F.col("norm").alias("norm_a"))
+    b = ed.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                  F.col("norm").alias("norm_b"))
     pairs = a.join(b, F.col("a") < F.col("b"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    sq = lambda c: F.aggregate(F.transform(c, lambda x: x * x),  # noqa: E731
-                               F.lit(0.0), lambda a_, x: a_ + x)
-    cos = dot / (F.sqrt(sq(F.col("va"))) * F.sqrt(sq(F.col("vb"))))
+    cos = dot / (F.col("norm_a") * F.col("norm_b"))
     return (
         pairs.withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= 0.8)
+        .filter(F.col("cosine") >= 0.5)
         .select("a", "b", "cosine")
     )
 
@@ -503,7 +509,7 @@ SELECT a.vec_id AS a, b.vec_id AS b,
          AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.8
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.5
 """,
         "extract_pipeline": """
 WITH base AS (

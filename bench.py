@@ -1,0 +1,96 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus the flagship extraction job (the
+north-rule metric: docs/sec through the mapInArrow kernel) over a
+deterministic synthesized interleaved corpus, and prints ONE JSON line:
+
+    {"metric": ..., "value": <total suite sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "docs_per_sec": ..., "flagship_docs": ...}
+
+Each query is forced end-to-end with a noop-format write (full plan
+execution, no driver collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
+PINNED_NOW = datetime(2025, 1, 15, 12, 0, 0)
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from news_rss_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # -- flagship throughput: synthesize once (not timed), extract (timed) --
+    from news_rss_spark.operators.dedup import dedup_within_run
+    from news_rss_spark.operators.extraction import extract_articles, to_publish_news
+    from news_rss_spark.sources.synth import documents_df
+
+    docs = documents_df(spark, BENCH_DOCS, seed=7, num_partitions=CPUS * 4)
+    docs.persist()
+    docs.count()  # materialize input outside the timed region
+
+    # warm the JVM + Python worker pool so the timed region measures
+    # steady-state kernel throughput, not one-time process spin-up
+    warm = documents_df(spark, 256, seed=3, num_partitions=CPUS)
+    _force(dedup_within_run(
+        to_publish_news(extract_articles(warm, now_utc=PINNED_NOW)), key="id"))
+
+    t0 = time.perf_counter()
+    extracted = extract_articles(docs, now_utc=PINNED_NOW)
+    _force(dedup_within_run(to_publish_news(extracted), key="id"))
+    flagship_sec = time.perf_counter() - t0
+    docs.unpersist()
+    timings["flagship_extract"] = round(flagship_sec, 3)
+
+    # -- headline query suite over the driver sf tables --
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        try:
+            _force(fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # never fail the whole bench on one query
+            timings[name] = -1.0
+            print(f"bench: query {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "extraction+query suite wall time (flagship docs/sec in docs_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs_per_sec": round(BENCH_DOCS / flagship_sec, 1),
+        "flagship_docs": BENCH_DOCS,
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -44,17 +44,21 @@ def marker_hits(text: Column, pattern: str) -> Column:
 def lang_id(df: DataFrame, text_col: str = "text",
             out: str = "pred_lang") -> DataFrame:
     """Argmax over per-language marker-word hit rates; 'und' if no marker
-    matches (deterministic tie-break by fixed language order)."""
+    matches (deterministic tie-break by fixed language order).
+
+    Formulated as one array argmax so each marker regex is evaluated exactly
+    once per row (a naive fold of nested ``when`` chains re-embeds earlier
+    hit expressions and blows up exponentially in the generated code).
+    """
     text = F.col(text_col)
-    hits = {lang: marker_hits(text, pat) for lang, pat in LANG_MARKERS.items()}
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in LANG_MARKERS:  # fixed iteration order = deterministic ties
-        h = hits[lang]
-        is_better = h > best_hits
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(is_better, h).otherwise(best_hits)
-    return df.withColumn(out, best_lang)
+    langs = list(LANG_MARKERS)  # fixed iteration order = deterministic ties
+    hits = F.array(*[marker_hits(text, LANG_MARKERS[lang]) for lang in langs])
+    mx = F.array_max(hits)
+    # array_position returns the FIRST index of the max -> first-wins ties,
+    # identical to the sequential strictly-greater fold
+    pick = F.element_at(F.array(*[F.lit(lg) for lg in langs]),
+                        F.array_position(hits, mx).cast("int"))
+    return df.withColumn(out, F.when(mx > 0, pick).otherwise(F.lit("und")))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

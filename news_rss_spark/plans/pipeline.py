@@ -82,6 +82,12 @@ def run_extraction_job(
     sink; a partially-completed previous run is finished by processing only
     buckets absent from the lineage table.
     """
+    # correctness-critical: bucket-wise idempotent replace requires DYNAMIC
+    # partition overwrite — a static overwrite would truncate every completed
+    # bucket out of the sink on resume.  Enforce it here instead of trusting
+    # the caller's session config (it is a runtime conf, safe to set).
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
     docs_b = with_bucket(docs, n_buckets=n_buckets)
 
     lineage_prev = _read_optional(spark, lineage_path, LINEAGE_DDL)

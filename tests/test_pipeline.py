@@ -114,6 +114,27 @@ class TestLineageAndResume:
         assert after_rows == full_rows  # byte-identical content
         assert r3.published_count == r1.published_count
 
+    def test_resume_survives_static_overwrite_conf(self, spark, paths):
+        """Regression: resume must not truncate completed buckets even when
+        the caller's session carries the default STATIC partition-overwrite
+        mode (the job enforces dynamic mode itself)."""
+        sink, lineage = paths
+        docs = documents_df(spark, 120, seed=3, num_partitions=4)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+            r1 = run_extraction_job(spark, docs, sink, lineage, NOW, "r1", n_buckets=8)
+            # simulate crash: forget half the lineage, forcing a partial re-run
+            partial = (spark.read.parquet(lineage)
+                       .filter(F.col("bucket") < 4).localCheckpoint(eager=True))
+            shutil.rmtree(lineage)
+            partial.write.parquet(lineage)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+            r2 = run_extraction_job(spark, docs, sink, lineage, NOW, "r2", n_buckets=8)
+            assert r2.published_count == r1.published_count
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
     def test_lineage_counts(self, spark, paths):
         sink, lineage = paths
         docs = documents_df(spark, 120, seed=3, num_partitions=4)
