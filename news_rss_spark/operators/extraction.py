@@ -67,12 +67,21 @@ NEWS_COLUMNS = ["id", "message_url", "datetime", "source", "photo_path", "text"]
 
 
 def _extract_arrow_batches(
-    batches: Iterator[pa.RecordBatch], now_utc: datetime
+    batches: Iterator[pa.RecordBatch], now_utc: datetime,
+    dedup_within_partition: bool = False,
 ) -> Iterator[pa.RecordBatch]:
+    seen: set | None = set() if dedup_within_partition else None
     for batch in batches:
         cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
         doc_ids = cols["doc_id"].to_pylist()
         spans = cols["spans"].to_pylist()
+        if seen is not None:
+            keep = [i for i, d in enumerate(doc_ids) if not (d in seen or seen.add(d))]
+            if len(keep) < len(doc_ids):
+                doc_ids = [doc_ids[i] for i in keep]
+                spans = [spans[i] for i in keep]
+            if not doc_ids:
+                continue
         results = extract_batch(doc_ids, spans, now_utc)
         arrays = [
             pa.array([r.get(f.name) for r in results], type=f.type)
@@ -81,16 +90,23 @@ def _extract_arrow_batches(
         yield pa.RecordBatch.from_arrays(arrays, schema=EXTRACTED_ARROW_SCHEMA)
 
 
-def extract_articles(docs: DataFrame, now_utc: datetime = EPOCH) -> DataFrame:
+def extract_articles(docs: DataFrame, now_utc: datetime = EPOCH,
+                     dedup_within_partition: bool = False) -> DataFrame:
     """(doc_id, spans) -> extracted article rows (status/error included).
 
     ``now_utc`` pins the reference's ``Utc::now()`` date-parse fallback
     (mod.rs:189) to a job parameter for determinism.
+
+    ``dedup_within_partition`` drops repeat doc_ids inside each partition
+    (first occurrence wins) during the same Arrow pass — when the input is
+    clustered so equal ids share a partition (e.g. partitioned on
+    ``bucket = hash(doc_id)``), this IS a correct global dedup with zero
+    extra shuffle, replacing a full-payload ``dropDuplicates`` exchange.
     """
     pruned = docs.select("doc_id", "spans")
 
     def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        return _extract_arrow_batches(it, now_utc)
+        return _extract_arrow_batches(it, now_utc, dedup_within_partition)
 
     return pruned.mapInArrow(fn, schema=EXTRACTED_DDL)
 
@@ -98,6 +114,26 @@ def extract_articles(docs: DataFrame, now_utc: datetime = EPOCH) -> DataFrame:
 def ok_articles(extracted: DataFrame) -> DataFrame:
     """P2 predicate outcome: keep successfully extracted rows."""
     return extracted.filter(F.col("status") == "ok")
+
+
+def text_from_spans_col():
+    """JVM-side reconstruction of the article text from the ordered spans —
+    exactly the kernel's ``"\\n".join(text-span texts)`` — so the sink need
+    not store the text twice (spans already carry every text block)."""
+    return F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"],
+        ),
+        "\n",
+    )
+
+
+def with_text_from_spans(sink_df: DataFrame) -> DataFrame:
+    """Re-attach the ``text`` column to rows read back from the sink."""
+    return sink_df.withColumn(
+        "text", F.when(F.col("status") == "ok", text_from_spans_col())
+    )
 
 
 def to_publish_news(extracted: DataFrame) -> DataFrame:

@@ -4,12 +4,11 @@
     read documents (doc_id, spans)                 # S1: feed fetch -> pre-landed table scan
       -> with_bucket                               # stable logical partitioning
       -> skip_completed (resume anti-join)         # lineage checkpoint (engine-new)
-      -> mapInArrow extract                        # P1-P9 + L1-L3: the kernel stage
-      -> ok/skip split                             # P2 log-and-continue
-      -> dropDuplicates(id)                        # D1 within-run
-      -> left-anti join sink keys w/ TTL retention # D1 cross-run + D2 TTL
-      -> write sink partitionBy(bucket), dynamic overwrite  # S4/S5 publish
-      -> append lineage rows                       # D3 upgraded to exactly-once
+      -> [range-repartition by bucket]             # only if the scan under-splits
+      -> mapInArrow extract + in-kernel dedup      # P1-P9 + L1-L3 + D1 within-run
+      -> left-anti join sink keys w/ TTL retention # D1 cross-run + D2 TTL (resume only)
+      -> write extracted spans partitionBy(bucket), dynamic overwrite  # S4/S5 publish
+      -> lineage from column-pruned sink read-back # D3 upgraded to exactly-once
 
 All relational steps are stock Catalyst-optimized DataFrame ops; the only
 Python is the Arrow-batched kernel. Sink format is parquet here; on a real
@@ -33,7 +32,7 @@ from news_rss_spark.operators.dedup import (
     anti_join_seen,
     dedup_within_run,
 )
-from news_rss_spark.operators.extraction import extract_articles, to_publish_news
+from news_rss_spark.operators.extraction import extract_articles
 from news_rss_spark.operators.lineage import (
     DEFAULT_N_BUCKETS,
     LINEAGE_DDL,
@@ -75,18 +74,43 @@ def run_extraction_job(
     ttl_secs: int = DEFAULT_TTL_SECS,
     resume: bool = True,
     extractor_version: str = EXTRACTOR_VERSION,
+    input_clustered_by_bucket: bool = False,
 ) -> JobResult:
     """Run (or resume) the extraction pipeline over ``docs``.
 
     Idempotent: re-running with the same inputs produces a byte-identical
     sink; a partially-completed previous run is finished by processing only
     buckets absent from the lineage table.
+
+    The sink holds the FULL extracted rows — ordered spans, article fields,
+    status, byte counts — partitioned by the resume bucket (north rule:
+    "writes extracted spans plus per-partition lineage rows").  The
+    reference's 6-column ``news`` table is the ``to_publish_news``
+    projection over it, not a second copy.
+
+    Single-pass plan (shuffle accounting at 100 TB):
+    - when the input table is laid out clustered by ``bucket =
+      pmod(xxhash64(doc_id), n_buckets)`` (Iceberg ``bucket(doc_id)``
+      partition transform), the whole job is shuffle-free: narrow kernel
+      map -> partitioned write, with dedup folded into the kernel pass
+      (equal ids share a partition by layout);
+    - otherwise ONE range-repartition on ``bucket`` both fixes kernel-stage
+      parallelism (compressed text under-splits the scan) and clusters the
+      write (1 file per bucket instead of tasks x buckets);
+    - lineage derives from a column-pruned read-back of the written sink
+      (bucket/status/byte_count only) — no persist of the heavy extraction
+      output, the kernel runs exactly once.
     """
     # correctness-critical: bucket-wise idempotent replace requires DYNAMIC
     # partition overwrite — a static overwrite would truncate every completed
     # bucket out of the sink on resume.  Enforce it here instead of trusting
     # the caller's session config (it is a runtime conf, safe to set).
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # lz4 for the sink: snappy-java's JNI path collapses under many writer
+    # threads (measured 3.6x slower at local[32]); lz4 keeps the write
+    # CPU-light and scaling.  Storage-optimized tables can compact to zstd
+    # out-of-band.
+    spark.conf.set("spark.sql.parquet.compression.codec", "lz4")
 
     docs_b = with_bucket(docs, n_buckets=n_buckets)
 
@@ -96,15 +120,33 @@ def run_extraction_job(
     if n_completed:
         docs_b = skip_completed(docs_b, completed)
 
+    # kernel-stage parallelism guard + write clustering in one exchange:
+    # news text compresses ~10x, so a default 128 MB scan split holds >1 GB
+    # of raw HTML and the planner may emit far fewer splits than the cluster
+    # has cores — fine for a scan, fatal for a CPU-heavy Arrow kernel stage.
+    # Hash-partitioning on bucket keeps equal buckets (hence equal doc_ids)
+    # together, which makes the in-kernel dedup global and bounds the
+    # partitioned write to ~1 file per bucket (a range partitioner would do
+    # the same but costs an extra full sampling pass over the input).  At
+    # 100 TB the scan yields ~800k splits and the table layout should
+    # provide the clustering instead (pass input_clustered_by_bucket=True).
+    clustered = input_clustered_by_bucket
+    target_parallelism = spark.sparkContext.defaultParallelism * 2
+    if not clustered and docs_b.rdd.getNumPartitions() < max(
+            target_parallelism, n_buckets):
+        docs_b = docs_b.repartition(max(target_parallelism, n_buckets), "bucket")
+        clustered = True
+
     extracted = extract_articles(docs_b.select("doc_id", "spans"),
-                                 now_utc=now_utc)
+                                 now_utc=now_utc,
+                                 dedup_within_partition=clustered)
+    if not clustered:
+        # equal ids may span partitions — fall back to a real exchange
+        extracted = dedup_within_run(extracted, key="id")
     # mapInArrow replaces the schema, so re-derive the bucket from the
     # stable key (same hash expression — no join needed); skip rows carry
     # their doc_id as ``id`` so failures attribute to the right bucket.
     extracted = with_bucket(extracted, n_buckets=n_buckets, key="id")
-
-    news = to_publish_news(extracted)
-    news = dedup_within_run(news, key="id")
 
     # Cross-run dedup (D1/D2): suppress ids already published — but ONLY
     # those living in *completed* buckets.  Buckets this run processes get
@@ -115,30 +157,41 @@ def run_extraction_job(
     if (sink_prev is not None and "id" in (sink_prev.columns or [])
             and completed is not None and n_completed):
         seen_side = sink_prev.join(F.broadcast(completed), on="bucket", how="left_semi")
-        news = anti_join_seen(news, seen_side, now_utc, ttl_secs)
+        extracted = anti_join_seen(extracted, seen_side, now_utc, ttl_secs,
+                                   key="id", ts_col="pub_date")
+        # sever the plan's dependence on the sink path we are about to
+        # overwrite (with Iceberg this is a snapshot append and the
+        # checkpoint is unnecessary); only the incremental resume path pays
+        extracted = extracted.localCheckpoint(eager=True)
 
-    news_b = with_bucket(news, n_buckets=n_buckets, key="id")
-    # cache the extraction output across the two writes (data + lineage) so
-    # the kernel runs once; at cluster scale this is a persisted staging
-    # table or DataFrame persist(DISK_ONLY)
-    extracted.persist()
-    try:
-        # localCheckpoint severs the plan's dependence on the sink path we
-        # are about to overwrite (with Iceberg this is a snapshot append
-        # and the checkpoint is unnecessary)
-        news_mat = news_b.localCheckpoint(eager=True)
-        (news_mat.write.mode("overwrite")
-                 .partitionBy("bucket")
-                 .parquet(sink_path))
-        # materialize lineage BEFORE appending: its plan transitively reads
-        # the lineage path (resume filter), so a lazy count after the append
-        # would see its own output
-        lin = lineage_rows(extracted, extractor_version, run_id).localCheckpoint(eager=True)
-        lineage_buckets = lin.count()
-        lin.write.mode("append").parquet(lineage_path)
-        published = spark.read.parquet(sink_path).count()
-    finally:
-        extracted.unpersist()
+    # the text column is byte-for-byte derivable from the text spans
+    # (kernel joins them with "\n") — storing both would double the write
+    # volume; readers re-attach it via extraction.with_text_from_spans
+    (extracted.drop("text")
+              .write.mode("overwrite")
+              .partitionBy("bucket")
+              .parquet(sink_path))
+
+    # lineage from a column-pruned read-back of what actually landed —
+    # cheap columnar scan, and the ledger can never claim more than the
+    # sink holds (crash between write and append leaves an un-recorded
+    # bucket that the next run idempotently rewrites)
+    sink_now = spark.read.parquet(sink_path)
+    lin = lineage_rows(sink_now.select("bucket", "status", "byte_count"),
+                       extractor_version, run_id)
+    # one read-back serves everything: the collected ledger (<= n_buckets
+    # rows) carries ok_count per bucket, so the published total needs no
+    # second sink scan.  Only buckets NOT already recorded get appended —
+    # the read-back sees the whole sink, including completed buckets.
+    lin_rows = lin.collect()
+    published = int(sum(r["ok_count"] for r in lin_rows))
+    done = ({r["bucket"] for r in completed.collect()}
+            if completed is not None and n_completed else set())
+    new_rows = [r for r in lin_rows if r["bucket"] not in done]
+    lineage_buckets = len(new_rows)
+    if new_rows:
+        spark.createDataFrame(new_rows, schema=lin.schema) \
+             .coalesce(1).write.mode("append").parquet(lineage_path)
 
     return JobResult(
         published_count=published,

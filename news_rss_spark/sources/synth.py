@@ -140,8 +140,15 @@ def _page_html(rng: random.Random, domain: str, doc_idx: int, title: str) -> str
 </body></html>"""
 
 
-def generate_documents(n_docs: int, seed: int = 42) -> list[dict]:
-    """Generate ``n_docs`` interleaved documents, deterministically."""
+def generate_documents(n_docs: int, seed: int = 42,
+                       mix: tuple = (0.70, 0.15, 0.15)) -> list[dict]:
+    """Generate ``n_docs`` interleaved documents, deterministically.
+
+    ``mix`` = (html_frac, desc_frac, page_frac): share of inline-content
+    docs, description-only docs, and full-article-page docs.  The default
+    mirrors the fixture corpus; ``HEAVY_MIX`` weights toward full pages —
+    the north-star workload (tokenizer + DOM + density scoring per doc).
+    """
     rng = random.Random(seed)
     docs = []
     for i in range(n_docs):
@@ -176,10 +183,10 @@ def generate_documents(n_docs: int, seed: int = 42) -> list[dict]:
              "media_ref": None, "offset": 0}
         ]
         shape = rng.random()
-        if shape < 0.70:
+        if shape < mix[0]:
             frag, _ = _html_fragment(rng, domain, i)
             spans.append({"kind": "html", "text": frag, "media_ref": None, "offset": 1})
-        elif shape < 0.85:
+        elif shape < mix[0] + mix[1]:
             spans.append({"kind": "desc", "text": description, "media_ref": None, "offset": 1})
         else:
             spans.append({"kind": "page", "text": _page_html(rng, domain, i, title),
@@ -203,6 +210,62 @@ SPANS_DDL = (
     "doc_id string, "
     "spans array<struct<kind:string, text:string, media_ref:string, offset:int>>"
 )
+
+
+def _docs_to_arrow(docs: list[dict]):
+    import pyarrow as pa
+
+    span_t = pa.list_(pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32()),
+    ]))
+    return pa.RecordBatch.from_arrays(
+        [pa.array([d["doc_id"] for d in docs], type=pa.string()),
+         pa.array([d["spans"] for d in docs], type=span_t)],
+        names=["doc_id", "spans"],
+    )
+
+
+HEAVY_MIX = (0.20, 0.10, 0.70)  # page-dominated: the full-extraction workload
+
+
+def documents_df_distributed(spark, n_docs: int, seed: int = 42,
+                             num_partitions: int = 64,
+                             mix: tuple = (0.70, 0.15, 0.15)):
+    """Distributed deterministic corpus: partition ``i`` generates its slice
+    with rng seed ``(seed, i)`` on the executors — no driver-side row build,
+    so bench-scale corpora (10^5-10^6 docs locally, arbitrarily large on a
+    cluster) generate in parallel.  Same fixture *shape* as
+    ``generate_documents`` but a different (still deterministic) stream."""
+    per = n_docs // num_partitions
+    rem = n_docs % num_partitions
+    specs = [(i, i * per + min(i, rem), per + (1 if i < rem else 0))
+             for i in range(num_partitions)]
+    # range-partition on the unique part id -> exactly one spec per task
+    # (hash repartition would collide ~1/e of the partitions empty)
+    spec_df = spark.createDataFrame(specs, "part int, start long, count long") \
+                   .repartitionByRange(num_partitions, "part")
+
+    def gen(batches):
+        for batch in batches:
+            for row in batch.to_pylist():
+                docs = generate_documents(row["count"],
+                                          seed=seed * 1_000_003 + row["part"],
+                                          mix=mix)
+                # re-index doc ids into the global range so they stay unique
+                for j, d in enumerate(docs):
+                    gid = row["start"] + j
+                    d["doc_id"] = d["doc_id"].rsplit("-", 1)[0] + f"-{gid}"
+                    for s in d["spans"]:
+                        if s["kind"] == "meta":
+                            import json as _json
+                            meta = _json.loads(s["text"])
+                            if "link" in meta:
+                                meta["link"] = d["doc_id"]
+                            s["text"] = _json.dumps(meta, sort_keys=True)
+                yield _docs_to_arrow(docs)
+
+    return spec_df.mapInArrow(gen, schema=SPANS_DDL)
 
 
 def documents_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = None):

@@ -1,0 +1,99 @@
+"""Structured-Streaming parity for the reference daemon's steady-state loop
+(SURVEY.md §7 M5).
+
+Reference semantics being mirrored:
+
+- S3 interval poller (src/feeds/rss_feeds/mod.rs:71-92: infinite loop,
+  ``tokio::time::interval`` tick -> fetch -> process) -> a
+  ``trigger(availableNow=True)`` run processes everything that has landed
+  since the last checkpoint and stops; re-invoking it on a schedule IS the
+  poller, with the checkpoint replacing the in-process loop state.
+- D1/D2 TTL dedup cache (cacher.contains/set with ``expired_secs``,
+  src/cache/local/mod.rs:31-54) -> ``dropDuplicatesWithinWatermark`` keyed
+  on the article guid: state for a guid is retained while its event time is
+  within the watermark delay — exactly a TTL keyed on pub_date — and is
+  dropped afterwards, bounding state like moka/Redis expiry bounds the
+  reference's cache.
+- The per-item extraction (mod.rs:157-211) runs unchanged: ``mapInArrow``
+  stages compose with streaming sources, so batch and streaming share ONE
+  kernel code path.
+
+Scale notes: the checkpoint directory carries source offsets + dedup state;
+state volume = live (unexpired) guids only.  At 100 TB-scale ingest the
+watermark keeps that bounded regardless of total history, which the batch
+path achieves with the lineage/anti-join protocol instead.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_rss_spark.kernel.dates import EPOCH
+from news_rss_spark.operators.extraction import extract_articles, to_publish_news
+from news_rss_spark.sources.synth import SPANS_DDL
+
+# reference prod TTL: expired_secs=10368000 (120 days), config/production.toml:8
+DEFAULT_WATERMARK = "120 days"
+
+
+def stream_documents(spark: SparkSession, input_path: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming scan of the landed documents table (S1's fetch loop becomes
+    file-arrival discovery; schema is the BASELINE input_hint shape)."""
+    reader = spark.readStream.schema(SPANS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(input_path)
+
+
+def streaming_news(docs: DataFrame, now_utc: datetime = EPOCH,
+                   watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """documents stream -> deduped PublishNews stream.
+
+    ``dropDuplicatesWithinWatermark`` implements the reference's TTL cache
+    (D2).  The watermark rides an INGESTION-time column, not pub_date: moka
+    expires entries by time-since-``cache.set`` (src/cache/local/mod.rs:
+    32-34), and the reference never drops an article for being old — a
+    pub_date watermark would discard epoch-defaulted rows (P7 missing-date
+    fallback) as late data, silently diverging from the reference.
+    State for a guid thus lives ``watermark`` past its ingestion and then
+    expires — exactly the TTL cache, with bounded state.
+    """
+    extracted = extract_articles(docs, now_utc=now_utc)
+    news = to_publish_news(extracted)
+    return (
+        news.withColumn("_ingest_ts", F.current_timestamp())
+        .withWatermark("_ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["id"])
+        .drop("_ingest_ts")
+    )
+
+
+def run_streaming_extraction(
+    spark: SparkSession,
+    input_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    now_utc: datetime = EPOCH,
+    watermark: str = DEFAULT_WATERMARK,
+    timeout_secs: int = 300,
+) -> None:
+    """One availableNow pass: process all unseen files, append to the sink,
+    stop.  Scheduling repeated invocations reproduces S3's interval poller
+    with exactly-once progress tracked in the checkpoint."""
+    docs = stream_documents(spark, input_path)
+    news = streaming_news(docs, now_utc=now_utc, watermark=watermark)
+    q = (
+        news.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_secs)
+    if q.isActive:
+        q.stop()

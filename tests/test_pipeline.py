@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from news_rss_spark.operators.dedup import anti_join_seen, dedup_within_run
-from news_rss_spark.operators.extraction import extract_articles, to_publish_news
+from news_rss_spark.operators.extraction import extract_articles, to_publish_news, with_text_from_spans
 from news_rss_spark.operators.lineage import salted_agg, with_bucket
 from news_rss_spark.plans.pipeline import run_extraction_job
 from news_rss_spark.sources.synth import SPANS_DDL, documents_df
@@ -98,7 +98,7 @@ class TestLineageAndResume:
         sink, lineage = paths
         docs = documents_df(spark, 120, seed=3, num_partitions=4)
         r1 = run_extraction_job(spark, docs, sink, lineage, NOW, "r1", n_buckets=8)
-        full = spark.read.parquet(sink)
+        full = with_text_from_spans(spark.read.parquet(sink))
         full_rows = {(r["id"], r["text"]) for r in full.collect()}
 
         # simulate crash: lineage only recorded for buckets < 4
@@ -109,7 +109,7 @@ class TestLineageAndResume:
 
         r3 = run_extraction_job(spark, docs, sink, lineage, NOW, "r3", n_buckets=8)
         assert r3.skipped_buckets == 4
-        after = spark.read.parquet(sink)
+        after = with_text_from_spans(spark.read.parquet(sink))
         after_rows = {(r["id"], r["text"]) for r in after.collect()}
         assert after_rows == full_rows  # byte-identical content
         assert r3.published_count == r1.published_count
