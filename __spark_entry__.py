@@ -308,6 +308,27 @@ def q_simhash_near_dup(spark, sf_dir):
     return simhash_near_dup_pairs(d, max_hamming=3)
 
 
+def q_semantic_blocks(spark, sf_dir):
+    """L4-L6 (retriever.rs:28-90): <blocks> envelope extraction, broken-JSON
+    repair + SemanticBlock parse, tag-whitelist filter, content joins — all
+    as JVM column expressions over a synthesized LLM-response wrapper.  For
+    this quote/brace-free corpus the whole chain is the identity on the
+    article text (block 1 tagged Article survives, block 2 tagged menu is
+    dropped), which the oracle asserts end-to-end."""
+    from news_rss_spark.functions.semantic_blocks import (
+        extract_blocks_envelope, semantic_blocks_text)
+    d = _t(spark, sf_dir, "documents")
+    resp = F.concat(
+        F.lit('preamble <blocks>{index: 1, tags: ["Article"], content: ["'),
+        F.col("text"),
+        F.lit('"]}{index: 2, tags: ["menu"], content: ["nav chrome"]}</blocks>'),
+    )
+    return d.select(
+        "doc_id",
+        semantic_blocks_text(extract_blocks_envelope(resp)).alias("block_text"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> Arrow-batched feature stub."""
     from news_rss_spark.operators.multimodal import extract_features, media_from_documents
@@ -339,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "extract_pipeline": q_extract_pipeline,
+        "semantic_blocks": q_semantic_blocks,
         # no-oracle entries (non-SQL-expressible / approximate):
         "ann_lsh_topk": q_ann_lsh_topk,
         "simhash_near_dup": q_simhash_near_dup,
@@ -510,6 +532,9 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) /
             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.5
+""",
+        "semantic_blocks": """
+SELECT doc_id, text AS block_text FROM documents
 """,
         "extract_pipeline": """
 WITH base AS (
