@@ -329,6 +329,22 @@ def q_semantic_blocks(spark, sf_dir):
     )
 
 
+def q_registry_crud(spark, sf_dir):
+    """S7/P10/C4 (storage/pgsql/mod.rs:50-92, server/routers.rs:414-624):
+    seeded rss_sources registry -> add -> update -> delete -> search, as
+    pure DataFrame transforms.  Deterministic, so the oracle is the final
+    state spelled out as VALUES."""
+    from news_rss_spark.sources import registry as R
+    reg = R.seed_registry(spark)
+    reg = R.add_source(reg, {"name": "BBC World", "link": "https://feeds.bbci.co.uk/news/world/rss.xml",
+                             "run_at_launch": True})
+    reg = R.update_source(reg, 2, {"interval_secs": 1800})
+    reg = R.delete_source(reg, 1)
+    return R.search(reg, "World").select(
+        "id", "name", "link", "run_at_launch",
+        F.col("interval_secs").cast("int").alias("interval_secs"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> Arrow-batched feature stub."""
     from news_rss_spark.operators.multimodal import extract_features, media_from_documents
@@ -361,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "extract_pipeline": q_extract_pipeline,
         "semantic_blocks": q_semantic_blocks,
+        "registry_crud": q_registry_crud,
         # no-oracle entries (non-SQL-expressible / approximate):
         "ann_lsh_topk": q_ann_lsh_topk,
         "simhash_near_dup": q_simhash_near_dup,
@@ -532,6 +549,12 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) /
             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.5
+""",
+        "registry_crud": """
+SELECT * FROM (VALUES
+  (2, 'Sky News World', 'https://feeds.skynews.com/feeds/rss/world.xml', true, 1800),
+  (3, 'BBC World', 'https://feeds.bbci.co.uk/news/world/rss.xml', true, 3600)
+) AS t(id, name, link, run_at_launch, interval_secs)
 """,
         "semantic_blocks": """
 SELECT doc_id, text AS block_text FROM documents
