@@ -219,11 +219,16 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    from news_rss_spark.operators.text_dedup import ngram_jaccard_pairs
+    """LSH-then-verify (the scale path): exact n-gram Jaccard evaluated only
+    on MinHash candidate pairs via array_intersect — no shingle-level join."""
+    from news_rss_spark.operators.text_dedup import (
+        minhash_candidate_pairs, ngram_jaccard_pairs)
     d = _t(spark, sf_dir, "documents")
     d = d.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
+    cand = minhash_candidate_pairs(d, n_hashes=4, text_col="text",
+                                   id_col="doc_id", shingle_n=2)
     return ngram_jaccard_pairs(d, threshold=0.2, text_col="text",
-                               id_col="doc_id", shingle_n=2)
+                               id_col="doc_id", shingle_n=2, candidates=cand)
 
 
 def q_simhash(spark, sf_dir):
@@ -517,14 +522,25 @@ FROM sig x JOIN sig y ON x.seed = y.seed AND x.mh = y.mh AND x.doc_id < y.doc_id
 """,
         "ngram_jaccard": f"""
 WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
+  FROM sh, (VALUES (0), (1), (2), (3)) seeds(seed)
+  GROUP BY doc_id, seed
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM sig x JOIN sig y ON x.seed = y.seed AND x.mh = y.mh AND x.doc_id < y.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 )
-SELECT a, b, round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+SELECT c.a, c.b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2
 """,
         "simhash": _simhash_sql(),

@@ -86,6 +86,9 @@ def extract_document(
                 meta = json.loads(s.get("text") or "{}")
             except (ValueError, TypeError):
                 return {"status": "skip", "error": ERR_BAD_META, "id": doc_id}
+            if not isinstance(meta, dict):
+                # valid JSON but not an object (e.g. "0", "[]") — same skip
+                return {"status": "skip", "error": ERR_BAD_META, "id": doc_id}
         elif kind == "html":
             if s.get("text"):
                 html_frags.append(s["text"])

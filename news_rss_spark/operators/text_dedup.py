@@ -118,12 +118,26 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.3,
                         candidates: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    With ``candidates`` (e.g. from MinHash LSH) the verify is confined to
-    those pairs; without, shingle-inverted-index self-join generates
-    intersections directly (still never a full cross join — only docs
-    sharing at least one shingle meet).
+    With ``candidates`` (e.g. from MinHash LSH) — the scale path — the
+    verify NEVER touches a shingle-level join: each candidate pair joins
+    the two docs' distinct-shingle arrays by id and intersects them
+    JVM-side (``array_intersect``), so the cost is |candidates| x O(shingle
+    set), linear-ish after LSH.  Without candidates, an inverted-index
+    self-join generates all co-shingled pairs exactly — quadratic in hot
+    shingles, intended for small-scale oracle verification only.
     """
     sh = with_shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+    if candidates is not None:
+        sa = sh.select(F.col(id_col).alias("a"), F.col("shingles").alias("sa"))
+        sb = sh.select(F.col(id_col).alias("b"), F.col("shingles").alias("sb"))
+        pairs = candidates.join(sa, "a").join(sb, "b")
+        n_inter = F.size(F.array_intersect("sa", "sb"))
+        jac = n_inter / (F.size("sa") + F.size("sb") - n_inter)
+        return (
+            pairs.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        )
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
     a = inv.select(F.col(id_col).alias("a"), "sh")
@@ -134,8 +148,6 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.3,
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, on=["a", "b"], how="left_semi")
     sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
     return (
