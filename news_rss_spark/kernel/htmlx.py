@@ -92,6 +92,17 @@ VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
 RAWTEXT_ELEMENTS = frozenset(("script", "style", "textarea", "title"))
+
+# hot-path regexes hoisted out of tokenize (a per-tag re.compile call showed
+# up as ~5% of kernel time even with re's internal cache)
+_END_TAG_RE = re.compile(r"</\s*([A-Za-z][A-Za-z0-9-]*)[^>]*>")
+_TAG_NAME_TAIL_RE = re.compile(r"[A-Za-z0-9:\-]*")
+# maximal run of attr chars with balanced quotes; stops before an unmatched
+# quote or the closing '>' — the char loop finishes the rare remainder
+_ATTR_SCAN_RE = re.compile(r"""(?:[^>"']|"[^"]*"|'[^']*')*""")
+_RAWTEXT_CLOSE_RES = {
+    t: re.compile(rf"</\s*{t}\s*>", re.I) for t in RAWTEXT_ELEMENTS
+}
 # elements pruned wholesale before scoring.  nav/head/header/footer are the
 # reference's own DOM-prune selectors (src/crawler/llm/mod.rs:91-97); the
 # rest never contain article text by construction.
@@ -203,7 +214,7 @@ def tokenize(html: str):
             i = n if end == -1 else end + 1
             continue
         if c == "/":
-            m = re.compile(r"</\s*([A-Za-z][A-Za-z0-9-]*)[^>]*>").match(html, lt)
+            m = _END_TAG_RE.match(html, lt)
             if m:
                 yield ("end", m.group(1).lower())
                 i = m.end()
@@ -216,11 +227,12 @@ def tokenize(html: str):
             i = lt + 1
             continue
         # start tag: scan respecting quotes
-        j = lt + 1
-        while j < n and (html[j].isalnum() or html[j] in "-:"):
-            j += 1
+        j = _TAG_NAME_TAIL_RE.match(html, lt + 1).end()
         name = html[lt + 1:j].lower()
-        k = j
+        # regex fast path covers everything up to the closing '>' unless an
+        # unmatched quote appears; the loop below finishes from there with
+        # identical semantics
+        k = _ATTR_SCAN_RE.match(html, j).end()
         quote: str | None = None
         while k < n:
             ch = html[k]
@@ -240,8 +252,7 @@ def tokenize(html: str):
         yield ("start", name, attrs, self_closing)
         i = k + 1
         if name in RAWTEXT_ELEMENTS and not self_closing:
-            close_re = re.compile(rf"</\s*{name}\s*>", re.I)
-            m = close_re.search(html, i)
+            m = _RAWTEXT_CLOSE_RES[name].search(html, i)
             if m:
                 # raw text content is dropped for script/style, kept for title/textarea
                 if name in ("title", "textarea"):
