@@ -305,6 +305,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_bucket_topk(e, qv, k=10, n_planes=8, multiprobe=4)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """ANN scale path #2: IVF cell-probed top-k (no SQL oracle — verified
+    against the brute-force baseline in tests via recall)."""
+    from news_rss_spark.operators.similarity import ivf_topk
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]]
+    return ivf_topk(e, qv, k=10, n_cells=16, n_probe=6)
+
+
 def q_simhash_near_dup(spark, sf_dir):
     """SimHash near-dup pairs (no SQL oracle — blocked-join impl detail;
     hamming verified in tests)."""
@@ -385,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registry_crud": q_registry_crud,
         # no-oracle entries (non-SQL-expressible / approximate):
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "simhash_near_dup": q_simhash_near_dup,
         "multimodal_features": q_multimodal_features,
     }

@@ -90,6 +90,28 @@ def extract_features(media: DataFrame, batch_kind: str | None = None) -> DataFra
     return src.select("media_id", "kind", "payload").mapInPandas(fn, FEATURES_DDL)
 
 
+def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Image resize stage over ``mapInPandas`` — same schema in and out,
+    width/height set to the target.  The pixel work is STUBBED (no PIL in
+    this container): the payload passes through unchanged where
+    ``PIL.Image.open(...).resize((target_w, target_h))`` would re-encode it;
+    every Spark-side aspect (schema, batch shape, non-image passthrough) is
+    the real plumbing."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            out = pdf.copy()
+            # decode_real(payload, "image") -> resize -> re-encode in prod
+            out.loc[is_img, "width"] = target_w
+            out.loc[is_img, "height"] = target_h
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return media.mapInPandas(fn, MEDIA_DDL)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one output row per (media, frame_ts).
 

@@ -116,6 +116,66 @@ def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
     return cosine_topk(cand, query, k, vec_col, id_col)
 
 
+# ---------------------------------------------------------------- IVF
+
+def train_ivf_centroids(df: DataFrame, n_cells: int = 16, seed: int = 42,
+                        sample: int = 2048, iters: int = 10,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> np.ndarray:
+    """Spherical k-means centroids trained driver-side on a DETERMINISTIC
+    sample (first ``sample`` rows by id) — the standard IVF recipe: train on
+    a sample, assign distributed.  Returns (n_cells, dim) L2-normalized."""
+    rows = (df.orderBy(id_col).limit(sample)
+            .select(vec_col).collect())
+    x = np.stack([np.asarray(r[0], dtype=np.float32) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def cell_udf(centroids: np.ndarray):
+    """Vectorized IVF cell assignment: one numpy matmul per Arrow batch."""
+
+    @pandas_udf("int")
+    def cell(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float32)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ centroids.T, axis=1).astype(np.int32))
+
+    return cell
+
+
+def with_ivf_cell(df: DataFrame, centroids: np.ndarray,
+                  vec_col: str = "embedding", out: str = "cell") -> DataFrame:
+    return df.withColumn(out, cell_udf(centroids)(F.col(vec_col)))
+
+
+def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
+             n_cells: int = 16, n_probe: int = 4, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF ANN top-k: score only the ``n_probe`` cells whose centroids are
+    nearest the query.  At scale the table is written partitioned by cell,
+    so the filter is partition pruning and the scan touches n_probe/n_cells
+    of the data; centroids are trained once and reused across queries."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_cells, seed,
+                                        vec_col=vec_col, id_col=id_col)
+    q = np.asarray(query, dtype=np.float32)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(i) for i in np.argsort(-(centroids @ q))[:n_probe]]
+    cand = with_ivf_cell(df, centroids, vec_col).filter(F.col("cell").isin(probes))
+    return cosine_topk(cand, query, k, vec_col, id_col)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              dim: int = 64, n_planes: int = 8,
                              seed: int = 42, vec_col: str = "embedding",
