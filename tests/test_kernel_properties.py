@@ -84,6 +84,27 @@ class TestTagStripRegexParity:
         assert strip_tags(soup) == re.sub(r"<[^>]*>", "", soup)
 
 
+media_tag = st.sampled_from([
+    '<video src="v.mp4">', '<video>', "</video>", '<source src="s.mp4">',
+    '<img src="i.jpg">', "<img>", '<video src="v2.mp4"/>', "<figure>",
+    "</figure>", "<nav>", "</nav>", "<p>", "</p>", "<div>", "</div>",
+    '<div class="related">', '<article>', "</article>", "<a href=x>", "</a>",
+    "<li>", "<td>",
+])
+media_soup = st.lists(st.one_of(plain, tag, media_tag), max_size=30).map("".join)
+
+
+class TestStreamingDomParity:
+    @settings(max_examples=400, deadline=None)
+    @given(media_soup)
+    def test_streaming_equals_dom_route(self, soup):
+        """The fused streaming page extractor must be byte-identical to the
+        readable DOM route on arbitrary tag soup — autoclose, mismatched
+        end tags, prune subtrees, media capture, anonymous runs and all."""
+        from news_rss_spark.kernel.htmlx import extract_page_spans_dom
+        assert extract_page_spans(soup) == extract_page_spans_dom(soup)
+
+
 class TestPageExtraction:
     @settings(max_examples=100, deadline=None)
     @given(html_soup)
