@@ -117,6 +117,9 @@ def q_domain_extract(spark, sf_dir):
 
 def q_date_parse_fallback(spark, sf_dir):
     """P7 (mod.rs:183-192): parse w/ pinned-now fallback on garbage."""
+    # timestamp rendering is session-timezone-dependent; the oracle is
+    # timezone-naive, so pin UTC regardless of the harness session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events")
     raw = F.when(F.col("event_id") % 10 == 0, F.lit("garbage")) \
            .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
@@ -285,6 +288,7 @@ def q_extract_pipeline(spark, sf_dir):
     meta/html fast path over deterministically interleaved documents, so the
     whole mapInArrow stage is oracle-checkable in SQL."""
     from news_rss_spark.operators.extraction import extract_articles
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # pub_date rendering
     docs = _t(spark, sf_dir, "documents")
     interleaved = interleave_documents(docs)
     ext = extract_articles(interleaved, now_utc=PINNED_NOW)
