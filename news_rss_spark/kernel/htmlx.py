@@ -129,6 +129,8 @@ _ENTITY_RE = re.compile(r"&(#x?[0-9A-Fa-f]+|[A-Za-z][A-Za-z0-9]*);")
 
 def decode_entities(text: str) -> str:
     """Minimal from-scratch entity decoder (named subset + numeric refs)."""
+    if "&" not in text:
+        return text
 
     def _sub(m: re.Match) -> str:
         body = m.group(1)
