@@ -348,6 +348,26 @@ def q_semantic_blocks(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Window-function surface: gap-based sessionization over the events
+    table (lag + running sum, one shuffle on user_id)."""
+    from news_rss_spark.operators.events import session_stats
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events")
+    return session_stats(e, gap_secs=1800)
+
+
+def q_latest_event(spark, sf_dir):
+    """Changelog compaction: latest event per user via row_number()=1
+    (Catalyst rewrites to a per-partition top-k)."""
+    from news_rss_spark.operators.events import latest_event_per_user
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events")
+    return latest_event_per_user(e).select(
+        "user_id", "event_id", "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"))
+
+
 def q_registry_crud(spark, sf_dir):
     """S7/P10/C4 (storage/pgsql/mod.rs:50-92, server/routers.rs:414-624):
     seeded rss_sources registry -> add -> update -> delete -> search, as
@@ -397,6 +417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pipeline": q_extract_pipeline,
         "semantic_blocks": q_semantic_blocks,
         "registry_crud": q_registry_crud,
+        "sessionize": q_sessionize,
+        "latest_event": q_latest_event,
         # no-oracle entries (non-SQL-expressible / approximate):
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -580,6 +602,34 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) /
             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.5
+""",
+        "sessionize": """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM s
+)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS span_secs,
+       round(sum(value), 6) AS total_value
+FROM sess GROUP BY user_id, session_seq
+""",
+        "latest_event": """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
 """,
         "registry_crud": """
 SELECT * FROM (VALUES

@@ -1,0 +1,34 @@
+"""Event-analytics operator tests (sessionization, latest-per-key)."""
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+
+from news_rss_spark.operators.events import latest_event_per_user, sessionize
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+
+
+def test_sessionize_gap_boundaries(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 7, t0, 1.0),
+        (2, 7, t0 + timedelta(seconds=100), 1.0),      # same session
+        (3, 7, t0 + timedelta(seconds=2000), 1.0),     # gap > 1800 -> new
+        (4, 7, t0 + timedelta(seconds=2100), 1.0),     # same as 3
+        (5, 8, t0, 1.0),                               # other user: own seq
+    ]
+    out = {r["event_id"]: r["session_seq"] for r in
+           sessionize(_ev(spark, rows), gap_secs=1800).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_latest_event_tie_break(spark):
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+    rows = [(1, 7, t0, 1.0), (2, 7, t0, 2.0), (3, 7, t0 - timedelta(1), 9.0)]
+    out = latest_event_per_user(_ev(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["event_id"] == 2  # highest id wins ties
