@@ -75,6 +75,7 @@ def run_extraction_job(
     resume: bool = True,
     extractor_version: str = EXTRACTOR_VERSION,
     input_clustered_by_bucket: bool = False,
+    only_buckets: list[int] | None = None,
 ) -> JobResult:
     """Run (or resume) the extraction pipeline over ``docs``.
 
@@ -113,6 +114,11 @@ def run_extraction_job(
     spark.conf.set("spark.sql.parquet.compression.codec", "lz4")
 
     docs_b = with_bucket(docs, n_buckets=n_buckets)
+    if only_buckets is not None:
+        # wave-scoped invocation: a driver loop that chunks the bucket space
+        # across separate spark-submit runs bounds how much progress one
+        # crash can lose to a single wave (the ledger lands per run)
+        docs_b = docs_b.filter(F.col("bucket").isin([int(b) for b in only_buckets]))
 
     lineage_prev = _read_optional(spark, lineage_path, LINEAGE_DDL)
     completed = completed_buckets(lineage_prev, extractor_version) if resume else None

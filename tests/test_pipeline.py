@@ -160,3 +160,24 @@ class TestSaltedAgg:
                              {"cnt": ("count", "*"), "bytes": ("sum", "byte_count")},
                              n_salts=4).collect()}
         assert plain == salted
+
+
+class TestWaveScopedRuns:
+    def test_waves_compose_to_full_run(self, spark, tmp_path):
+        """Chunking the bucket space across separate invocations yields the
+        same sink as one full run, and a later full invocation skips every
+        wave-completed bucket."""
+        docs = documents_df(spark, 120, seed=3, num_partitions=4)
+        s1, l1 = str(tmp_path / "s1"), str(tmp_path / "l1")
+        full = run_extraction_job(spark, docs, s1, l1, NOW, "full", n_buckets=8)
+
+        s2, l2 = str(tmp_path / "s2"), str(tmp_path / "l2")
+        r_a = run_extraction_job(spark, docs, s2, l2, NOW, "w1", n_buckets=8,
+                                 only_buckets=[0, 1, 2, 3])
+        r_b = run_extraction_job(spark, docs, s2, l2, NOW, "w2", n_buckets=8)
+        assert r_b.skipped_buckets == 4  # wave-1 buckets skipped
+        assert r_b.published_count == full.published_count
+        a = {(r["id"], r["status"]) for r in spark.read.parquet(s1).collect()}
+        b = {(r["id"], r["status"]) for r in spark.read.parquet(s2).collect()}
+        assert a == b
+        assert r_a.lineage_buckets == 4
