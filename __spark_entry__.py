@@ -214,11 +214,14 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
+    """b=2 bands x r=2 rows: a candidate must share BOTH minhashes of some
+    band — the S-curve knob that keeps hot-shingle cliques from exploding."""
     from news_rss_spark.operators.text_dedup import minhash_candidate_pairs
     d = _t(spark, sf_dir, "documents")
     d = d.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
     return minhash_candidate_pairs(d, n_hashes=4, text_col="text",
-                                   id_col="doc_id", shingle_n=2)
+                                   id_col="doc_id", shingle_n=2,
+                                   rows_per_band=2)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -229,7 +232,8 @@ def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     d = d.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
     cand = minhash_candidate_pairs(d, n_hashes=4, text_col="text",
-                                   id_col="doc_id", shingle_n=2)
+                                   id_col="doc_id", shingle_n=2,
+                                   rows_per_band=2)
     return ngram_jaccard_pairs(d, threshold=0.2, text_col="text",
                                id_col="doc_id", shingle_n=2, candidates=cand)
 
@@ -320,11 +324,24 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """SimHash near-dup pairs (no SQL oracle — blocked-join impl detail;
-    hamming verified in tests)."""
+    """SimHash near-dup pairs: pigeonhole-banded equi-join (k = max_hamming+1
+    bands; one must match exactly) + exact bit_count(XOR) verify.  Output is
+    EXACTLY all pairs with hamming <= 3, so the small-scale oracle is a plain
+    quadratic self-join — the Spark plan is never quadratic."""
     from news_rss_spark.operators.text_dedup import simhash_near_dup_pairs
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     return simhash_near_dup_pairs(d, max_hamming=3)
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Embedding near-dup SCALE path: random-hyperplane LSH bucket as the
+    equi-join key, quadratic cosine verify confined to within-bucket pairs
+    (no oracle — approximate recall vs the brute-force baseline is asserted
+    in tests/test_similarity_multimodal.py)."""
+    from news_rss_spark.operators.similarity import embedding_near_dup_pairs
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.5, dim=64, n_planes=8,
+                                    vec_col="embedding", id_col="vec_id")
 
 
 def q_semantic_blocks(spark, sf_dir):
@@ -419,10 +436,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registry_crud": q_registry_crud,
         "sessionize": q_sessionize,
         "latest_event": q_latest_event,
+        "simhash_near_dup": q_simhash_near_dup,
         # no-oracle entries (non-SQL-expressible / approximate):
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "simhash_near_dup": q_simhash_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -442,6 +460,19 @@ sh AS (
   FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
 )
 """
+
+# b=2 bands x r=2 rows over 4 minhash seeds (mirrors minhash_band_keys)
+_MINHASH_BANDED_CTE = """
+sig AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
+  FROM sh, (VALUES (0), (1), (2), (3)) seeds(seed)
+  GROUP BY doc_id, seed
+),
+banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         string_agg(mh, '|' ORDER BY seed) AS band_key
+  FROM sig GROUP BY doc_id, seed // 2
+)"""
 
 
 def _simhash_sql() -> str:
@@ -549,24 +580,18 @@ FROM base b JOIN sh USING (doc_id)
 """,
         "minhash_pairs": f"""
 WITH {_SHINGLES_CTE},
-sig AS (
-  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
-  FROM sh, (VALUES (0), (1), (2), (3)) seeds(seed)
-  GROUP BY doc_id, seed
-)
+{_MINHASH_BANDED_CTE}
 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-FROM sig x JOIN sig y ON x.seed = y.seed AND x.mh = y.mh AND x.doc_id < y.doc_id
+FROM banded x JOIN banded y
+  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
 """,
         "ngram_jaccard": f"""
 WITH {_SHINGLES_CTE},
-sig AS (
-  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
-  FROM sh, (VALUES (0), (1), (2), (3)) seeds(seed)
-  GROUP BY doc_id, seed
-),
+{_MINHASH_BANDED_CTE},
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM sig x JOIN sig y ON x.seed = y.seed AND x.mh = y.mh AND x.doc_id < y.doc_id
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -581,6 +606,13 @@ JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2
 """,
         "simhash": _simhash_sql(),
+        "simhash_near_dup": f"""
+WITH sim AS ({_simhash_sql()})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+""",
         "cosine_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 c AS (

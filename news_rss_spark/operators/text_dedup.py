@@ -93,17 +93,51 @@ def minhash_signature(df: DataFrame, n_hashes: int = 8,
     return sig
 
 
+def minhash_band_keys(df: DataFrame, n_hashes: int = 8,
+                      rows_per_band: int = 2,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      shingle_n: int = 2) -> DataFrame:
+    """b x r LSH banding: ``n_hashes`` minhashes grouped into bands of
+    ``rows_per_band`` hashes; the band key is the seed-ordered concat of the
+    band's minhashes.  One row per (doc, band): (id, band, band_key)."""
+    r = rows_per_band
+    sig = minhash_signature(df, n_hashes, text_col, id_col, shingle_n)
+    # seed-ordered concat: array_sort on struct(seed, minhash) sorts by seed
+    return (
+        sig.withColumn("band", F.floor(F.col("seed") / r).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"],
+                ),
+                "|",
+            ).alias("band_key")
+        )
+    )
+
+
 def minhash_candidate_pairs(df: DataFrame, n_hashes: int = 8,
                             text_col: str = "text", id_col: str = "doc_id",
-                            shingle_n: int = 2) -> DataFrame:
-    """LSH banding with r=1 (one hash per band): docs sharing ANY minhash
-    become a candidate pair.  Self-join on the compact (seed, minhash) key;
-    a < b dedups the symmetric pairs."""
-    sig = minhash_signature(df, n_hashes, text_col, id_col, shingle_n)
-    a = sig.select(F.col(id_col).alias("a"), "seed", "minhash")
-    b = sig.select(F.col(id_col).alias("b"), "seed", "minhash")
+                            shingle_n: int = 2,
+                            rows_per_band: int = 2) -> DataFrame:
+    """LSH banding with b bands x r = ``rows_per_band`` hashes per band:
+    docs are candidates iff they agree on ALL r minhashes of some band.
+
+    r >= 2 is the scale knob (the S-curve): with r = 1 any single shared
+    min-shingle (hot boilerplate) puts huge doc sets into one candidate
+    clique — near-quadratic blowup at 100 TB.  Requiring a full band of r
+    hashes to collide drops the per-pair candidate probability from s to
+    s^r (s = true Jaccard), so hot-key cliques shrink exponentially while
+    genuine near-dups (s -> 1) still collide in some band w.h.p.  The join
+    stays a plain equi-join on the compact (band, band_key)."""
+    banded = minhash_band_keys(df, n_hashes, rows_per_band,
+                               text_col, id_col, shingle_n)
+    a = banded.select(F.col(id_col).alias("a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("b"), "band", "band_key")
     return (
-        a.join(b, on=["seed", "minhash"])
+        a.join(b, on=["band", "band_key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -193,32 +227,54 @@ def simhash16(df: DataFrame, text_col: str = "text",
 
 def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+                           id_col: str = "doc_id",
+                           n_bits: int = 16) -> DataFrame:
+    """ALL pairs with SimHash Hamming distance <= ``max_hamming``, exactly.
 
-    Scale path: block on the two 8-bit halves (a pair within Hamming<=2 of
-    16 bits shares at least one exact half) — the join key is a byte, never
-    a cross join.
+    Pigeonhole banding (the standard SimHash blocking): split the signature
+    into k = max_hamming + 1 disjoint bit bands; any pair within Hamming
+    distance max_hamming has < k differing bits, so it agrees EXACTLY on at
+    least one band.  Candidates therefore come from ONE equi-join on the
+    compact (band, band_val) key — a shuffle-hash/sort-merge plan, never a
+    BroadcastNestedLoopJoin — and the exact bit_count(XOR) filter keeps the
+    true pairs.  Complete (no missed pairs, unlike OR-of-halves blocking,
+    where max_hamming = 2 errors can split 1+1 across the halves) and
+    scale-safe: each doc shuffles k rows of (band:int, band_val:long, sim).
+
+    At 64-bit scale the structure is unchanged (k bands of 64/k bits).
     """
     sim = simhash16(df, text_col, id_col)
-    halves = sim.select(
-        id_col, "simhash",
-        (F.col("simhash") % 256).alias("lo"),
-        (F.shiftright("simhash", 8)).alias("hi"),
+    k = max_hamming + 1
+    base, rem = divmod(n_bits, k)
+    bands, start = [], 0
+    for j in range(k):
+        width = base + (1 if j < rem else 0)
+        bands.append(
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright("simhash", start)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_val"),
+            )
+        )
+        start += width
+    exploded = sim.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*bands)).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.band_val")
+    a = exploded.select(F.col(id_col).alias("a"),
+                        F.col("simhash").alias("sim_a"), "band", "band_val")
+    b = exploded.select(F.col(id_col).alias("b"),
+                        F.col("simhash").alias("sim_b"), "band", "band_val")
+    cand = (
+        a.join(b, on=["band", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sim_a", "sim_b")
+        .distinct()  # a pair may collide in several bands
     )
-    a = halves.select(F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"),
-                      "lo", "hi")
-    b = halves.select(F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"),
-                      F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"))
-    cand = a.join(b, (F.col("lo") == F.col("lo_b")) | (F.col("hi") == F.col("hi_b"))) \
-            .filter(F.col("a") < F.col("b"))
-    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
-    hamming = sum(
-        F.shiftright(xor, j).bitwiseAND(F.lit(1)) for j in range(16)
-    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
-        .distinct()
     )
