@@ -231,7 +231,10 @@ def tokenize(html: str) -> list[tuple]:
                 out.append(("text", html[lt]))
                 i = lt + 1
             continue
-        if not c.isalpha():
+        if not ("a" <= c <= "z" or "A" <= c <= "Z"):
+            # ASCII-letters-only gate, matching the ASCII tag-name regex
+            # below (and the HTML spec): '<é' is text, never a start tag —
+            # a Unicode-aware isalpha() here would mint empty-named tags
             out.append(("text", html[lt]))
             i = lt + 1
             continue

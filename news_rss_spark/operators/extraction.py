@@ -76,7 +76,10 @@ def _extract_arrow_batches(
         doc_ids = cols["doc_id"].to_pylist()
         spans = cols["spans"].to_pylist()
         if seen is not None:
-            keep = [i for i, d in enumerate(doc_ids) if not (d in seen or seen.add(d))]
+            # None never enters the seen set: distinct missing-guid failures
+            # must each surface as their own skip row, not collapse into one
+            keep = [i for i, d in enumerate(doc_ids)
+                    if d is None or not (d in seen or seen.add(d))]
             if len(keep) < len(doc_ids):
                 doc_ids = [doc_ids[i] for i in keep]
                 spans = [spans[i] for i in keep]

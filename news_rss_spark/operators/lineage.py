@@ -50,7 +50,13 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
 
 def lineage_rows(extracted: DataFrame, extractor_version: str,
                  run_id: str) -> DataFrame:
-    """One row per bucket; partial aggregation makes this map-side cheap."""
+    """One row per bucket; partial aggregation makes this map-side cheap.
+
+    ``doc_count`` counts the rows that LANDED in the sink — i.e. documents
+    after in-run dedup (first occurrence of each doc_id wins), not raw
+    input occurrences; dropped repeats are invisible to the ledger by
+    design (the sink read-back is the source of truth for what exists).
+    """
     return (
         extracted.groupBy("bucket")
         .agg(

@@ -28,7 +28,13 @@ def compact_sink(spark: SparkSession, sink_path: str,
     # sever the plan from the path being overwritten (read-then-overwrite
     # on the same location is otherwise rejected / unsafe)
     mat = sink.localCheckpoint(eager=True)
-    (mat.repartition(max(n_buckets * files_per_bucket, 1), "bucket")
+    # hash-partitioning on bucket alone would land each bucket in ONE task
+    # regardless of the requested file count; a stable id-derived salt
+    # splits every bucket across files_per_bucket writers/files
+    parts = [F.col("bucket")]
+    if files_per_bucket > 1:
+        parts.append(F.pmod(F.xxhash64("id"), F.lit(files_per_bucket)))
+    (mat.repartition(max(n_buckets * files_per_bucket, 1), *parts)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(sink_path))

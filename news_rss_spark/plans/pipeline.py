@@ -20,6 +20,7 @@ semantics in the sandbox.
 from __future__ import annotations
 
 import os
+import warnings
 from dataclasses import dataclass
 from datetime import datetime
 
@@ -76,6 +77,7 @@ def run_extraction_job(
     extractor_version: str = EXTRACTOR_VERSION,
     input_clustered_by_bucket: bool = False,
     only_buckets: list[int] | None = None,
+    verify_clustered_layout: bool = True,
 ) -> JobResult:
     """Run (or resume) the extraction pipeline over ``docs``.
 
@@ -183,6 +185,21 @@ def run_extraction_job(
     # sink holds (crash between write and append leaves an un-recorded
     # bucket that the next run idempotently rewrites)
     sink_now = spark.read.parquet(sink_path)
+    if input_clustered_by_bucket and verify_clustered_layout:
+        # the clustered-layout promise (equal doc_ids share one scan split,
+        # so partition-local dedup is globally correct) is trusted, not
+        # planned — guard it: one column-pruned scan of the id column of
+        # what just landed.  A violated layout (appended multi-file buckets,
+        # byte-range splits separating equal ids) shows up here as surviving
+        # duplicates; warn rather than fail so a resume can still proceed.
+        dups = (sink_now.filter(F.col("id").isNotNull()).groupBy("id")
+                .count().filter(F.col("count") > 1).limit(1).count())
+        if dups:
+            warnings.warn(
+                "input_clustered_by_bucket=True but duplicate ids landed in"
+                " the sink — the input layout violated the clustering"
+                " promise; rerun with input_clustered_by_bucket=False",
+                RuntimeWarning, stacklevel=2)
     lin = lineage_rows(sink_now.select("bucket", "status", "byte_count"),
                        extractor_version, run_id)
     # one read-back serves everything: the collected ledger (<= n_buckets

@@ -45,3 +45,22 @@ def test_compact_preserves_content_and_shrinks_files(spark, tmp_path):
     assert all(".zstd." in f or f.endswith(".parquet") for f in after_files)
     assert spark.read.parquet(sink).count() == before_rows
     assert _content_hash(spark, sink) == before_hash
+
+
+def test_files_per_bucket_salt_splits_buckets(spark, tmp_path):
+    """files_per_bucket > 1 must actually produce multiple files per bucket
+    (round 1 silently ignored it: hash-partitioning on bucket alone lands
+    each bucket in one task)."""
+    sink, lineage = str(tmp_path / "sink"), str(tmp_path / "lin")
+    docs = documents_df(spark, 200, seed=3, num_partitions=4)
+    run_extraction_job(spark, docs, sink, lineage, NOW, "r1", n_buckets=4)
+    before_hash = _content_hash(spark, sink)
+
+    compact_sink(spark, sink, codec="zstd", files_per_bucket=3)
+
+    per_bucket = {}
+    for f in glob.glob(f"{sink}/bucket=*/*.parquet"):
+        b = f.split("bucket=")[1].split("/")[0]
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert max(per_bucket.values()) > 1
+    assert _content_hash(spark, sink) == before_hash

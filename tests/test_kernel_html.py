@@ -134,3 +134,19 @@ class TestPagePath:
         page = "<body><article><p>Long enough paragraph to be kept by scoring here.</p><video><source src='v.mp4'></video></article></body>"
         spans = extract_page_spans(page)
         assert ("video", None, "v.mp4") in spans
+
+
+class TestNonAsciiTagGate:
+    def test_non_ascii_after_lt_is_text(self):
+        # '<é' must tokenize as text, not as an empty-named start tag: the
+        # gate is ASCII-only, matching the tag-name regex and the HTML spec
+        toks = list(tokenize("a <éx> b"))
+        assert ("start", "", {}) not in [
+            (t[0], t[1], t[2]) for t in toks if t[0] == "start"
+        ]
+        text = "".join(t[1] for t in toks if t[0] == "text")
+        assert "éx" in text.replace("<", "").replace(">", "")
+
+    def test_ascii_tag_still_parsed(self):
+        toks = list(tokenize("a <b>x</b>"))
+        assert any(t[0] == "start" and t[1] == "b" for t in toks)

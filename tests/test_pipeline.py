@@ -181,3 +181,26 @@ class TestWaveScopedRuns:
         b = {(r["id"], r["status"]) for r in spark.read.parquet(s2).collect()}
         assert a == b
         assert r_a.lineage_buckets == 4
+
+
+class TestNullGuidDedup:
+    def test_null_doc_ids_not_collapsed_by_partition_dedup(self, spark):
+        """Distinct missing-guid failures each keep their own skip row:
+        None never enters the in-kernel seen set."""
+        from news_rss_spark.operators.extraction import extract_articles
+        rows = [
+            (None, [{"kind": "desc", "text": "a", "media_ref": None, "offset": 0}]),
+            (None, [{"kind": "desc", "text": "b", "media_ref": None, "offset": 0}]),
+            ("d1", [{"kind": "desc", "text": "c", "media_ref": None, "offset": 0}]),
+            ("d1", [{"kind": "desc", "text": "c", "media_ref": None, "offset": 0}]),
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        ).coalesce(1)
+        out = extract_articles(docs, now_utc=NOW,
+                               dedup_within_partition=True).collect()
+        null_skips = [r for r in out if r["error"] == "empty guid"]
+        assert len(null_skips) == 2     # both null-guid failures preserved
+        assert len(out) == 3            # but the real dup d1 deduped
