@@ -344,6 +344,55 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
                                     vec_col="embedding", id_col="vec_id")
 
 
+def q_rss_parse(spark, sf_dir):
+    """S1 proper (rss::Channel::read_from + item field access,
+    mod.rs:66-68,157-197): synthesize a single-item RSS 2.0 feed per
+    document JVM-side (CDATA description/content, entity-escaped title,
+    RFC-822 pubDate, conditional media:content), then parse it back with
+    the real mapInArrow feed parser.  The oracle is the identity
+    projection — any escaping/CDATA/field-mapping defect breaks the
+    round trip."""
+    from news_rss_spark.sources.rss_xml import feed_items
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+    def esc(c):
+        c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+        return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+    ds = F.col("doc_id").cast("string")
+    guid = F.concat(F.lit("https://"), F.col("source"),
+                    F.lit(".example.com/world-news/"), ds)
+    pub = F.concat(F.lit("Sun, 05 Jan 2025 10:00:"),
+                   F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+                   F.lit(" +0000"))
+    media = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit('<media:content url="https://cdn.example/'), ds,
+                 F.lit('.jpg" type="image/jpeg"/>')),
+    ).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<rss version="2.0" '
+              'xmlns:content="http://purl.org/rss/1.0/modules/content/" '
+              'xmlns:media="http://search.yahoo.com/mrss/"><channel>'
+              "<title>Synth</title><item><guid>"), guid,
+        F.lit("</guid><title>"), esc(F.substring("text", 1, 40)),
+        F.lit("</title><link>"), guid,
+        F.lit("</link><pubDate>"), pub,
+        F.lit("</pubDate><description><![CDATA["), F.substring("text", 1, 80),
+        F.lit("]]></description><content:encoded><![CDATA[<p>"), F.col("text"),
+        F.lit("</p>]]></content:encoded>"), media,
+        F.lit("</item></channel></rss>"),
+    )
+    feeds = d.select(ds.alias("feed_id"), xml.alias("xml"))
+    items = feed_items(feeds)
+    return items.select(
+        F.col("guid").alias("id"), "title", "link", "description", "content",
+        "pub_date",
+        F.try_element_at("media", F.lit(1))["url"].alias("photo_ref"),
+    )
+
+
 def q_semantic_blocks(spark, sf_dir):
     """L4-L6 (retriever.rs:28-90): <blocks> envelope extraction, broken-JSON
     repair + SemanticBlock parse, tag-whitelist filter, content joins — all
@@ -437,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "latest_event": q_latest_event,
         "simhash_near_dup": q_simhash_near_dup,
+        "rss_parse": q_rss_parse,
         # no-oracle entries (non-SQL-expressible / approximate):
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -671,6 +721,21 @@ SELECT * FROM (VALUES
 """,
         "semantic_blocks": """
 SELECT doc_id, text AS block_text FROM documents
+""",
+        "rss_parse": """
+SELECT 'https://' || source || '.example.com/world-news/'
+         || CAST(doc_id AS VARCHAR) AS id,
+       trim(substr(text, 1, 40)) AS title,
+       'https://' || source || '.example.com/world-news/'
+         || CAST(doc_id AS VARCHAR) AS link,
+       trim(substr(text, 1, 80)) AS description,
+       '<p>' || text || '</p>' AS content,
+       'Sun, 05 Jan 2025 10:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+         || ' +0000' AS pub_date,
+       CASE WHEN doc_id % 4 = 0
+            THEN 'https://cdn.example/' || CAST(doc_id AS VARCHAR) || '.jpg'
+       END AS photo_ref
+FROM documents WHERE text IS NOT NULL
 """,
         "extract_pipeline": """
 WITH base AS (
