@@ -450,12 +450,40 @@ def q_registry_crud(spark, sf_dir):
         F.col("interval_secs").cast("int").alias("interval_secs"))
 
 
-def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> Arrow-batched feature stub."""
-    from news_rss_spark.operators.multimodal import extract_features, media_from_documents
+def q_worker_info(spark, sf_dir):
+    """C2 POST /workers/info (routers.rs:107-139): config + launch-status
+    lookup for one source_url.  The registry is synthesized from the
+    documents table's distinct sources; job stats (the is_launched signal
+    and doc/char counts) from a per-source aggregate; src3 is looked up."""
+    from news_rss_spark.sources.registry import worker_info
     d = _t(spark, sf_dir, "documents")
-    media = media_from_documents(d)
-    return extract_features(media).select("media_id", "kind", "n_bytes", "sha1")
+    link = F.concat(F.lit("https://"), F.col("source"),
+                    F.lit(".example.com/feed.xml"))
+    registry = d.select("source").distinct().select(
+        F.col("source").alias("name"), link.alias("link"),
+        F.lit(True).alias("run_at_launch"), F.lit(3).alias("max_retries"),
+        F.lit(100).alias("timeout"), F.lit(3600).alias("interval_secs"))
+    stats = (d.groupBy("source")
+             .agg(F.count("*").cast("long").alias("doc_count"),
+                  F.sum("n_chars").cast("long").alias("total_chars"))
+             .select(link.alias("link"), "doc_count", "total_chars"))
+    return worker_info(registry, stats,
+                       "https://src3.example.com/feed.xml")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal decode + features: REAL PPM/WAV decode for image/audio
+    payloads (pure-Python codecs), sha1 stand-in for the video payloads —
+    feature[0] == 1.0 marks an actually-decoded row (no SQL oracle: DuckDB
+    cannot decode PPM/WAV; decode correctness is pytest-verified against
+    hand-computed pixels/samples)."""
+    from news_rss_spark.operators.multimodal import extract_features, synth_media
+    d = _t(spark, sf_dir, "documents")
+    media = synth_media(d)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "sha1",
+        (F.element_at("feature", 1) >= 1.0).alias("decoded"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -487,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event": q_latest_event,
         "simhash_near_dup": q_simhash_near_dup,
         "rss_parse": q_rss_parse,
+        "worker_info": q_worker_info,
         # no-oracle entries (non-SQL-expressible / approximate):
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -721,6 +750,15 @@ SELECT * FROM (VALUES
 """,
         "semantic_blocks": """
 SELECT doc_id, text AS block_text FROM documents
+""",
+        "worker_info": """
+SELECT source AS source_name,
+       'https://' || source || '.example.com/feed.xml' AS source_url,
+       true AS is_launched,
+       3 AS max_retries, 100 AS timeout, 3600 AS interval_secs,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE source = 'src3' GROUP BY source
 """,
         "rss_parse": """
 SELECT 'https://' || source || '.example.com/world-news/'

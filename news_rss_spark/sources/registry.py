@@ -78,3 +78,33 @@ def update_source(registry: DataFrame, source_id: int, updates: dict) -> DataFra
 def dedup_by_target_url(registry: DataFrame) -> DataFrame:
     """main.rs:144-149: configs deduped by target link before spawning."""
     return registry.dropDuplicates(["link"])
+
+
+def worker_info(registry: DataFrame, job_stats: DataFrame | None = None,
+                source_url: str = "") -> DataFrame:
+    """C2 ``POST /workers/info`` (src/server/routers.rs:107-139): HashMap
+    key lookup by source_url -> {source_name, source_url, is_launched,
+    configuration}.  An empty result is the reference's 404 NotFound.
+
+    ``is_launched`` analog: the reference checks the spawned tokio task is
+    unfinished; in batch terms, the source's job has landed rows —
+    ``job_stats`` (a small per-source aggregate keyed by ``link``, e.g.
+    from the lineage ledger or publisher stats) has an entry.  Extra stat
+    columns pass through.  The stats side is broadcast: the lookup never
+    shuffles."""
+    w = registry.filter(F.col("link") == source_url)
+    base = w.select(F.col("name").alias("source_name"),
+                    F.col("link").alias("source_url"),
+                    "max_retries", "timeout", "interval_secs")
+    if job_stats is None:
+        return base.select(
+            "source_name", "source_url", F.lit(False).alias("is_launched"),
+            "max_retries", "timeout", "interval_secs")
+    stats = job_stats.withColumnRenamed("link", "source_url")
+    stat_cols = [c for c in stats.columns if c != "source_url"]
+    joined = base.join(F.broadcast(stats), on="source_url", how="left")
+    return joined.select(
+        "source_name", "source_url",
+        F.col(stat_cols[0]).isNotNull().alias("is_launched") if stat_cols
+        else F.lit(False).alias("is_launched"),
+        "max_retries", "timeout", "interval_secs", *stat_cols)
