@@ -266,8 +266,12 @@ def q_embedding_near_dup(spark, sf_dir):
     """Embedding near-dup pairs (brute-force verify, oracle-checkable).
 
     Norms are computed once per vector BEFORE the pair join (n sqrt's, not
-    n²) — arithmetic identical to the oracle, just factored out of the join."""
-    e = _t(spark, sf_dir, "embeddings")
+    n²) — arithmetic identical to the oracle, just factored out of the join.
+
+    Deliberately the SMALL-SCALE baseline: the input is capped at a fixed
+    deterministic 1000 vectors (both here and in the oracle) so the O(n²)
+    verify never grows with sf; the scale path is embedding_near_dup_lsh."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     sq = lambda c: F.aggregate(F.transform(c, lambda x: x * x),  # noqa: E731
                                F.lit(0.0), lambda a_, x: a_ + x)
     ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -705,7 +709,8 @@ c AS (
 SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id LIMIT 10
 """,
         "embedding_near_dup": """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id < 1000)
 SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_dot_product(a.v, b.v) /
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
