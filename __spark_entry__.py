@@ -337,6 +337,16 @@ def q_simhash_near_dup(spark, sf_dir):
     return simhash_near_dup_pairs(d, max_hamming=3)
 
 
+def q_simhash_wide_near_dup(spark, sf_dir):
+    """Production-width SimHash near-dup: 60-bit signatures (15 md5 hex
+    chars — the widest that stays a positive int64 in BOTH engines for a
+    bit-exact oracle), hamming <= 3 via 4 pigeonhole bands of 15 bits.
+    Same single-equi-join plan as the 16-bit demo."""
+    from news_rss_spark.operators.text_dedup import simhash_near_dup_pairs
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return simhash_near_dup_pairs(d, max_hamming=3, n_bits=60)
+
+
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Embedding near-dup SCALE path: random-hyperplane LSH bucket as the
     equi-join key, quadratic cosine verify confined to within-bucket pairs
@@ -518,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "latest_event": q_latest_event,
         "simhash_near_dup": q_simhash_near_dup,
+        "simhash_wide_near_dup": q_simhash_wide_near_dup,
         "rss_parse": q_rss_parse,
         "worker_info": q_worker_info,
         # no-oracle entries (non-SQL-expressible / approximate):
@@ -558,19 +569,21 @@ banded AS (
 )"""
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(n_bits: int = 16) -> str:
+    n_hex = (n_bits + 3) // 4
     sums = ",\n    ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(16)
+        for j in range(n_bits)
     )
-    bits = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    bits = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+                      for j in range(n_bits))
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
   FROM documents WHERE length(trim(text)) > 0
 ),
 h AS (
-  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) AS h FROM toks
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, {n_hex}) AS BIGINT) AS h FROM toks
 ),
 bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
 SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bits
@@ -691,6 +704,13 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2
         "simhash": _simhash_sql(),
         "simhash_near_dup": f"""
 WITH sim AS ({_simhash_sql()})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+""",
+        "simhash_wide_near_dup": f"""
+WITH sim AS ({_simhash_sql(60)})
 SELECT x.doc_id AS a, y.doc_id AS b,
        CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
 FROM sim x JOIN sim y ON x.doc_id < y.doc_id

@@ -197,32 +197,44 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.3,
 
 # ---------------------------------------------------------------- simhash
 
-def simhash16(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash from token hashes (md5 -> low 16 bits).
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", n_bits: int = 16) -> DataFrame:
+    """``n_bits``-wide SimHash from token hashes (md5 -> leading hex).
 
     bit_j(doc) = 1 iff sum over tokens of (+1 if bit_j(h(token)) else -1) > 0.
-    Computed via explode + one groupBy per doc (map-side combined); 16 bits
-    keeps the oracle SQL tractable while demonstrating the real structure —
-    widen to 64 by taking 16 hex chars at scale.
+    Computed via explode + ONE groupBy per doc (map-side combined, n_bits
+    decomposable sums — linear codegen).  ``n_bits`` is capped at 60 (15
+    md5 hex chars) so the signature stays a positive int64 in BOTH engines
+    and every width keeps a bit-exact DuckDB oracle; production width is
+    60, 16 keeps small demos readable.  At true 64-bit width swap the token
+    hash for xxhash64 — the banding/verify structure is unchanged.
     """
+    if not 1 <= n_bits <= 60:
+        raise ValueError("n_bits must be in [1, 60] (int64-safe, hex-aligned)")
+    n_hex = (n_bits + 3) // 4
     toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
     h = toks.withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+        "h", F.conv(F.substring(F.md5("tok"), 1, n_hex), 16, 10).cast("long")
     )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
         ).alias(f"s{j}")
-        for j in range(16)
+        for j in range(n_bits)
     ]
     agg = h.groupBy(id_col).agg(*bit_sums)
     sim = None
-    for j in range(16):
+    for j in range(n_bits):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash16(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash (readable demo width; see ``simhash``)."""
+    return simhash(df, text_col, id_col, n_bits=16)
 
 
 def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
@@ -243,7 +255,7 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
 
     At 64-bit scale the structure is unchanged (k bands of 64/k bits).
     """
-    sim = simhash16(df, text_col, id_col)
+    sim = simhash(df, text_col, id_col, n_bits=n_bits)
     k = max_hamming + 1
     base, rem = divmod(n_bits, k)
     bands, start = [], 0
