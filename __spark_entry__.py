@@ -347,6 +347,18 @@ def q_simhash_wide_near_dup(spark, sf_dir):
     return simhash_near_dup_pairs(d, max_hamming=3, n_bits=60)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components (iterative
+    min-label propagation, one shuffle per round, localCheckpoint'd) over
+    the 60-bit SimHash hamming<=8 pair graph, with keeper selection.
+    Oracle: DuckDB recursive CTE over the identical pair set."""
+    from news_rss_spark.operators.components import dedup_clusters
+    from news_rss_spark.operators.text_dedup import simhash_near_dup_pairs
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    pairs = simhash_near_dup_pairs(d, max_hamming=8, n_bits=60).select("a", "b")
+    return dedup_clusters(d, pairs, "doc_id")
+
+
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Embedding near-dup SCALE path: random-hyperplane LSH bucket as the
     equi-join key, quadratic cosine verify confined to within-bucket pairs
@@ -529,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event": q_latest_event,
         "simhash_near_dup": q_simhash_near_dup,
         "simhash_wide_near_dup": q_simhash_wide_near_dup,
+        "dedup_clusters": q_dedup_clusters,
         "rss_parse": q_rss_parse,
         "worker_info": q_worker_info,
         # no-oracle entries (non-SQL-expressible / approximate):
@@ -715,6 +728,26 @@ SELECT x.doc_id AS a, y.doc_id AS b,
        CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
 FROM sim x JOIN sim y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE sim AS ({_simhash_sql(60)}),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION SELECT b, a FROM pairs
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM sim
+  UNION
+  SELECT e.src, w.comp FROM walk w JOIN edges e ON e.dst = w.node
+)
+SELECT node AS doc_id, min(comp) AS component,
+       (node = min(comp)) AS is_keeper
+FROM walk GROUP BY node
 """,
         "cosine_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

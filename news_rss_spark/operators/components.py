@@ -1,0 +1,78 @@
+"""Duplicate-cluster resolution: connected components over a near-dup
+pair graph + keeper selection (engine-new; the step that turns pairwise
+LSH/SimHash output into per-document keep/drop decisions in a
+training-data dedup pipeline).
+
+Algorithm: iterative min-label propagation.  labels(node) starts as the
+node id; each round every node takes the min of its own label and its
+neighbors' labels; fixpoint == connected components (component id = min
+node id in the component, which doubles as the keeper id).
+
+Scale shape:
+- edges are symmetrized once and hash-partitioned by ``dst``; every
+  round is ONE shuffle (join labels on dst, groupBy node with a map-side
+  partial min) — no collect, no driver-side graph;
+- rounds needed = graph diameter; LSH near-dup clusters are clique-ish
+  (diameter 1-3), so the loop converges in 2-4 rounds — this is NOT a
+  general web-graph CC (for billion-edge power-law graphs switch to the
+  large-star/small-star alternation, same per-round plan shape);
+- each round ``localCheckpoint``s the labels to truncate the lineage the
+  driver loop would otherwise stack up (20 rounds of joins in one plan);
+- convergence check is a count over the joined old/new labels — cheap
+  relative to the round's shuffle and exact (no fixed round count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         max_iter: int = 20) -> DataFrame:
+    """(node) x (a, b) pairs -> (node, component); component = min node id
+    reachable.  Nodes absent from ``pairs`` keep their own id (singletons).
+    """
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))) \
+        .distinct()
+    labels = nodes.select(F.col(id_col).alias("node"),
+                          F.col(id_col).alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges["dst"] == labels["node"])
+                .select(F.col("src").alias("node"), "comp"))
+        new_labels = (labels.unionByName(prop)
+                      .groupBy("node").agg(F.min("comp").alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), on="node")
+                   .filter(F.col("n.comp") != F.col("o.comp"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id",
+                   max_iter: int = 20) -> DataFrame:
+    """(doc_id, component, is_keeper): keeper = the component's min id —
+    the deterministic survivor a dedup pipeline retains."""
+    comp = connected_components(df.select(id_col), pairs, id_col, max_iter)
+    return comp.select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("component"),
+        (F.col("node") == F.col("comp")).alias("is_keeper"),
+    )
+
+
+def keep_only_keepers(df: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Drop every non-keeper row (the actual dedup): left-semi join on the
+    keeper set."""
+    keepers = dedup_clusters(df, pairs, id_col) \
+        .filter("is_keeper").select(F.col(id_col))
+    return df.join(keepers, on=id_col, how="left_semi")

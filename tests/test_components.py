@@ -1,0 +1,50 @@
+"""Connected-components dedup clustering: known graphs, keeper semantics,
+and convergence behavior."""
+
+from pyspark.sql import functions as F
+
+from news_rss_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+    keep_only_keepers,
+)
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def _pairs(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_chain_merges_into_one_component(spark):
+    # 1-2, 2-3, 3-4 chain (diameter 3: exercises multi-round propagation)
+    comp = connected_components(_nodes(spark, [1, 2, 3, 4, 9]),
+                                _pairs(spark, [(1, 2), (2, 3), (3, 4)]))
+    got = {r["node"]: r["comp"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_two_clusters_and_keepers(spark):
+    df = _nodes(spark, [10, 11, 12, 20, 21, 30])
+    pairs = _pairs(spark, [(10, 11), (11, 12), (20, 21)])
+    out = {r["doc_id"]: (r["component"], r["is_keeper"])
+           for r in dedup_clusters(df, pairs).collect()}
+    assert out == {10: (10, True), 11: (10, False), 12: (10, False),
+                   20: (20, True), 21: (20, False), 30: (30, True)}
+
+
+def test_keep_only_keepers_drops_non_min(spark):
+    df = _nodes(spark, [1, 2, 3]).withColumn("text", F.lit("x"))
+    kept = keep_only_keepers(df, _pairs(spark, [(1, 2)]))
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+
+
+def test_converges_well_under_max_iter(spark):
+    # a 6-node chain has diameter 5 but min-label converges in <= ~log+1
+    # rounds of this formulation; max_iter=8 must suffice
+    comp = connected_components(
+        _nodes(spark, list(range(6))),
+        _pairs(spark, [(i, i + 1) for i in range(5)]), max_iter=8)
+    assert {r["comp"] for r in comp.collect()} == {0}
