@@ -46,3 +46,40 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     ok2 = (extract_articles(second, now_utc=NOW)
            .filter(F.col("status") == "ok").dropDuplicates(["id"]).count())
     assert n2 - n1 == ok2  # first batch not re-emitted, second fully ingested
+
+
+def test_feed_xml_stream_polls_and_dedupes(spark, tmp_path):
+    """S1 x S3 on raw XML: tick 1 lands the NDTV snapshot (20 items);
+    tick 2 re-fetches the same feed (19 repeat guids) plus one new item —
+    the TTL dedup state admits only the new article."""
+    import os
+    from news_rss_spark.streaming.stream import run_streaming_feed_ingestion
+
+    ndtv_path = "/root/reference/tests/resources/ndtv-world-news.xml"
+    if not os.path.exists(ndtv_path):
+        import pytest
+        pytest.skip("reference checkout absent")
+    xml = open(ndtv_path, encoding="utf-8").read()
+    feeds, sink, ckpt = (str(tmp_path / p) for p in ("feeds", "sink", "ckpt"))
+
+    def land(batch_xml, name):
+        spark.createDataFrame([("ndtv", batch_xml, NOW)],
+                              "feed_id string, xml string, fetched_at timestamp") \
+             .coalesce(1).write.mode("append").parquet(feeds)
+
+    land(xml, "t1")
+    run_streaming_feed_ingestion(spark, feeds, sink, ckpt, now_utc=NOW)
+    first = spark.read.parquet(sink)
+    assert first.count() == 20
+
+    new_item = ("<item><guid>https://www.ndtv.com/world-news/brand-new-1</guid>"
+                "<title>Brand New</title><description>Something new happened."
+                "</description></item>")
+    # drop one old item, add one new -> 19 repeats + 1 fresh
+    xml2 = xml.replace("</channel>", new_item + "</channel>", 1)
+    land(xml2, "t2")
+    run_streaming_feed_ingestion(spark, feeds, sink, ckpt, now_utc=NOW)
+    after = spark.read.parquet(sink)
+    assert after.count() == 21  # only the fresh guid passed the dedup
+    ids = {r["id"] for r in after.select("id").collect()}
+    assert "https://www.ndtv.com/world-news/brand-new-1" in ids
