@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the scale properties the engine promises are
+locked here so a regression shows up as a failing test, not a slow cluster.
+
+Checked: parquet predicate pushdown, broadcast of small join sides (never
+a shuffle of the big side for anti-joins / lookups), two-stage map-side
+partial aggregation, whole-stage codegen on scalar paths, and the absence
+of nested-loop/cartesian joins in every pair-mining plan."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("NRS_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entrymod
+    return entrymod.queries()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, queries):
+    p = _plan(queries["required_fields"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(n_chars)" in p
+    assert "GreaterThanOrEqual(n_chars,50)" in p
+
+
+def test_column_pruning_on_projection_queries(spark, queries):
+    # a 2-column projection must not scan all 5 documents columns
+    p = _plan(queries["token_count"](spark, SF_DIR))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_anti_join_broadcasts_small_seen_side(spark, queries):
+    p = _plan(queries["anti_join_seen"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_salted_agg_is_two_stage_partial(spark, queries):
+    # salt stage + combine stage, each with partial+final HashAggregate
+    p = _plan(queries["publisher_stats"](spark, SF_DIR))
+    assert p.count("HashAggregate") == 4
+
+
+def test_scalar_paths_whole_stage_codegen(spark, queries):
+    for q in ("tag_strip", "token_count", "quality_score", "lang_id"):
+        assert "*(" in _plan(queries[q](spark, SF_DIR)), f"{q} not codegen'd"
+
+
+def test_no_nested_loop_in_any_pair_mining_plan(spark, queries):
+    for q in ("minhash_pairs", "ngram_jaccard", "simhash_near_dup",
+              "simhash_wide_near_dup", "embedding_near_dup_lsh"):
+        p = _plan(queries[q](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in p, q
+        assert "CartesianProduct" not in p, q
+
+
+def test_worker_info_lookup_never_shuffles_stats(spark, queries):
+    p = _plan(queries["worker_info"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+def test_feed_parse_plan_is_narrow(spark):
+    # feed -> items is one Arrow stage: no exchange, no generate
+    from news_rss_spark.sources.rss_xml import feed_items
+    feeds = spark.createDataFrame([("f", "<rss/>")], "feed_id string, xml string")
+    p = _plan(feed_items(feeds))
+    assert "Exchange" not in p and "Generate" not in p
