@@ -347,6 +347,21 @@ def q_simhash_wide_near_dup(spark, sf_dir):
     return simhash_near_dup_pairs(d, max_hamming=3, n_bits=60)
 
 
+def q_pdf_parse(spark, sf_dir):
+    """North-rule "PDF/layout parse": synthesize a real single-page PDF per
+    document (every other one genuinely Flate-compressed), then extract the
+    text back with the from-scratch PDF kernel (stream discovery, zlib
+    inflate, BT/Tj/TJ/T* content operators, PDF string escapes).  The
+    oracle is the identity projection — any parse defect breaks the
+    round trip."""
+    from news_rss_spark.operators.pdf_text import (
+        extract_pdf_text_df, synth_pdf_documents)
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pdfs = synth_pdf_documents(d, "text", "doc_id")
+    out = extract_pdf_text_df(pdfs, "payload", "doc_id")
+    return out.filter(F.col("status") == "ok").select("doc_id", "text")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: connected components (iterative
     min-label propagation, one shuffle per round, localCheckpoint'd) over
@@ -542,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "simhash_wide_near_dup": q_simhash_wide_near_dup,
         "dedup_clusters": q_dedup_clusters,
+        "pdf_parse": q_pdf_parse,
         "rss_parse": q_rss_parse,
         "worker_info": q_worker_info,
         # no-oracle entries (non-SQL-expressible / approximate):
@@ -817,6 +833,10 @@ SELECT source AS source_name,
        CAST(count(*) AS BIGINT) AS doc_count,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents WHERE source = 'src3' GROUP BY source
+""",
+        "pdf_parse": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+FROM documents WHERE text IS NOT NULL
 """,
         "rss_parse": """
 SELECT 'https://' || source || '.example.com/world-news/'

@@ -1,0 +1,71 @@
+"""PDF text-extraction kernel: round-trips, escapes, filters, skip rows."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_rss_spark.kernel.pdfx import extract_pdf_text, synth_pdf
+
+
+def _raw_pdf(content: bytes, length: bool = True, filt: bytes = b"") -> bytes:
+    hdr = b"<< "
+    if length:
+        hdr += b"/Length " + str(len(content)).encode() + b" "
+    hdr += filt + b">>"
+    return (b"%PDF-1.4\n4 0 obj " + hdr + b" stream\n" + content
+            + b"\nendstream endobj\n")
+
+
+class TestKernel:
+    def test_roundtrip_plain_and_compressed(self):
+        lines = ["Hello (world) \\ yes", "Second line.", "T* ' tricky (ops)"]
+        for compress in (False, True):
+            assert extract_pdf_text(
+                synth_pdf(lines, compress=compress)) == "\n".join(lines)
+
+    def test_escapes_hex_and_quote_operator(self):
+        content = b"BT (a\\110c\\n) Tj <48495A> Tj T* (next) ' ET"
+        assert extract_pdf_text(_raw_pdf(content)) == "aHc\nHIZ\nnext"
+
+    def test_binary_safe_stream_slicing(self):
+        # compressed bytes ending in \r / \n must survive /Length slicing
+        payload = b"BT (x) Tj ET" + b" " * 37  # vary until tail EOL bytes
+        comp = zlib.compress(payload)
+        pdf = _raw_pdf(comp, filt=b"/Filter /FlateDecode ")
+        assert extract_pdf_text(pdf) == "x"
+
+    def test_unsupported_filter_and_garbage_raise(self):
+        with pytest.raises(ValueError):
+            extract_pdf_text(_raw_pdf(b"zz", filt=b"/Filter /DCTDecode "))
+        with pytest.raises(ValueError):
+            extract_pdf_text(b"not a pdf")
+
+    def test_text_outside_bt_et_ignored(self):
+        content = b"(hidden) Tj BT (shown) Tj ET"
+        assert extract_pdf_text(_raw_pdf(content)) == "shown"
+
+
+class TestOperator:
+    def test_skip_rows_for_bad_payloads(self, spark):
+        from news_rss_spark.operators.pdf_text import extract_pdf_text_df
+        rows = [("1", synth_pdf(["fine"])), ("2", b"junk"), ("3", None)]
+        df = spark.createDataFrame(rows, "doc_id string, payload binary")
+        out = {r["doc_id"]: (r["status"], r["text"])
+               for r in extract_pdf_text_df(df).collect()}
+        assert out["1"] == ("ok", "fine")
+        assert out["2"][0] == "skip" and out["3"][0] == "skip"
+
+    def test_synth_roundtrip_distributed(self, spark):
+        from news_rss_spark.operators.pdf_text import (
+            extract_pdf_text_df, synth_pdf_documents)
+        d = spark.range(0, 40).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("Doc number "), F.col("id").cast("string"),
+                     F.lit(" (with parens) and \\ slash.")).alias("text"))
+        expected = {r["doc_id"]: r["text"]
+                    for r in d.withColumn("doc_id",
+                                          F.col("doc_id").cast("string")).collect()}
+        out = extract_pdf_text_df(synth_pdf_documents(d)).collect()
+        assert all(r["status"] == "ok" for r in out)
+        assert {r["doc_id"]: r["text"] for r in out} == expected
