@@ -365,12 +365,15 @@ def q_pdf_parse(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: connected components (iterative
     min-label propagation, one shuffle per round, localCheckpoint'd) over
-    the 60-bit SimHash hamming<=8 pair graph, with keeper selection.
+    the 60-bit SimHash hamming<=4 pair graph (5 pigeonhole bands of 12
+    bits — 2^-12 per-band collision keeps candidates linear-ish; wider
+    radii need more bands of fewer bits and go quadratic), with keeper
+    selection.
     Oracle: DuckDB recursive CTE over the identical pair set."""
     from news_rss_spark.operators.components import dedup_clusters
     from news_rss_spark.operators.text_dedup import simhash_near_dup_pairs
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    pairs = simhash_near_dup_pairs(d, max_hamming=8, n_bits=60).select("a", "b")
+    pairs = simhash_near_dup_pairs(d, max_hamming=4, n_bits=60).select("a", "b")
     return dedup_clusters(d, pairs, "doc_id")
 
 
@@ -750,7 +753,7 @@ WITH RECURSIVE sim AS ({_simhash_sql(60)}),
 pairs AS (
   SELECT x.doc_id AS a, y.doc_id AS b
   FROM sim x JOIN sim y ON x.doc_id < y.doc_id
-  WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
 ),
 edges AS (
   SELECT a AS src, b AS dst FROM pairs
