@@ -116,3 +116,55 @@ class TestPageExtraction:
                 assert text
             else:
                 assert ref
+
+
+class TestFeedXmlRobustness:
+    @settings(max_examples=200, deadline=None)
+    @given(any_soup)
+    def test_parse_feed_never_raises(self, soup):
+        from news_rss_spark.kernel.feedxml import parse_feed
+        out = parse_feed(soup)
+        assert isinstance(out["items"], list)
+        assert (out["error"] is None) or isinstance(out["error"], str)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        max_size=30), min_size=1, max_size=5))
+    def test_rss_item_field_roundtrip(self, titles):
+        """Entity-escaped field values survive synth->parse exactly."""
+        from xml.sax.saxutils import escape
+        from news_rss_spark.kernel.feedxml import parse_feed
+        items = "".join(
+            f"<item><guid>g{i}</guid><title>{escape(t)}</title>"
+            f"<description>d</description></item>"
+            for i, t in enumerate(titles))
+        feed = f"<rss version='2.0'><channel><title>c</title>{items}</channel></rss>"
+        parsed = parse_feed(feed)
+        assert parsed["error"] is None
+        got = [it["title"] for it in parsed["items"]]
+        # parser trims whole values (rss-crate trim_text semantics)
+        assert got == [t.strip() for t in titles]
+
+
+class TestPdfRobustness:
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=300))
+    def test_pdf_raises_only_valueerror(self, payload):
+        from news_rss_spark.kernel.pdfx import extract_pdf_text
+        try:
+            out = extract_pdf_text(b"%PDF-1.4\n" + payload)
+            assert isinstance(out, str)
+        except ValueError:
+            pass  # the documented skip-row contract
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc"),
+                               max_codepoint=0xFF),
+        max_size=40), min_size=1, max_size=4),
+        st.booleans())
+    def test_pdf_text_roundtrip(self, lines, compress):
+        from news_rss_spark.kernel.pdfx import extract_pdf_text, synth_pdf
+        out = extract_pdf_text(synth_pdf(lines, compress=compress))
+        assert out == "\n".join(lines)
