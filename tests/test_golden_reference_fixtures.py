@@ -84,3 +84,21 @@ def test_semantic_blocks_golden_content_cnn(spark):
     assert lines[-1].startswith("Related article How quickly")  # index 17
     # index 11's '4:16 AM' block is NOT present (repair-chain casualty)
     assert "2 minute read" not in result
+
+
+def test_llm_crawler_scrape_golden_byte_equality(spark):
+    """The reference's integration golden (tests/test_crawler_llm.rs:16-35):
+    a canned /v1/chat/completions response (llm-chat-response.json) flows
+    through scrape() = choices[0].message.content -> <blocks> envelope
+    extraction, and the result must equal llm-chat-response-assert.txt
+    byte-for-byte.  Mirrored fully JVM-side: get_json_object + the L4
+    envelope column expression."""
+    from news_rss_spark.functions.semantic_blocks import extract_blocks_envelope
+
+    resp = open(os.path.join(RES, "llm-chat-response.json"), encoding="utf-8").read()
+    want = open(os.path.join(RES, "llm-chat-response-assert.txt"),
+                encoding="utf-8").read()
+    df = spark.createDataFrame([(resp,)], "resp string")
+    content = F.get_json_object(F.col("resp"), "$.choices[0].message.content")
+    got = df.select(extract_blocks_envelope(content).alias("t")).first()["t"]
+    assert got == want
