@@ -204,3 +204,26 @@ class TestNullGuidDedup:
         null_skips = [r for r in out if r["error"] == "empty guid"]
         assert len(null_skips) == 2     # both null-guid failures preserved
         assert len(out) == 3            # but the real dup d1 deduped
+
+
+class TestFeedIngestionJob:
+    def test_raw_xml_to_sink_one_call(self, spark, tmp_path):
+        import os
+        ndtv = "/root/reference/tests/resources/ndtv-world-news.xml"
+        if not os.path.exists(ndtv):
+            import pytest
+            pytest.skip("reference absent")
+        from news_rss_spark.plans.pipeline import run_feed_ingestion_job
+        feeds = spark.createDataFrame(
+            [("ndtv", open(ndtv, encoding="utf-8").read())],
+            "feed_id string, xml string")
+        res = run_feed_ingestion_job(spark, feeds, str(tmp_path / "s"),
+                                     str(tmp_path / "l"), NOW, "feedjob",
+                                     n_buckets=4)
+        assert res.published_count == 20
+        # resume: second invocation skips everything
+        res2 = run_feed_ingestion_job(spark, feeds, str(tmp_path / "s"),
+                                      str(tmp_path / "l"), NOW, "feedjob2",
+                                      n_buckets=4)
+        assert res2.skipped_buckets == 4
+        assert res2.published_count == 20
