@@ -72,3 +72,31 @@ def test_feed_parse_plan_is_narrow(spark):
     feeds = spark.createDataFrame([("f", "<rss/>")], "feed_id string, xml string")
     p = _plan(feed_items(feeds))
     assert "Exchange" not in p and "Generate" not in p
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Co-located join via bucketing (the Iceberg bucket-transform analog
+    Spark can express natively): two tables bucketBy(8, doc_id) sorted on
+    the key join with NO Exchange on either side — at 100 TB this is the
+    difference between a free join and shuffling both tables."""
+    a = spark.range(0, 5000).withColumnRenamed("id", "doc_id") \
+        .withColumn("x", F.col("doc_id") * 2)
+    b = spark.range(0, 5000).withColumnRenamed("id", "doc_id") \
+        .withColumn("y", F.col("doc_id") + 1)
+    for name, df in (("nrs_bkt_a", a), ("nrs_bkt_b", b)):
+        (df.write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+           .saveAsTable(name))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("nrs_bkt_a").join(
+                spark.table("nrs_bkt_b"), on="doc_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan  # bucket layout == join layout
+            assert joined.count() == 5000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nrs_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS nrs_bkt_b")
