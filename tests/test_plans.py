@@ -100,3 +100,25 @@ def test_bucketed_tables_join_without_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS nrs_bkt_a")
         spark.sql("DROP TABLE IF EXISTS nrs_bkt_b")
+
+
+def test_ivf_cell_layout_prunes_partitions(spark, tmp_path):
+    """The IVF scale path: a table written partitionBy(cell) turns the
+    n_probe cell filter into partition PRUNING — the scan touches
+    n_probe/n_cells of the data, visible as PartitionFilters + a pruned
+    partition count in the plan."""
+    import numpy as np
+    from news_rss_spark.operators.similarity import (
+        train_ivf_centroids, with_ivf_cell)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = train_ivf_centroids(e, n_cells=8, seed=42)
+    t = str(tmp_path / "ivf")
+    with_ivf_cell(e, cents).write.partitionBy("cell").parquet(t)
+
+    probed = spark.read.parquet(t).filter(F.col("cell").isin([1, 3]))
+    p = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "cell" in p.split("PartitionFilters")[1][:80]
+    # pruned scan reads only the probed cells' files
+    n_cells_read = probed.select("cell").distinct().count()
+    assert n_cells_read <= 2
+    assert "PushedFilters" in p
