@@ -227,3 +227,33 @@ class TestFeedIngestionJob:
                                       n_buckets=4)
         assert res2.skipped_buckets == 4
         assert res2.published_count == 20
+
+
+class TestClusteredLayoutGuard:
+    def test_warns_when_clustering_promise_violated(self, spark, tmp_path):
+        """input_clustered_by_bucket=True on input that is NOT clustered
+        (duplicate ids in different partitions) must emit the guard warning
+        and surface the surviving duplicates rather than silently trusting
+        the layout."""
+        import warnings as w
+        docs = documents_df(spark, 60, seed=9, num_partitions=1)
+        # duplicate every doc into a second partition -> equal ids never
+        # share a partition
+        dup = docs.union(docs).repartition(6)
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            run_extraction_job(spark, dup, str(tmp_path / "s"),
+                               str(tmp_path / "l"), NOW, "guard",
+                               n_buckets=4, input_clustered_by_bucket=True)
+        assert any("clustering" in str(c.message) for c in caught)
+
+    def test_no_warning_on_honest_layout(self, spark, tmp_path):
+        import warnings as w
+        docs = documents_df(spark, 60, seed=9, num_partitions=4)
+        clustered = with_bucket(docs, n_buckets=4).repartition(4, "bucket")
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            run_extraction_job(spark, clustered, str(tmp_path / "s"),
+                               str(tmp_path / "l"), NOW, "ok",
+                               n_buckets=4, input_clustered_by_bucket=True)
+        assert not [c for c in caught if "clustering" in str(c.message)]
