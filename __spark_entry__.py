@@ -347,6 +347,15 @@ def q_simhash_wide_near_dup(spark, sf_dir):
     return simhash_near_dup_pairs(d, max_hamming=3, n_bits=60)
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 tf-idf terms per doc: per-doc-distinct explode for df counts
+    (no countDistinct shuffle), broadcast idf join, WindowGroupLimit
+    top-k.  idf = ln((N+1)/(df+1)) + 1, ties broken on token order."""
+    from news_rss_spark.operators.text_analysis import tfidf_top_terms
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
 def q_pdf_parse(spark, sf_dir):
     """North-rule "PDF/layout parse": synthesize a real single-page PDF per
     document (every other one genuinely Flate-compressed), then extract the
@@ -561,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_wide_near_dup": q_simhash_wide_near_dup,
         "dedup_clusters": q_dedup_clusters,
         "pdf_parse": q_pdf_parse,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "rss_parse": q_rss_parse,
         "worker_info": q_worker_info,
         # no-oracle entries (non-SQL-expressible / approximate):
@@ -836,6 +846,30 @@ SELECT source AS source_name,
        CAST(count(*) AS BIGINT) AS doc_count,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents WHERE source = 'src3' GROUP BY source
+""",
+        "tfidf_top_terms": """
+WITH nonempty AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+occ AS (SELECT doc_id, unnest(toks) AS token FROM nonempty),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM occ GROUP BY doc_id, token),
+pairs AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM nonempty),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM nonempty),
+idf AS (
+  SELECT token, ln((n_docs + 1.0) / (count(*) + 1)) + 1.0 AS idf
+  FROM pairs, n GROUP BY token, n_docs
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, round(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf USING (token)
+)
+SELECT doc_id, token, tf, tfidf, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
 """,
         "pdf_parse": """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id, text

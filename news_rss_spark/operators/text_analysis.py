@@ -117,3 +117,56 @@ def fingerprint(df: DataFrame, text_col: str = "text",
                     F.array_min(F.transform("_sh", lambda s: F.md5(s))))
         .drop("_sh")
     )
+
+
+# ---------------------------------------------------------------- tf-idf
+
+def term_stats(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary with document frequency and smoothed idf:
+    idf = ln((N + 1) / (df + 1)) + 1.
+
+    Scale shape: tokens are de-duplicated per document BEFORE the explode
+    (array_distinct), so the shuffle carries one (doc, token) row per
+    distinct pair and the df aggregation is a plain map-side-combined
+    count — never a countDistinct over raw occurrences."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    pairs = df.filter(F.length(F.trim(F.col(text_col))) > 0) \
+              .select(F.col(id_col), F.explode(toks).alias("token"))
+    n_docs = df.filter(F.length(F.trim(F.col(text_col))) > 0) \
+               .select(id_col).distinct().count()
+    return (
+        pairs.groupBy("token")
+        .agg(F.count("*").cast("long").alias("df_count"))
+        .withColumn(
+            "idf",
+            F.log((F.lit(float(n_docs + 1))) / (F.col("df_count") + 1)) + 1.0,
+        )
+    )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k tf-idf terms per document (vocabulary building / keyword
+    extraction for corpus prep).  All JVM: explode -> two aggregations ->
+    broadcast-joined idf -> per-key window top-k (WindowGroupLimit pushes
+    the rank filter into the shuffle, so only k rows per doc survive the
+    exchange).  Ties break on token order for determinism."""
+    from pyspark.sql import Window
+    nonempty = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    occurrences = nonempty.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    )
+    tf = occurrences.groupBy(id_col, "token") \
+                    .agg(F.count("*").cast("long").alias("tf"))
+    idf = term_stats(df, text_col, id_col).select("token", "idf")
+    scored = tf.join(F.broadcast(idf), on="token") \
+               .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "tfidf", "rank")
+    )
