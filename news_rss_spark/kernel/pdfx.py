@@ -32,7 +32,10 @@ import zlib
 
 _STREAM_RE = re.compile(rb"stream\r?\n")
 _FILTER_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/(\w+)")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?!\d) pins the capture to the FULL digit run before the indirect-ref
+# lookahead applies: without it, '/Length 123 0 R' backtracks to '12' and
+# the '(?! 0 R)' guard is defeated — mis-slicing the stream
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 _ESCAPES = {
     ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
@@ -82,7 +85,12 @@ def _decode_stream(obj_dict: bytes, data: bytes) -> bytes:
         return data
     filt = m.group(1)
     if filt == b"FlateDecode":
-        return zlib.decompress(data)
+        try:
+            return zlib.decompress(data)
+        except zlib.error as exc:
+            # zlib.error is NOT a ValueError — without this translation a
+            # corrupt stream escapes the skip-row contract and kills the job
+            raise ValueError(f"corrupt FlateDecode stream: {exc}") from exc
     raise ValueError(f"unsupported PDF stream filter /{filt.decode()}")
 
 

@@ -34,7 +34,6 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     """(node) x (a, b) pairs -> (node, component); component = min node id
     reachable.  Nodes absent from ``pairs`` keep their own id (singletons).
     """
-    spark = nodes.sparkSession
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
         .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))) \
         .distinct()
@@ -42,37 +41,30 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     # an upstream pair-mining plan (LSH/SimHash) would otherwise re-execute
     # per round — measured 7x slowdown on the sf0.1 graph without this
     edges = edges.localCheckpoint(eager=True)
-    n_edges = edges.count()  # already materialized — this is metadata-cheap
 
     # iterate ONLY over nodes that have at least one edge: near-dup graphs
     # are overwhelmingly singletons (comp == own id by definition), so the
     # loop's working set is O(edges), not O(corpus); singletons re-attach
-    # after the fixpoint with one anti-join.  Also size the loop's shuffle
-    # to the graph — a 1k-edge graph on a 32-wide (or 3200-wide) session
-    # would otherwise pay per-round task latency for empty partitions.
+    # after the fixpoint with one anti-join.  Per-round shuffle width is
+    # left to AQE coalescing (measured identical to hand-sizing on a small
+    # graph) — mutating the session's shuffle-partition conf here would
+    # leak into concurrent jobs on a shared session.
     touched = edges.select(F.col("src").alias("node")).distinct()
-    loop_parts = max(4, min(spark.sparkContext.defaultParallelism,
-                            n_edges // 50_000 + 4))
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        labels = touched.withColumn("comp", F.col("node"))
-        labels = labels.localCheckpoint(eager=True)
-        for _ in range(max_iter):
-            prop = (edges.join(labels, edges["dst"] == labels["node"])
-                    .select(F.col("src").alias("node"), "comp"))
-            new_labels = (labels.unionByName(prop)
-                          .groupBy("node").agg(F.min("comp").alias("comp"))
-                          .localCheckpoint(eager=True))
-            changed = (new_labels.alias("n")
-                       .join(labels.alias("o"), on="node")
-                       .filter(F.col("n.comp") != F.col("o.comp"))
-                       .limit(1).count())
-            labels = new_labels
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    labels = touched.withColumn("comp", F.col("node"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges["dst"] == labels["node"])
+                .select(F.col("src").alias("node"), "comp"))
+        new_labels = (labels.unionByName(prop)
+                      .groupBy("node").agg(F.min("comp").alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), on="node")
+                   .filter(F.col("n.comp") != F.col("o.comp"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
     singletons = (nodes.select(F.col(id_col).alias("node"))
                   .join(touched, on="node", how="left_anti")
                   .withColumn("comp", F.col("node")))

@@ -91,14 +91,23 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Real audio decode for PCM WAV via the stdlib wave module ->
-    (int16 sample array [n_frames, n_channels] flattened, sample_rate)."""
+    (int16 sample array [n_frames, n_channels] flattened, sample_rate).
+
+    Raises ValueError on ANY malformed payload: wave.open raises
+    wave.Error / EOFError / struct.error on truncated or non-WAV RIFF data
+    (an AVI also starts with RIFF), none of which subclass ValueError —
+    translated here so callers keep the single skip/fallback contract."""
     import io
+    import struct
     import wave
-    with wave.open(io.BytesIO(payload)) as wf:
-        if wf.getsampwidth() != 2:
-            raise ValueError("only 16-bit PCM supported")
-        raw = wf.readframes(wf.getnframes())
-        return np.frombuffer(raw, dtype=np.int16), wf.getframerate()
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            if wf.getsampwidth() != 2:
+                raise ValueError("only 16-bit PCM supported")
+            raw = wf.readframes(wf.getnframes())
+            return np.frombuffer(raw, dtype=np.int16), wf.getframerate()
+    except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
+        raise ValueError(f"malformed WAV payload: {exc}") from exc
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
@@ -211,8 +220,14 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             new_payloads = []
             for payload, kind in zip(out["payload"], out["kind"]):
                 if kind == "image" and payload and payload.startswith(b"P6"):
-                    arr = _resize_nn(decode_ppm(payload), target_w, target_h)
-                    new_payloads.append(encode_ppm(arr))
+                    try:
+                        arr = _resize_nn(decode_ppm(payload), target_w, target_h)
+                        new_payloads.append(encode_ppm(arr))
+                    except ValueError:
+                        # truncated/garbage P6: pass through like any other
+                        # undecodable payload — one bad image never aborts
+                        # the stage
+                        new_payloads.append(payload)
                 else:
                     # PIL.Image.open(...).resize(...) re-encode goes here
                     new_payloads.append(payload)

@@ -121,6 +121,26 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 
 # ---------------------------------------------------------------- tf-idf
 
+def _n_docs_agg(nonempty: DataFrame, id_col: str) -> DataFrame:
+    """One-row (broadcastable) corpus size — stays IN the plan; an eager
+    .count() here would block the driver and scan the corpus at
+    plan-construction time."""
+    return nonempty.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("_n_docs"))
+
+
+def _with_idf(df_counts: DataFrame, nonempty: DataFrame,
+              id_col: str) -> DataFrame:
+    n = _n_docs_agg(nonempty, id_col)
+    return (
+        df_counts.crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf",
+            F.log((F.col("_n_docs") + 1.0) / (F.col("df_count") + 1)) + 1.0)
+        .drop("_n_docs")
+    )
+
+
 def term_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Corpus vocabulary with document frequency and smoothed idf:
@@ -129,29 +149,26 @@ def term_stats(df: DataFrame, text_col: str = "text",
     Scale shape: tokens are de-duplicated per document BEFORE the explode
     (array_distinct), so the shuffle carries one (doc, token) row per
     distinct pair and the df aggregation is a plain map-side-combined
-    count — never a countDistinct over raw occurrences."""
+    count — never a countDistinct over raw occurrences.  N enters as a
+    broadcast one-row aggregate, fully lazy."""
+    nonempty = df.filter(F.length(F.trim(F.col(text_col))) > 0)
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-    pairs = df.filter(F.length(F.trim(F.col(text_col))) > 0) \
-              .select(F.col(id_col), F.explode(toks).alias("token"))
-    n_docs = df.filter(F.length(F.trim(F.col(text_col))) > 0) \
-               .select(id_col).distinct().count()
-    return (
-        pairs.groupBy("token")
-        .agg(F.count("*").cast("long").alias("df_count"))
-        .withColumn(
-            "idf",
-            F.log((F.lit(float(n_docs + 1))) / (F.col("df_count") + 1)) + 1.0,
-        )
-    )
+    pairs = nonempty.select(F.col(id_col), F.explode(toks).alias("token"))
+    df_counts = pairs.groupBy("token") \
+                     .agg(F.count("*").cast("long").alias("df_count"))
+    return _with_idf(df_counts, nonempty, id_col)
 
 
 def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Top-k tf-idf terms per document (vocabulary building / keyword
-    extraction for corpus prep).  All JVM: explode -> two aggregations ->
-    broadcast-joined idf -> per-key window top-k (WindowGroupLimit pushes
-    the rank filter into the shuffle, so only k rows per doc survive the
-    exchange).  Ties break on token order for determinism."""
+    extraction for corpus prep).  All JVM and fully lazy: ONE tokenizing
+    explode feeds the tf aggregate, document frequency derives from tf's
+    distinct (doc, token) rows (no second tokenization), idf joins back
+    broadcast, and the per-key window top-k plans as WindowGroupLimit
+    (only k rows per doc survive the exchange).  Ties break on token
+    order for determinism.  At cluster scale persist/checkpoint ``tf``
+    before this returns — it feeds both the df aggregate and the join."""
     from pyspark.sql import Window
     nonempty = df.filter(F.length(F.trim(F.col(text_col))) > 0)
     occurrences = nonempty.select(
@@ -160,7 +177,10 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
     )
     tf = occurrences.groupBy(id_col, "token") \
                     .agg(F.count("*").cast("long").alias("tf"))
-    idf = term_stats(df, text_col, id_col).select("token", "idf")
+    # tf already holds exactly one row per distinct (doc, token) pair
+    df_counts = tf.groupBy("token") \
+                  .agg(F.count("*").cast("long").alias("df_count"))
+    idf = _with_idf(df_counts, nonempty, id_col).select("token", "idf")
     scored = tf.join(F.broadcast(idf), on="token") \
                .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6))
     w = Window.partitionBy(id_col).orderBy(

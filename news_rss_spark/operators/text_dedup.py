@@ -257,6 +257,14 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
     """
     sim = simhash(df, text_col, id_col, n_bits=n_bits)
     k = max_hamming + 1
+    if k > n_bits:
+        # k bands over n_bits < k bits would include zero-width bands whose
+        # band_val is 0 for EVERY doc — the equi-join degenerates into one
+        # all-pairs key group (exactly the quadratic blowup this operator
+        # exists to avoid)
+        raise ValueError(
+            f"max_hamming+1 = {k} bands need at least that many bits; "
+            f"got n_bits={n_bits} — widen the signature or lower the radius")
     base, rem = divmod(n_bits, k)
     bands, start = [], 0
     for j in range(k):

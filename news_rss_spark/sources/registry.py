@@ -100,11 +100,14 @@ def worker_info(registry: DataFrame, job_stats: DataFrame | None = None,
         return base.select(
             "source_name", "source_url", F.lit(False).alias("is_launched"),
             "max_retries", "timeout", "interval_secs")
-    stats = job_stats.withColumnRenamed("link", "source_url")
-    stat_cols = [c for c in stats.columns if c != "source_url"]
+    stats = job_stats.withColumnRenamed("link", "source_url") \
+                     .withColumn("_present", F.lit(True))
+    stat_cols = [c for c in stats.columns
+                 if c not in ("source_url", "_present")]
     joined = base.join(F.broadcast(stats), on="source_url", how="left")
+    # launch status = join PRESENCE, never the null-ness of a stat column
+    # (a launched job can legitimately aggregate a NULL stat)
     return joined.select(
         "source_name", "source_url",
-        F.col(stat_cols[0]).isNotNull().alias("is_launched") if stat_cols
-        else F.lit(False).alias("is_launched"),
+        F.coalesce(F.col("_present"), F.lit(False)).alias("is_launched"),
         "max_retries", "timeout", "interval_secs", *stat_cols)

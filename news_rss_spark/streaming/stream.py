@@ -163,20 +163,28 @@ def exactly_once_news_sink(sink_path: str, now_utc: datetime = EPOCH,
     ttl = DEFAULT_TTL_SECS if ttl_secs is None else ttl_secs
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         spark.conf.set("spark.sql.parquet.compression.codec", "lz4")
         out = batch_df
-        try:
+        # only the genuinely-missing-sink case may skip the dedup (first
+        # batch ever); a corrupt sink, IO failure, or schema drift must
+        # FAIL the batch loudly — a swallowed error here would silently
+        # append re-fetched items as duplicates
+        if os.path.exists(sink_path):
             prev = spark.read.parquet(sink_path)
+            if "batch_id" not in prev.columns:
+                raise ValueError(
+                    f"sink at {sink_path} lacks the batch_id partition "
+                    "column — not an exactly-once sink; refusing to write")
             seen = prev.filter(F.col("batch_id") != batch_id) \
                        .select("id", "datetime")
             out = anti_join_seen(out, seen, now_utc, ttl,
                                  key="id", ts_col="datetime")
             # sever the self-read before overwriting the same location
             out = out.localCheckpoint(eager=True)
-        except Exception:
-            pass  # first batch: no sink yet
         (out.withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite").partitionBy("batch_id")
             .parquet(sink_path))

@@ -69,3 +69,27 @@ class TestOperator:
         out = extract_pdf_text_df(synth_pdf_documents(d)).collect()
         assert all(r["status"] == "ok" for r in out)
         assert {r["doc_id"]: r["text"] for r in out} == expected
+
+
+class TestReviewRegressions:
+    def test_corrupt_flate_stream_is_skip_not_crash(self):
+        """zlib.error must surface as ValueError (the skip-row contract)."""
+        pdf = bytearray(synth_pdf(["hello world"], compress=True))
+        # flip a byte inside the compressed stream body
+        i = bytes(pdf).find(b"stream\n") + 20
+        pdf[i] ^= 0xFF
+        with pytest.raises(ValueError):
+            extract_pdf_text(bytes(pdf))
+
+    def test_indirect_length_reference_not_misparsed(self):
+        """'/Length 123 0 R' must NOT parse as length 12 (regex
+        backtracking defeated the lookahead) — it falls back to the
+        delimiter scan and still extracts."""
+        from news_rss_spark.kernel.pdfx import _LENGTH_RE
+        assert _LENGTH_RE.search(b"<< /Length 123 0 R >>") is None
+        assert _LENGTH_RE.search(b"<< /Length 123 >>").group(1) == b"123"
+        content = b"BT (indirect ok) Tj ET"
+        pdf = (b"%PDF-1.4\n4 0 obj << /Length 5 0 R >> stream\n" + content
+               + b"\nendstream endobj\n5 0 obj "
+               + str(len(content)).encode() + b" endobj\n")
+        assert extract_pdf_text(pdf) == "indirect ok"

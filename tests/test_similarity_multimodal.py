@@ -176,3 +176,46 @@ class TestWorkerInfo:
         assert len(r) == 1 and r[0]["is_launched"] is False
         # reference 404 == empty result
         assert worker_info(reg, stats, "https://nope.example/x.xml").count() == 0
+
+
+class TestCodecRobustness:
+    def test_riff_garbage_audio_falls_back_not_crashes(self, spark):
+        """AVI-like payloads start with RIFF but are not WAV: decode must
+        raise ValueError (-> sha1 stand-in), never wave.Error escaping the
+        Spark task."""
+        import pytest
+        from news_rss_spark.operators.multimodal import (
+            decode_wav, extract_features)
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFF\x10\x00\x00\x00AVI LIST")
+        rows = [("1", "audio", b"RIFF garbage not a wav", "audio/wav",
+                 None, None, None)]
+        media = spark.createDataFrame(
+            rows, "media_id string, kind string, payload binary, "
+                  "mime string, width int, height int, duration_ms int")
+        out = extract_features(media).collect()[0]
+        assert out["feature"][0] < 1.0  # fallback, not crash
+
+    def test_truncated_ppm_resize_passthrough(self, spark):
+        from news_rss_spark.operators.multimodal import resize_images
+        bad = b"P6\n100 100\n255\nshort"  # claims 100x100, has 5 bytes
+        rows = [("1", "image", bad, "image/x-portable-pixmap",
+                 None, None, None)]
+        media = spark.createDataFrame(
+            rows, "media_id string, kind string, payload binary, "
+                  "mime string, width int, height int, duration_ms int")
+        out = resize_images(media, 8, 8).collect()[0]
+        assert bytes(out["payload"]) == bad  # passthrough, not crash
+
+
+class TestWorkerInfoNullStats:
+    def test_launched_with_null_stat_column(self, spark):
+        """Join PRESENCE drives is_launched, not stat-column null-ness."""
+        from news_rss_spark.sources.registry import seed_registry, worker_info
+        reg = seed_registry(spark)
+        stats = spark.createDataFrame(
+            [("https://feeds.skynews.com/feeds/rss/world.xml", None)],
+            "link string, total_chars long")
+        r = worker_info(reg, stats,
+                        "https://feeds.skynews.com/feeds/rss/world.xml").collect()[0]
+        assert r["is_launched"] is True and r["total_chars"] is None

@@ -69,3 +69,9 @@ class TestMinhashBanding:
         plan = minhash_candidate_pairs(_docs(spark), n_hashes=4) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_simhash_banding_rejects_zero_width_bands(spark):
+    import pytest
+    with pytest.raises(ValueError, match="bands"):
+        simhash_near_dup_pairs(_docs(spark), max_hamming=5, n_bits=4)
