@@ -347,6 +347,18 @@ def q_simhash_wide_near_dup(spark, sf_dir):
     return simhash_near_dup_pairs(d, max_hamming=3, n_bits=60)
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (reproducible under
+    reruns, repartitioning, and corpus growth — unlike randomSplit) plus
+    per-split corpus stats."""
+    from news_rss_spark.operators.text_analysis import assign_split
+    d = _t(spark, sf_dir, "documents")
+    return (assign_split(d, "doc_id", val_frac=0.1, test_frac=0.1)
+            .groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 tf-idf terms per doc: per-doc-distinct explode for df counts
     (no countDistinct shuffle), broadcast idf join, WindowGroupLimit
@@ -571,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pdf_parse": q_pdf_parse,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "dataset_split": q_dataset_split,
         "rss_parse": q_rss_parse,
         "worker_info": q_worker_info,
         # no-oracle entries (non-SQL-expressible / approximate):
@@ -846,6 +859,18 @@ SELECT source AS source_name,
        CAST(count(*) AS BIGINT) AS doc_count,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents WHERE source = 'src3' GROUP BY source
+""",
+        "dataset_split": """
+SELECT CASE WHEN d < 429496729 THEN 'test'
+            WHEN d < 858993458 THEN 'val'
+            ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (SELECT n_chars,
+             CAST('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) AS d
+      FROM documents)
+GROUP BY 1
 """,
         "tfidf_top_terms": """
 WITH nonempty AS (

@@ -190,3 +190,34 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
         .filter(F.col("rank") <= k)
         .select(id_col, "token", "tf", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------- dataset splits
+
+def assign_split(df: DataFrame, id_col: str = "doc_id",
+                 val_frac: float = 0.1, test_frac: float = 0.1,
+                 salt: str = "split-v1") -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash.
+
+    A training-data pipeline must split REPRODUCIBLY: the same document
+    lands in the same split on every run, on any cluster, regardless of
+    partitioning, row order, or corpus growth (new docs never move old
+    ones between splits — the failure mode of rand(seed) or
+    randomSplit, which are partition-order dependent).  The first 8 md5
+    hex chars of (salt:id) give a uniform 32-bit draw; thresholds carve
+    [0, 2^32) into test | val | train.  Changing ``salt`` re-rolls every
+    assignment at once (dataset versioning).
+    """
+    draw = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"),
+                                   F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    scale = float(1 << 32)
+    test_cut = int(test_frac * scale)
+    val_cut = test_cut + int(val_frac * scale)
+    return df.withColumn(
+        "split",
+        F.when(draw < test_cut, F.lit("test"))
+         .when(draw < val_cut, F.lit("val"))
+         .otherwise(F.lit("train")),
+    )

@@ -75,3 +75,27 @@ def test_simhash_banding_rejects_zero_width_bands(spark):
     import pytest
     with pytest.raises(ValueError, match="bands"):
         simhash_near_dup_pairs(_docs(spark), max_hamming=5, n_bits=4)
+
+
+class TestDatasetSplit:
+    def test_stable_under_repartition_and_growth(self, spark):
+        """The property randomSplit cannot give: assignments depend only on
+        (salt, id) — identical across partitionings, and adding documents
+        never moves existing ones between splits."""
+        from news_rss_spark.operators.text_analysis import assign_split
+        d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["split"]
+             for r in assign_split(d).collect()}
+        b = {r["doc_id"]: r["split"]
+             for r in assign_split(d.repartition(13)).collect()}
+        assert a == b
+        grown = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+        g = {r["doc_id"]: r["split"] for r in assign_split(grown).collect()}
+        assert all(g[k] == v for k, v in a.items())
+        # fractions roughly honored and salt re-rolls
+        from collections import Counter
+        c = Counter(a.values())
+        assert 120 < c["test"] < 280 and 120 < c["val"] < 280
+        s2 = {r["doc_id"]: r["split"]
+              for r in assign_split(d, salt="split-v2").collect()}
+        assert s2 != a
