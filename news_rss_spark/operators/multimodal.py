@@ -79,6 +79,11 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = (int(t) for t in tokens)
     if maxval > 255:
         raise ValueError("16-bit PPM unsupported")
+    if w <= 0 or h <= 0:
+        # a zero/negative dimension decodes to an empty axis that later
+        # fancy indexing (e.g. resize) would IndexError on — reject here so
+        # every malformed payload fails with the one contracted exception
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
     pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
                            offset=i + 1)
     return pixels.reshape(h, w, 3)
@@ -106,7 +111,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError("only 16-bit PCM supported")
             raw = wf.readframes(wf.getnframes())
             return np.frombuffer(raw, dtype=np.int16), wf.getframerate()
-    except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
+    except (wave.Error, EOFError, struct.error) as exc:
+        # exactly the errors malformed RIFF data produces — anything else
+        # (e.g. RuntimeError) is a real bug and must surface, not be
+        # rewritten into a silent feature fallback
         raise ValueError(f"malformed WAV payload: {exc}") from exc
 
 

@@ -163,18 +163,28 @@ def exactly_once_news_sink(sink_path: str, now_utc: datetime = EPOCH,
     ttl = DEFAULT_TTL_SECS if ttl_secs is None else ttl_secs
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        import os
+        from pyspark.errors import AnalysisException
 
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         spark.conf.set("spark.sql.parquet.compression.codec", "lz4")
         out = batch_df
-        # only the genuinely-missing-sink case may skip the dedup (first
-        # batch ever); a corrupt sink, IO failure, or schema drift must
-        # FAIL the batch loudly — a swallowed error here would silently
-        # append re-fetched items as duplicates
-        if os.path.exists(sink_path):
+        # only the genuinely-missing/empty-sink case may skip the dedup
+        # (first batch ever); a corrupt sink, IO failure, or schema drift
+        # must FAIL the batch loudly — a swallowed error here would
+        # silently append re-fetched items as duplicates.  The probe goes
+        # through spark.read (not os.path — the sink may be s3a://hdfs://
+        # URI-addressed) and treats ONLY path-not-found / empty-dir as
+        # first-batch; everything else propagates.
+        prev = None
+        try:
             prev = spark.read.parquet(sink_path)
+        except AnalysisException as exc:
+            marker = str(getattr(exc, "getErrorClass", lambda: "")() or exc)
+            if not ("PATH_NOT_FOUND" in marker
+                    or "UNABLE_TO_INFER_SCHEMA" in marker):
+                raise
+        if prev is not None:
             if "batch_id" not in prev.columns:
                 raise ValueError(
                     f"sink at {sink_path} lacks the batch_id partition "

@@ -219,3 +219,17 @@ class TestWorkerInfoNullStats:
         r = worker_info(reg, stats,
                         "https://feeds.skynews.com/feeds/rss/world.xml").collect()[0]
         assert r["is_launched"] is True and r["total_chars"] is None
+
+
+class TestSecondReviewRegressions:
+    def test_zero_dimension_ppm_is_valueerror(self, spark):
+        import pytest
+        from news_rss_spark.operators.multimodal import decode_ppm, resize_images
+        with pytest.raises(ValueError, match="dimensions"):
+            decode_ppm(b"P6\n5 0\n255\n\n")
+        rows = [("1", "image", b"P6\n5 0\n255\n\n", "x", None, None, None)]
+        media = spark.createDataFrame(
+            rows, "media_id string, kind string, payload binary, "
+                  "mime string, width int, height int, duration_ms int")
+        out = resize_images(media, 4, 4).collect()[0]  # passthrough, no crash
+        assert bytes(out["payload"]).startswith(b"P6")

@@ -131,3 +131,29 @@ def test_exactly_once_sink_survives_batch_replay(spark, tmp_path):
                                               now_utc=NOW)
     final = spark.read.parquet(sink)
     assert final.count() == 21
+
+
+def test_exactly_once_sink_handles_empty_dir_and_uri_path(spark, tmp_path):
+    """A pre-created empty sink dir counts as first-batch (not a crash),
+    and a file:-URI sink path still performs dedup (the existence probe is
+    not a driver-local os.path check)."""
+    import os
+    from news_rss_spark.streaming.stream import exactly_once_news_sink
+    sink_dir = tmp_path / "sink"
+    sink_dir.mkdir()  # empty dir pre-created by deployment tooling
+    sink_uri = "file:" + str(sink_dir)
+    news = spark.createDataFrame(
+        [("a", "u", NOW, "s", None, "t1")],
+        "id string, message_url string, datetime timestamp_ntz, "
+        "source string, photo_path string, text string")
+    fn = exactly_once_news_sink(sink_uri, now_utc=NOW)
+    fn(news, 0)  # first batch over empty dir + URI path: must not raise
+    assert spark.read.parquet(sink_uri).count() == 1
+    # second batch with a repeated id: URI-addressed dedup must engage
+    news2 = spark.createDataFrame(
+        [("a", "u", NOW, "s", None, "t1"), ("b", "u", NOW, "s", None, "t2")],
+        news.schema)
+    fn(news2, 1)
+    got = spark.read.parquet(sink_uri)
+    assert got.count() == 2  # 'a' deduped, 'b' appended
+    assert {r["id"] for r in got.collect()} == {"a", "b"}
