@@ -347,6 +347,19 @@ def q_simhash_wide_near_dup(spark, sf_dir):
     return simhash_near_dup_pairs(d, max_hamming=3, n_bits=60)
 
 
+def q_shard_packing(spark, sf_dir):
+    """Training-shard packing via distributed prefix sum (two-phase:
+    per-range-partition window cumsum + broadcast partition offsets) —
+    byte-identical to the oracle's naive global window, but no stage ever
+    forms a single global window partition."""
+    from news_rss_spark.operators.packing import pack_into_shards
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens"))
+    out = pack_into_shards(d, budget=50_000, order_col="doc_id",
+                           tokens_col="n_tokens")
+    return out.select("doc_id", F.col("prefix_sum"), "shard_id")
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split (reproducible under
     reruns, repartitioning, and corpus growth — unlike randomSplit) plus
@@ -584,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_parse": q_pdf_parse,
         "tfidf_top_terms": q_tfidf_top_terms,
         "dataset_split": q_dataset_split,
+        "shard_packing": q_shard_packing,
         "rss_parse": q_rss_parse,
         "worker_info": q_worker_info,
         # no-oracle entries (non-SQL-expressible / approximate):
@@ -859,6 +873,16 @@ SELECT source AS source_name,
        CAST(count(*) AS BIGINT) AS doc_count,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents WHERE source = 'src3' GROUP BY source
+""",
+        "shard_packing": """
+SELECT doc_id,
+       CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS prefix_sum,
+       CAST(floor(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 50000) AS INT) AS shard_id
+FROM documents
 """,
         "dataset_split": """
 SELECT CASE WHEN d < 429496729 THEN 'test'

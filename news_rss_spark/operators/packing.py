@@ -1,0 +1,71 @@
+"""Training-shard packing: assign documents to fixed-token-budget shards
+(the corpus-assembly step before tokenizer/LM training) via a DISTRIBUTED
+prefix sum.
+
+The naive formulation — ``sum(tokens) OVER (ORDER BY id)`` with no
+partition key — collapses the whole corpus into ONE window partition: a
+single task materializes 100 TB of rows.  The scale-correct pattern here
+is the classic two-phase prefix sum:
+
+1. range-repartition on the order key, cumsum WITHIN each partition
+   (window partitioned by ``spark_partition_id()`` — parallel, bounded);
+2. collect the per-partition totals (one tiny row per partition), prefix-
+   sum THOSE on the driver, and broadcast-join each partition's starting
+   offset back.
+
+The result is byte-identical to the global window (the oracle runs the
+naive single-window SQL at small scale) while every stage stays
+partition-parallel.  Shard id = exclusive-prefix // budget: greedy
+assignment in key order, documents may straddle budget boundaries —
+shard sizes are >= budget except the last.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_prefix_sum(df: DataFrame, order_col: str, value_col: str,
+                           out: str = "prefix_sum",
+                           num_partitions: int | None = None) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in global ``order_col`` order,
+    without ever forming a global window partition."""
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism * 2
+    ranged = df.repartitionByRange(n_parts, F.col(order_col)) \
+               .withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(order_col) \
+              .rowsBetween(Window.unboundedPreceding, -1)
+    local = ranged.withColumn(
+        "_local_prefix", F.coalesce(F.sum(value_col).over(w), F.lit(0)))
+    # one tiny row per partition -> driver prefix-sum -> broadcast back.
+    # Range partitioner boundaries come from sampling (not deterministic),
+    # but the RESULT is partitioning-independent: offsets always add up to
+    # the same global prefix for every row.
+    totals = sorted(
+        (r["_pid"], r["t"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(value_col).alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        acc += t or 0
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    return (
+        local.join(F.broadcast(off_df), on="_pid")
+        .withColumn(out, (F.col("_local_prefix") + F.col("_offset"))
+                    .cast("long"))
+        .drop("_pid", "_local_prefix", "_offset")
+    )
+
+
+def pack_into_shards(df: DataFrame, budget: int,
+                     order_col: str = "doc_id",
+                     tokens_col: str = "n_tokens") -> DataFrame:
+    """Greedy shard assignment in ``order_col`` order: a document starts in
+    the shard its exclusive token-prefix falls into."""
+    pref = with_global_prefix_sum(df, order_col, tokens_col)
+    return pref.withColumn(
+        "shard_id", F.floor(F.col("prefix_sum") / budget).cast("int"))
