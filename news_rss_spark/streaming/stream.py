@@ -180,7 +180,9 @@ def exactly_once_news_sink(sink_path: str, now_utc: datetime = EPOCH,
         try:
             prev = spark.read.parquet(sink_path)
         except AnalysisException as exc:
-            marker = str(getattr(exc, "getErrorClass", lambda: "")() or exc)
+            get_cond = getattr(exc, "getCondition",
+                               getattr(exc, "getErrorClass", lambda: ""))
+            marker = str(get_cond() or exc)
             if not ("PATH_NOT_FOUND" in marker
                     or "UNABLE_TO_INFER_SCHEMA" in marker):
                 raise
