@@ -347,6 +347,27 @@ def q_simhash_wide_near_dup(spark, sf_dir):
     return simhash_near_dup_pairs(d, max_hamming=3, n_bits=60)
 
 
+def q_pii_redact(spark, sf_dir):
+    """Corpus scrubbing: typed redaction of emails/IPs/phone runs with
+    per-category counts.  The synthetic text is clean, so PII is injected
+    deterministically JVM-side before redaction — the oracle injects and
+    scrubs with the identical regex chain."""
+    from news_rss_spark.operators.text_analysis import redact_pii
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ds = F.col("doc_id").cast("string")
+    salted = d.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), ds, F.lit("@mail.example.org"),
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                                 F.lit(".7 tel +1 555-01"), F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                                 F.lit("-2345")))
+                  .otherwise(F.lit(""))))
+    out = redact_pii(salted)
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "clean_text")
+
+
 def q_shard_packing(spark, sf_dir):
     """Training-shard packing via distributed prefix sum (two-phase:
     per-range-partition window cumsum + broadcast partition offsets) —
@@ -598,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "dataset_split": q_dataset_split,
         "shard_packing": q_shard_packing,
+        "pii_redact": q_pii_redact,
         "rss_parse": q_rss_parse,
         "worker_info": q_worker_info,
         # no-oracle entries (non-SQL-expressible / approximate):
@@ -873,6 +895,40 @@ SELECT source AS source_name,
        CAST(count(*) AS BIGINT) AS doc_count,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents WHERE source = 'src3' GROUP BY source
+""",
+        "pii_redact": r"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.7 tel +1 555-01'
+                      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-2345'
+                 ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_email,
+         regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+           AS t
+  FROM salted
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT)
+           AS n_ipv4,
+         regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g') AS t
+  FROM s1
+)
+SELECT doc_id, n_email, n_ipv4,
+       CAST(len(regexp_extract_all(t, '\+?\d[\d\- ]{7,14}\d')) AS BIGINT)
+         AS n_phone,
+       regexp_replace(t, '\+?\d[\d\- ]{7,14}\d', '<PHONE>', 'g') AS clean_text
+FROM s2
 """,
         "shard_packing": """
 SELECT doc_id,

@@ -221,3 +221,32 @@ def assign_split(df: DataFrame, id_col: str = "doc_id",
          .when(draw < val_cut, F.lit("val"))
          .otherwise(F.lit("train")),
     )
+
+
+# ------------------------------------------------------------- pii redaction
+
+# corpus-prep scrubbing patterns (ordered: the email pattern must run
+# before the phone pattern can see digit runs inside addresses)
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\- ]{7,14}\d"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "clean_text") -> DataFrame:
+    """Scrub emails / IPv4 addresses / phone-like digit runs from a text
+    column, replacing each with a typed token (``<EMAIL>`` etc.) and
+    counting matches per category.  Pure regexp_replace/regexp-count JVM
+    expressions — whole-stage codegen, order-deterministic (patterns apply
+    in the declared order so counts refer to the pre-redaction text of
+    their own stage)."""
+    cleaned = F.col(text_col)
+    counted = df
+    for name, pat in PII_PATTERNS:
+        counted = counted.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(cleaned, F.lit(pat), 0)).cast("long"))
+        cleaned = F.regexp_replace(cleaned, pat, f"<{name.upper()}>")
+    return counted.withColumn(out_col, cleaned)
