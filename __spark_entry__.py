@@ -585,6 +585,56 @@ def q_multimodal_features(spark, sf_dir):
         (F.element_at("feature", 1) >= 1.0).alias("decoded"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition: top/duplicate bigram fractions
+    (quality filter for boilerplate-heavy web pages)."""
+    from news_rss_spark.operators.text_analysis import repetition_stats
+    d = _t(spark, sf_dir, "documents")
+    # no rounding: both engines divide the same exact integer counts, so
+    # the doubles are bit-identical (same trick as tfidf_top_terms)
+    return repetition_stats(d, "text", "doc_id", n=2)
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Corpus-level duplicate-chunk removal (ExactSubstr-lite): first
+    corpus-wide occurrence of each 20-word chunk survives, text rebuilt.
+    Returns per-doc surviving char counts (the full clean_text is
+    hash-compared via its length + md5)."""
+    from news_rss_spark.operators.text_dedup import dedup_chunks
+    d = _t(spark, sf_dir, "documents")
+    out = dedup_chunks(d, "text", "doc_id", chunk_words=20)
+    return out.select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 100 != 0)
+    sharing any n-gram with the benchmark slice (doc_id % 100 == 0).
+    n=4 here (vs the PaLM default 8) because the synthetic small-vocab
+    corpus has zero 8-gram collisions — n=4 exercises the join with a
+    non-empty, selective result."""
+    from news_rss_spark.operators.text_dedup import contamination_check
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 100 != 0)
+    bench = d.filter(F.col("doc_id") % 100 == 0)
+    return contamination_check(train, bench, "text", "doc_id", n=4)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source data-mix sampling (keep 100% of src0,
+    50% of src1, 25% of src2, 10% elsewhere) + per-source kept stats."""
+    from news_rss_spark.operators.text_analysis import stratified_sample
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1, id_col="doc_id", salt="mix-v1")
+    return (kept.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.sum("n_chars").cast("long").alias("kept_chars")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_strip": q_tag_strip,
@@ -622,6 +672,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "rss_parse": q_rss_parse,
         "worker_info": q_worker_info,
+        "repetition_stats": q_repetition_stats,
+        "chunk_dedup": q_chunk_dedup,
+        "contamination": q_contamination,
+        "stratified_sample": q_stratified_sample,
         # no-oracle entries (non-SQL-expressible / approximate):
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1017,6 +1071,78 @@ SELECT id, title, link,
 FROM base
 WHERE title IS NOT NULL AND length(title) > 0
   AND description IS NOT NULL AND length(description) > 0
+""",
+        "repetition_stats": r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split_regex(trim(text), '\s+')) >= 2
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, i, i + 1), ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_gram_frac,
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+         / CAST(sum(cnt) AS DOUBLE) AS dup_gram_frac,
+       CAST(sum(cnt) AS BIGINT) AS n_grams
+FROM c GROUP BY doc_id
+""",
+        "chunk_dedup": r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split_regex(trim(text), '\s+')) > 0
+),
+c AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(w, i * 20 + 1, i * 20 + 20), ' ') AS chunk
+  FROM w, UNNEST(generate_series(0, (len(w) - 1) // 20)) AS u(i)
+),
+firsts AS (
+  SELECT doc_id, pos, chunk FROM (
+    SELECT doc_id, pos, chunk,
+           row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+    FROM c) WHERE rn = 1
+)
+SELECT doc_id,
+       CAST(length(string_agg(chunk, ' ' ORDER BY pos)) AS BIGINT) AS clean_len,
+       md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_md5
+FROM firsts GROUP BY doc_id
+""",
+        "contamination": r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split_regex(trim(text), '\s+')) >= 4
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(array_to_string(list_slice(w, i, i + 3), ' ')),
+                             1, 15) AS BIGINT) AS gram_h
+  FROM w, UNNEST(generate_series(1, len(w) - 3)) AS u(i)
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM (SELECT doc_id, gram_h FROM g WHERE doc_id % 100 != 0) t
+JOIN (SELECT DISTINCT gram_h FROM g WHERE doc_id % 100 = 0) b USING (gram_h)
+GROUP BY t.doc_id
+""",
+        "stratified_sample": """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM (SELECT source, n_chars,
+             CAST('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) AS d
+      FROM documents)
+WHERE d < CASE source WHEN 'src0' THEN 4294967296
+                      WHEN 'src1' THEN 2147483648
+                      WHEN 'src2' THEN 1073741824
+                      ELSE 429496729 END
+GROUP BY source
 """,
     }
 

@@ -223,6 +223,72 @@ def assign_split(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def stratified_sample(df: DataFrame, group_col: str = "source",
+                      rates: dict[str, float] | None = None,
+                      default_rate: float = 0.1,
+                      id_col: str = "doc_id",
+                      salt: str = "mix-v1") -> DataFrame:
+    """Deterministic per-group downsampling for data-mix construction.
+
+    Training corpora are assembled as weighted mixes (keep 100% of one
+    source, 25% of another).  Like :func:`assign_split`, the keep/drop
+    decision must be content-stable — the same doc survives on every
+    run and on any partitioning — so the draw is the first 8 md5 hex
+    chars of (salt:id) as a uniform 32-bit integer, compared against a
+    per-group integer threshold ``rate * 2^32``.  One codegen'd filter,
+    no shuffle, no RNG state.
+    """
+    rates = rates or {}
+    draw = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"),
+                                   F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    scale = float(1 << 32)
+    cut = F.lit(int(default_rate * scale))
+    for grp, rate in sorted(rates.items()):
+        cut = F.when(F.col(group_col) == grp,
+                     F.lit(int(rate * scale))).otherwise(cut)
+    return df.filter(draw < cut)
+
+
+# ------------------------------------------------------- repetition stats
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Gopher-style within-document repetition signals over word n-grams.
+
+    Quality filters for web corpora drop documents dominated by repeated
+    boilerplate (Rae et al. 2021 §A1.1: "duplicate n-gram fraction" and
+    "top n-gram fraction").  The synthetic corpus has no line structure,
+    so both signals are word-n-gram based:
+
+    - ``top_gram_frac``  — occurrences of the single most frequent
+      n-gram / total n-grams
+    - ``dup_gram_frac``  — occurrences belonging to any n-gram that
+      appears more than once / total n-grams
+
+    Plan: split -> one ``transform(sequence(...))`` building the n-gram
+    array JVM-side -> explode -> two hash aggregations, both with
+    map-side partial aggregation on (id, gram) first, so a hot document
+    combines locally before the shuffle.  Docs with fewer than ``n``
+    words yield no n-grams and are excluded (matching the oracle).
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(0, size(w) - {n}), "
+        f"i -> array_join(slice(w, i + 1, {n}), ' '))")
+    g = (df.select(F.col(id_col), w.alias("w"))
+           .filter(F.size("w") >= n)
+           .select(id_col, F.explode(grams).alias("gram")))
+    c = g.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    return c.groupBy(id_col).agg(
+        (F.max("cnt") / F.sum("cnt")).alias("top_gram_frac"),
+        (F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+         / F.sum("cnt")).alias("dup_gram_frac"),
+        F.sum("cnt").cast("long").alias("n_grams"),
+    )
+
+
 # ------------------------------------------------------------- pii redaction
 
 # corpus-prep scrubbing patterns (ordered: the email pattern must run

@@ -298,3 +298,87 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# ------------------------------------------- corpus-level chunk dedup
+
+def dedup_chunks(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", chunk_words: int = 20) -> DataFrame:
+    """Corpus-level exact duplicate-chunk removal (ExactSubstr-lite,
+    after Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better", which removes repeated 50-token substrings; here the
+    unit is a fixed non-overlapping window of ``chunk_words`` words, the
+    distributed-friendly approximation that needs no suffix array).
+
+    Every document is cut into word chunks; for each distinct chunk the
+    single first occurrence corpus-wide (ordered by ``(doc_id, pos)``)
+    survives, every later occurrence — within the same doc or another —
+    is dropped; surviving chunks are stitched back per document.
+
+    Plan shape, chosen for 100 TB: the first-occurrence-per-chunk step is
+    ``groupBy(chunk).agg(min(struct(id, pos)))`` — a hash aggregation
+    with map-side partial combine, so a boilerplate chunk repeated 10^6
+    times collapses to one row per map task before the shuffle (a
+    window ``row_number() over (partition by chunk)`` would instead sort
+    and ship every occurrence of the hot chunk to one reducer).  The
+    rebuild is a second hash agg on the id.  Two shuffles total, both on
+    compact keys.  Docs whose every chunk is a later duplicate vanish
+    (their text would be empty), matching the oracle.
+    """
+    k = int(chunk_words)
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    chunks = F.expr(
+        f"transform(sequence(0, (size(w) - 1) div {k}), "
+        f"i -> array_join(slice(w, i * {k} + 1, {k}), ' '))")
+    occ = (df.select(F.col(id_col), w.alias("w"))
+             .filter(F.size("w") > 0)
+             .select(id_col, F.posexplode(chunks).alias("pos", "chunk")))
+    firsts = (occ.groupBy("chunk")
+                 .agg(F.min(F.struct(id_col, "pos")).alias("first_occ"))
+                 .select(F.col(f"first_occ.{id_col}").alias(id_col),
+                         F.col("first_occ.pos").alias("pos"),
+                         "chunk"))
+    return (firsts.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"]),
+                " ").alias("clean_text")))
+
+
+# ------------------------------------------------- benchmark decontamination
+
+def contamination_check(train_df: DataFrame, bench_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with a held-out benchmark set (the PaLM / GPT-3
+    recipe — Chowdhery et al. 2022 §App. C uses 8-gram overlap).
+
+    Returns ``(id, n_shared)`` for contaminated training docs, where
+    ``n_shared`` counts DISTINCT shared n-grams.  N-grams are joined as
+    63-bit integers (first 15 md5 hex chars) so the shuffle ships 8-byte
+    keys, never 8-word strings, and the oracle can reproduce the exact
+    hash in DuckDB; at cluster scale swap in xxhash64 unchanged.
+
+    Plan: both sides explode to (id, gram_h), dedup per side (map-side
+    partial agg), equi-join on gram_h, count per train doc.  The
+    benchmark side is typically ~1e4 docs; at that size Spark/AQE will
+    broadcast it after the distinct — no sort-merge on the big side.
+    """
+    def grams(d: DataFrame) -> DataFrame:
+        w = F.split(F.trim(F.col(text_col)), r"\s+")
+        g = F.expr(
+            f"transform(sequence(0, size(w) - {n}), "
+            f"i -> conv(substring(md5(array_join(slice(w, i + 1, {n}), ' ')), "
+            f"1, 15), 16, 10))")
+        return (d.select(F.col(id_col), w.alias("w"))
+                  .filter(F.size("w") >= n)
+                  .select(id_col, F.explode(g).alias("gram_s"))
+                  .select(id_col, F.col("gram_s").cast("long").alias("gram_h")))
+
+    train_g = grams(train_df).distinct()
+    bench_g = grams(bench_df).select("gram_h").distinct()
+    return (train_g.join(bench_g, "gram_h", "inner")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_shared")))

@@ -1,0 +1,133 @@
+"""Structural tests (beyond oracle parity) for the corpus-quality
+operators: Gopher repetition stats, ExactSubstr-lite chunk dedup,
+benchmark decontamination, and deterministic stratified sampling."""
+
+from pyspark.sql import functions as F
+
+from news_rss_spark.operators.text_analysis import (
+    repetition_stats,
+    stratified_sample,
+)
+from news_rss_spark.operators.text_dedup import (
+    contamination_check,
+    dedup_chunks,
+)
+
+
+class TestRepetitionStats:
+    def test_hand_computed_bigram_fractions(self, spark):
+        # "a b a b a": bigrams = [a b, b a, a b, b a] -> every gram dup,
+        # top gram "a b" has 2 of 4
+        d = spark.createDataFrame(
+            [(1, "a b a b a"), (2, "x y z w")], "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+        assert rows[1]["n_grams"] == 4
+        assert rows[1]["top_gram_frac"] == 0.5
+        assert rows[1]["dup_gram_frac"] == 1.0
+        # all-distinct doc: top = 1/3, dup = 0
+        assert rows[2]["n_grams"] == 3
+        assert abs(rows[2]["top_gram_frac"] - 1 / 3) < 1e-12
+        assert rows[2]["dup_gram_frac"] == 0.0
+
+    def test_short_docs_excluded(self, spark):
+        d = spark.createDataFrame(
+            [(1, "one"), (2, ""), (3, None), (4, "a b")],
+            "doc_id long, text string")
+        got = {r["doc_id"] for r in repetition_stats(d).collect()}
+        assert got == {4}
+
+
+class TestChunkDedup:
+    def test_first_occurrence_wins_and_text_rebuilds_in_order(self, spark):
+        # chunk size 2: doc 1 = [a b][c d], doc 2 = [c d][e f],
+        # doc 3 = [a b] only -> doc 2 keeps "e f", doc 3 vanishes
+        d = spark.createDataFrame(
+            [(1, "a b c d"), (2, "c d e f"), (3, "a b")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["clean_text"]
+               for r in dedup_chunks(d, chunk_words=2).collect()}
+        assert got == {1: "a b c d", 2: "e f"}
+
+    def test_within_doc_repeats_also_collapse(self, spark):
+        d = spark.createDataFrame(
+            [(1, "a b a b a b c d")], "doc_id long, text string")
+        got = dedup_chunks(d, chunk_words=2).collect()
+        assert got[0]["clean_text"] == "a b c d"
+
+    def test_ordering_is_by_doc_then_pos(self, spark):
+        # the duplicate chunk appears at pos 1 of doc 1 and pos 0 of
+        # doc 5: doc order beats position order
+        d = spark.createDataFrame(
+            [(5, "z z q q"), (1, "m m z z")], "doc_id long, text string")
+        got = {r["doc_id"]: r["clean_text"]
+               for r in dedup_chunks(d, chunk_words=2).collect()}
+        assert got == {1: "m m z z", 5: "q q"}
+
+    def test_plan_has_no_window_exchange(self, spark):
+        """First-occurrence selection must be a partial-aggregating
+        groupBy (hot chunks combine map-side), never a sorted window
+        over every occurrence."""
+        d = spark.createDataFrame(
+            [(1, "a b c d")], "doc_id long, text string")
+        plan = dedup_chunks(d)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "partial_min" in plan or "partial" in plan.lower()
+
+
+class TestContamination:
+    def test_shared_8gram_flags_training_doc(self, spark):
+        bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+        train = spark.createDataFrame(
+            [(1, "x " + bench_text),          # contains a bench 8-gram
+             (2, "totally different words with no overlap at all here")],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, bench_text)], "doc_id long, text string")
+        got = {r["doc_id"]: r["n_shared"]
+               for r in contamination_check(train, bench).collect()}
+        # bench has 2 8-grams (words 1-8, 2-9); train doc 1 contains both
+        assert got == {1: 2}
+
+    def test_n_shared_counts_distinct_grams(self, spark):
+        text = "w1 w2 w3 w4 w5 w6 w7 w8"
+        train = spark.createDataFrame(
+            [(1, text + " " + text)], "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, text)], "doc_id long, text string")
+        got = contamination_check(train, bench).collect()
+        # the repeated copy adds occurrences, not distinct shared grams:
+        # bench's single 8-gram is shared once
+        assert [(r["doc_id"], r["n_shared"]) for r in got] == [(1, 1)]
+
+
+class TestStratifiedSample:
+    def test_rate_one_keeps_all_rate_zero_drops_all(self, spark):
+        d = spark.createDataFrame(
+            [(i, "g0" if i % 2 == 0 else "g1") for i in range(200)],
+            "doc_id long, source string")
+        kept = stratified_sample(
+            d, "source", {"g0": 1.0, "g1": 0.0}, default_rate=0.5).collect()
+        assert {r["source"] for r in kept} == {"g0"}
+        assert len(kept) == 100
+
+    def test_deterministic_under_repartition(self, spark):
+        d = spark.createDataFrame(
+            [(i, "g") for i in range(500)], "doc_id long, source string")
+        a = {r["doc_id"] for r in stratified_sample(
+            d, "source", {"g": 0.3}).collect()}
+        b = {r["doc_id"] for r in stratified_sample(
+            d.repartition(13), "source", {"g": 0.3}).collect()}
+        assert a == b
+        # roughly the asked-for rate on a uniform draw
+        assert 100 <= len(a) <= 200
+
+    def test_higher_rate_is_superset(self, spark):
+        """Raising a group's rate must only ADD documents (stable mix
+        growth), never reshuffle membership — the property rand() lacks."""
+        d = spark.createDataFrame(
+            [(i, "g") for i in range(500)], "doc_id long, source string")
+        lo = {r["doc_id"] for r in stratified_sample(
+            d, "source", {"g": 0.2}).collect()}
+        hi = {r["doc_id"] for r in stratified_sample(
+            d, "source", {"g": 0.6}).collect()}
+        assert lo < hi
