@@ -635,6 +635,73 @@ def q_stratified_sample(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("kept_chars")))
 
 
+def _messy_url() -> F.Column:
+    """Deterministic messy-URL synthesis over documents (mixed case,
+    default ports, fragments, tracking params, blocked domains, badwords,
+    non-http schemes) — mirrored verbatim in the oracle SQL."""
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    src = F.col("source")
+    return (
+        F.when(did % 11 == 0,
+               F.concat(F.lit("https://spam.example.com/p/"), ds))
+         .when(did % 13 == 0,
+               F.concat(F.lit("https://"), src,
+                        F.lit(".example.org/casino/"), ds))
+         .when(did % 7 == 0,
+               F.concat(F.lit("HTTP://"), F.upper(src),
+                        F.lit(".Example.COM:80/A/"), ds,
+                        F.lit("?utm_source=rss&z=9&a=1#top")))
+         .when(did % 3 == 0,
+               F.concat(F.lit("https://"), src, F.lit(".example.org/a/"),
+                        ds, F.lit("?utm_campaign=x&b=2")))
+         .when(did % 5 == 0,
+               F.concat(F.lit("ftp://files.example.org/"), ds))
+         .otherwise(F.concat(F.lit("https://"), src,
+                             F.lit(".example.org/a/"), ds))
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + C4-style URL filtering over synthesized
+    messy crawl URLs (case/port/fragment/tracking-param normalization,
+    blocklist + badword + scheme drop reasons)."""
+    from news_rss_spark.operators.url_ops import filter_urls
+    d = _t(spark, sf_dir, "documents")
+    u = d.select("doc_id", _messy_url().alias("url"))
+    return filter_urls(u).select("doc_id", "canon_url", "keep", "drop_reason")
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup: lowest doc_id per canonical URL (hash agg with
+    map-side combine — the scale shape for hot boilerplate URLs)."""
+    from news_rss_spark.operators.url_ops import dedup_by_canonical_url
+    d = _t(spark, sf_dir, "documents")
+    # fold ids onto a shared path so canonical collisions actually occur
+    collide = d.select((F.col("doc_id") % 50).alias("key"), "doc_id", "source")
+    u = collide.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://Ex.COM:80"))
+             .otherwise(F.lit("http://ex.com")),
+            F.lit("/a/"), F.col("key").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x&q=1#f"))
+             .otherwise(F.lit("?q=1"))).alias("url"))
+    return dedup_by_canonical_url(u)
+
+
+def q_normalize_text(spark, sf_dir):
+    """Corpus text canonicalization (control-char strip + whitespace
+    collapse + trim) over deterministically dirtied text."""
+    from news_rss_spark.operators.text_analysis import normalize_text
+    d = _t(spark, sf_dir, "documents")
+    dirty = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(F.lit("  "), F.col("text"),
+                 F.lit("\tx\x01\r\n end  ")).alias("text"))
+    return normalize_text(dirty).select("doc_id", "norm_text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_strip": q_tag_strip,
@@ -676,6 +743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
+        "normalize_text": q_normalize_text,
         # no-oracle entries (non-SQL-expressible / approximate):
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1143,6 +1213,105 @@ WHERE d < CASE source WHEN 'src0' THEN 4294967296
                       WHEN 'src2' THEN 1073741824
                       ELSE 429496729 END
 GROUP BY source
+""",
+        "url_canonicalize": r"""
+WITH u AS (
+  SELECT doc_id, trim(CASE
+    WHEN doc_id % 11 = 0 THEN 'https://spam.example.com/p/' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 13 = 0 THEN 'https://' || source || '.example.org/casino/' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 7 = 0 THEN 'HTTP://' || upper(source) || '.Example.COM:80/A/' || CAST(doc_id AS VARCHAR) || '?utm_source=rss&z=9&a=1#top'
+    WHEN doc_id % 3 = 0 THEN 'https://' || source || '.example.org/a/' || CAST(doc_id AS VARCHAR) || '?utm_campaign=x&b=2'
+    WHEN doc_id % 5 = 0 THEN 'ftp://files.example.org/' || CAST(doc_id AS VARCHAR)
+    ELSE 'https://' || source || '.example.org/a/' || CAST(doc_id AS VARCHAR)
+  END) AS s
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, s,
+    lower(coalesce(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+    regexp_replace(lower(coalesce(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')), ':(80|443)$', '') AS host,
+    coalesce(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '') AS after
+  FROM u
+),
+pq AS (
+  SELECT doc_id, s, scheme, host,
+    CASE WHEN coalesce(regexp_extract(after, '^([^?]*)', 1), '') = '' THEN '/'
+         ELSE regexp_extract(after, '^([^?]*)', 1) END AS path,
+    coalesce(array_to_string(list_sort(list_filter(
+      string_split(coalesce(regexp_extract(after, '\?(.*)$', 1), ''), '&'),
+      p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|mc_cid|mc_eid|ref)='))), '&'), '') AS q
+  FROM parts
+),
+canon AS (
+  SELECT doc_id,
+    CASE WHEN scheme = '' THEN s
+         ELSE scheme || '://' || host || path ||
+              CASE WHEN q = '' THEN '' ELSE '?' || q END END AS canon_url
+  FROM pq
+),
+flagged AS (
+  SELECT doc_id, canon_url,
+    lower(coalesce(regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS chost
+  FROM canon
+)
+SELECT doc_id, canon_url,
+  CASE WHEN NOT regexp_matches(lower(canon_url), '^https?://') THEN 'scheme'
+       WHEN chost = 'spam.example.com' OR chost LIKE '%.spam.example.com'
+         OR chost = 'lnk.example' OR chost LIKE '%.lnk.example'
+         THEN 'blocked_domain'
+       WHEN lower(canon_url) LIKE '%casino%' OR lower(canon_url) LIKE '%xxx%'
+         OR lower(canon_url) LIKE '%porn%' OR lower(canon_url) LIKE '%viagra%'
+         THEN 'badword'
+       WHEN length(canon_url) > 2048 THEN 'too_long'
+  END AS drop_reason,
+  (CASE WHEN NOT regexp_matches(lower(canon_url), '^https?://') THEN 'scheme'
+        WHEN chost = 'spam.example.com' OR chost LIKE '%.spam.example.com'
+          OR chost = 'lnk.example' OR chost LIKE '%.lnk.example'
+          THEN 'blocked_domain'
+        WHEN lower(canon_url) LIKE '%casino%' OR lower(canon_url) LIKE '%xxx%'
+          OR lower(canon_url) LIKE '%porn%' OR lower(canon_url) LIKE '%viagra%'
+          THEN 'badword'
+        WHEN length(canon_url) > 2048 THEN 'too_long'
+   END) IS NULL AS keep
+FROM flagged
+""",
+        "url_dedup": r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://Ex.COM:80' ELSE 'http://ex.com' END)
+    || '/a/' || CAST(doc_id % 50 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&q=1#f' ELSE '?q=1' END)
+      AS s
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, s,
+    lower(coalesce(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+    regexp_replace(lower(coalesce(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')), ':(80|443)$', '') AS host,
+    coalesce(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '') AS after
+  FROM u
+),
+canon AS (
+  SELECT doc_id,
+    scheme || '://' || host
+    || (CASE WHEN coalesce(regexp_extract(after, '^([^?]*)', 1), '') = '' THEN '/'
+             ELSE regexp_extract(after, '^([^?]*)', 1) END)
+    || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url
+  FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+          string_split(coalesce(regexp_extract(after, '\?(.*)$', 1), ''), '&'),
+          p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|mc_cid|mc_eid|ref)='))), '&'), '') AS q
+        FROM parts)
+)
+SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM canon GROUP BY canon_url
+""",
+        "normalize_text": r"""
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(
+    '  ' || text || chr(9) || 'x' || chr(1) || chr(13) || chr(10) || ' end  ',
+    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g'))
+    AS norm_text
+FROM documents WHERE text IS NOT NULL
 """,
     }
 

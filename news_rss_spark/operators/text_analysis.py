@@ -316,3 +316,53 @@ def redact_pii(df: DataFrame, text_col: str = "text",
             F.size(F.regexp_extract_all(cleaned, F.lit(pat), 0)).cast("long"))
         cleaned = F.regexp_replace(cleaned, pat, f"<{name.upper()}>")
     return counted.withColumn(out_col, cleaned)
+
+
+# ------------------------------------------------------- text normalization
+
+# C0 controls except \t \n \r, plus DEL — stripped before training
+_CONTROL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "norm_text",
+                   lowercase: bool = False) -> DataFrame:
+    """Corpus text canonicalization: strip control characters, collapse
+    every whitespace run to a single space, trim, optionally lowercase.
+    Pure JVM regexp_replace — codegen'd, shuffle-free, RE2-compatible
+    patterns (bit-exact DuckDB oracle).  Unicode NFC is the separate
+    Arrow stage :func:`normalize_text_nfc` (Spark has no NFC builtin)."""
+    t = F.regexp_replace(F.col(text_col), _CONTROL_CLASS, "")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    if lowercase:
+        t = F.lower(t)
+    return df.withColumn(out_col, t)
+
+
+def normalize_text_nfc(df: DataFrame, text_col: str = "text",
+                       out_col: str = "norm_text") -> DataFrame:
+    """Unicode NFC normalization as an Arrow-batched stage (Spark has no
+    NFC expression; unicodedata.normalize runs per batch, not per row
+    via a row UDF).  Schema: input columns + ``out_col`` string."""
+    import pyarrow as pa
+    from pyspark.sql.types import StructField, StringType, StructType
+
+    fields = [df.schema[c] for c in df.columns]
+    # never StructType.add on df.schema — it MUTATES the cached schema
+    # object and corrupts the source DataFrame's resolution
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(out_col, StringType())])
+
+    def batches(it):
+        import unicodedata
+        for rb in it:
+            tbl = pa.Table.from_batches([rb])
+            col = tbl.column(text_col).to_pylist()
+            norm = [None if s is None else unicodedata.normalize("NFC", s)
+                    for s in col]
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column(f.name).combine_chunks() for f in fields]
+                + [pa.array(norm, type=pa.string())],
+                names=[f.name for f in fields] + [out_col])
+
+    return df.mapInArrow(batches, out_schema)

@@ -1,0 +1,113 @@
+"""URL canonicalization and URL-level corpus filtering (engine-new;
+extends the reference's link handling, src/feeds/rss_feeds/mod.rs:160-164,
+to the web-corpus prep stage every crawl pipeline needs).
+
+Everything is built-in JVM column expressions (regexp_extract /
+split / filter / array_sort / array_join) — whole-stage codegen, no
+Python — and every regex is written in the RE2-compatible subset (no
+lookaround, no backrefs) so the DuckDB oracle evaluates the *same*
+pattern text.
+
+At 100 TB these run as a codegen'd scalar stage fused into the scan —
+no shuffle, no UDF round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_AFTER_AUTH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+
+# tracking parameters dropped by the canonicalizer (utm_* family + the
+# usual click identifiers)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|mc_cid|mc_eid|ref)="
+
+# C4-style URL badword list (Raffel et al. 2020 filter their corpus on a
+# blocklist of URL substrings; this is a deliberately small demo list)
+URL_BADWORDS = ["casino", "xxx", "porn", "viagra"]
+
+# registrable domains excluded outright (link farms, shorteners)
+DOMAIN_BLOCKLIST = ["spam.example.com", "lnk.example"]
+
+MAX_URL_LEN = 2048
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s)-style URL:
+
+    - scheme and host lowercased, default ports (:80/:443) stripped
+    - fragment dropped
+    - tracking query params (``utm_*``, ``gclid``, ...) removed
+    - remaining query params sorted (byte order) for a stable key
+    - empty path normalized to ``/``
+
+    A string with no ``scheme://`` prefix is returned trimmed but
+    otherwise untouched (mirrors :func:`kernel.urls.url_domain`'s
+    whole-link fallback for relative links).
+
+    The result is the natural key for URL-level dedup: two crawls of
+    ``HTTP://Ex.com/a?utm_source=x&b=1#frag`` and ``http://ex.com:80/a?b=1``
+    both canonicalize to ``http://ex.com/a?b=1``.
+    """
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, _HOST, 1)), r":(80|443)$", "")
+    after = F.regexp_extract(u, _AFTER_AUTH, 1)          # path + ?query
+    path = F.regexp_extract(after, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(after, r"\?(.*)$", 1)
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+    qstr = F.array_join(kept, "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qstr == "", F.lit("")).otherwise(F.concat(F.lit("?"), qstr)))
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def url_filter_flags(url: Column) -> Column:
+    """First matching drop reason for a (canonicalized) URL, or NULL to
+    keep.  Reasons, in precedence order: ``scheme`` (not http/https),
+    ``blocked_domain``, ``badword``, ``too_long``."""
+    host = F.lower(F.regexp_extract(url, _HOST, 1))
+    bad_domain = F.lit(False)
+    for d in DOMAIN_BLOCKLIST:
+        bad_domain = bad_domain | (host == d) | host.endswith("." + d)
+    badword = F.lit(False)
+    for w in URL_BADWORDS:
+        badword = badword | F.lower(url).contains(w)
+    return (
+        F.when(~F.lower(url).rlike(r"^https?://"), F.lit("scheme"))
+         .when(bad_domain, F.lit("blocked_domain"))
+         .when(badword, F.lit("badword"))
+         .when(F.length(url) > MAX_URL_LEN, F.lit("too_long"))
+    )
+
+
+def filter_urls(df: DataFrame, url_col: str = "url",
+                keep_only: bool = False) -> DataFrame:
+    """Canonicalize ``url_col`` and attach ``canon_url`` / ``keep`` /
+    ``drop_reason``.  With ``keep_only`` the dropped rows are filtered
+    out (the production shape); without it the flags survive for
+    auditing (the oracle-checked shape)."""
+    canon = canonicalize_url(F.col(url_col))
+    out = (df.withColumn("canon_url", canon)
+             .withColumn("drop_reason", url_filter_flags(F.col("canon_url")))
+             .withColumn("keep", F.col("drop_reason").isNull()))
+    return out.filter("keep").drop("drop_reason", "keep") if keep_only else out
+
+
+def dedup_by_canonical_url(df: DataFrame, url_col: str = "url",
+                           id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup: keep the lowest-id document per canonical URL
+    (same min-struct partial-agg shape as text_dedup.dedup_chunks — one
+    hash aggregation, map-side combine on hot URLs)."""
+    canon = canonicalize_url(F.col(url_col)).alias("canon_url")
+    return (df.select(canon, F.col(id_col))
+              .groupBy("canon_url")
+              .agg(F.min(id_col).alias(id_col)))

@@ -1,0 +1,108 @@
+"""Unit tests for URL canonicalization / filtering / canonical-URL dedup
+and the text-normalization operators."""
+
+from pyspark.sql import functions as F
+
+from news_rss_spark.operators.text_analysis import (
+    normalize_text,
+    normalize_text_nfc,
+)
+from news_rss_spark.operators.url_ops import (
+    canonicalize_url,
+    dedup_by_canonical_url,
+    filter_urls,
+)
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(canonicalize_url(F.col("url")).alias("c")).first()["c"]
+
+
+class TestCanonicalizeUrl:
+    def test_case_port_fragment_tracking(self, spark):
+        assert _canon(
+            spark, "HTTP://Ex.COM:80/a?utm_source=x&b=1#frag"
+        ) == "http://ex.com/a?b=1"
+        assert _canon(
+            spark, "https://ex.com:443/path?z=1&a=2"
+        ) == "https://ex.com/path?a=2&z=1"  # params sorted
+
+    def test_empty_path_and_query_normalize(self, spark):
+        assert _canon(spark, "https://ex.com") == "https://ex.com/"
+        assert _canon(
+            spark, "https://ex.com/x?utm_campaign=c&gclid=9"
+        ) == "https://ex.com/x"
+
+    def test_equivalent_crawl_urls_collide(self, spark):
+        a = _canon(spark, "HTTP://Ex.com/a?utm_source=x&b=1#frag")
+        b = _canon(spark, "http://ex.com:80/a?b=1")
+        assert a == b
+
+    def test_relative_url_falls_back_untouched(self, spark):
+        assert _canon(spark, "  /world/news.html ") == "/world/news.html"
+
+    def test_non_default_port_survives(self, spark):
+        assert _canon(spark, "https://ex.com:8443/a") == "https://ex.com:8443/a"
+
+
+class TestFilterUrls:
+    def test_reasons_and_keep_flag(self, spark):
+        rows = [
+            (1, "https://ok.example.org/a"),
+            (2, "ftp://files.example.org/x"),
+            (3, "https://spam.example.com/promo"),
+            (4, "https://sub.lnk.example/r/9"),
+            (5, "https://ok.example.org/casino-night"),
+            (6, "https://ok.example.org/b?" + "p=1&" * 600 + "q=2"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {r["doc_id"]: (r["keep"], r["drop_reason"])
+               for r in filter_urls(df).collect()}
+        assert got[1] == (True, None)
+        assert got[2] == (False, "scheme")
+        assert got[3] == (False, "blocked_domain")
+        assert got[4] == (False, "blocked_domain")  # subdomain match
+        assert got[5] == (False, "badword")
+        assert got[6] == (False, "too_long")
+
+    def test_keep_only_drops_rows_and_flags(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://ok.example.org/a"), (2, "ftp://x/y")],
+            "doc_id long, url string")
+        out = filter_urls(df, keep_only=True)
+        assert out.columns == ["doc_id", "url", "canon_url"]
+        assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+class TestDedupByCanonicalUrl:
+    def test_lowest_id_wins_per_canonical_url(self, spark):
+        df = spark.createDataFrame(
+            [(7, "http://ex.com/a?b=1"),
+             (3, "HTTP://EX.com:80/a?utm_source=s&b=1#f"),
+             (9, "http://ex.com/other")],
+            "doc_id long, url string")
+        got = {r["canon_url"]: r["doc_id"]
+               for r in dedup_by_canonical_url(df).collect()}
+        assert got == {"http://ex.com/a?b=1": 3, "http://ex.com/other": 9}
+
+
+class TestNormalizeText:
+    def test_controls_stripped_whitespace_collapsed(self, spark):
+        df = spark.createDataFrame(
+            [(1, " a\x00b\tc\r\n  d\x7f ")], "doc_id long, text string")
+        got = normalize_text(df).first()["norm_text"]
+        assert got == "ab c d"
+
+    def test_lowercase_option(self, spark):
+        df = spark.createDataFrame([(1, "A  B")], "doc_id long, text string")
+        assert normalize_text(df, lowercase=True).first()["norm_text"] == "a b"
+
+    def test_nfc_arrow_stage(self, spark):
+        # e + combining acute (NFD) must compose to U+00E9; None passes through
+        df = spark.createDataFrame(
+            [(1, "cafe\u0301"), (2, None)], "doc_id long, text string")
+        got = {r["doc_id"]: r["norm_text"]
+               for r in normalize_text_nfc(df).collect()}
+        assert got[1] == "caf\u00e9"
+        assert got[2] is None
