@@ -308,23 +308,35 @@ def q_extract_pipeline(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """ANN scale path: LSH-bucketed top-k (no SQL oracle — verified against
-    the brute-force baseline in tests via recall)."""
+    """ANN scale path: LSH-bucketed multiprobe top-k.  Hyperplanes are
+    seeded and embeddings cast to double, so the ENTIRE plan — signature
+    bits, base bucket, smallest-|margin| multiprobe flips, bucket-pruned
+    cosine top-k — is reproduced exactly by the DuckDB oracle with the
+    same plane constants embedded (recall vs brute force is separately
+    pytest-asserted)."""
+    import numpy as np
     from news_rss_spark.operators.similarity import lsh_bucket_topk
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     qv = [float(x) for x in
           e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]]
-    return lsh_bucket_topk(e, qv, k=10, n_planes=8, multiprobe=4)
+    return lsh_bucket_topk(e, qv, k=10, n_planes=8, multiprobe=4,
+                           dtype=np.float64)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """ANN scale path #2: IVF cell-probed top-k (no SQL oracle — verified
-    against the brute-force baseline in tests via recall)."""
-    from news_rss_spark.operators.similarity import ivf_topk
-    e = _t(spark, sf_dir, "embeddings")
+    """ANN scale path #2: IVF cell-probed top-k with PINNED deterministic
+    centroids (similarity.pinned_centroids) — cell assignment, probe
+    selection, and cosine top-k all SQL-expressible, so this has a full
+    DuckDB-oracle CORRECTNESS row.  The trained-centroid path (sampled
+    spherical k-means) stays recall- and determinism-tested in pytest."""
+    from news_rss_spark.operators.similarity import ivf_topk, pinned_centroids
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     qv = [float(x) for x in
           e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]]
-    return ivf_topk(e, qv, k=10, n_cells=16, n_probe=6)
+    return ivf_topk(e, qv, k=10, n_cells=16, n_probe=6,
+                    centroids=pinned_centroids(64, 16))
 
 
 def q_simhash_near_dup(spark, sf_dir):
@@ -434,13 +446,17 @@ def q_dedup_clusters(spark, sf_dir):
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Embedding near-dup SCALE path: random-hyperplane LSH bucket as the
-    equi-join key, quadratic cosine verify confined to within-bucket pairs
-    (no oracle — approximate recall vs the brute-force baseline is asserted
-    in tests/test_similarity_multimodal.py)."""
+    equi-join key, quadratic cosine verify confined to within-bucket pairs.
+    Seeded double-precision hyperplanes make the bucketing deterministic,
+    so the DuckDB oracle replays the same banding + verify exactly (recall
+    vs the brute-force baseline stays pytest-asserted)."""
+    import numpy as np
     from news_rss_spark.operators.similarity import embedding_near_dup_pairs
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     return embedding_near_dup_pairs(e, threshold=0.5, dim=64, n_planes=8,
-                                    vec_col="embedding", id_col="vec_id")
+                                    vec_col="embedding", id_col="vec_id",
+                                    dtype=np.float64)
 
 
 def q_rss_parse(spark, sf_dir):
@@ -571,18 +587,34 @@ def q_worker_info(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal decode + features: REAL PPM/WAV decode for image/audio
-    payloads (pure-Python codecs), sha1 stand-in for the video payloads —
-    feature[0] == 1.0 marks an actually-decoded row (no SQL oracle: DuckDB
-    cannot decode PPM/WAV; decode correctness is pytest-verified against
-    hand-computed pixels/samples)."""
-    from news_rss_spark.operators.multimodal import extract_features, synth_media
+    """Multimodal decode, oracle-checked: REAL PPM/WAV decode of the
+    deterministic synth payloads, reduced to integer-exact stats (payload
+    bytes, decoded image dims + exact pixel-byte sum, audio sample count +
+    rate) that a DuckDB oracle re-derives from the synthesis rule — so a
+    wrong decode of ANY pixel/sample byte breaks the hash.  The feature
+    extractor runs too and must agree on what decoded (``decoded_f``);
+    its float32 vectors stay pytest-verified (float32 summation order is
+    not SQL-reproducible)."""
+    from news_rss_spark.operators.multimodal import (
+        decode_stats,
+        extract_features,
+        synth_media,
+    )
     d = _t(spark, sf_dir, "documents")
     media = synth_media(d)
-    feats = extract_features(media)
-    return feats.select(
-        "media_id", "kind", "n_bytes", "sha1",
-        (F.element_at("feature", 1) >= 1.0).alias("decoded"))
+    stats = decode_stats(media)
+    feats = extract_features(media).select(
+        "media_id", (F.element_at("feature", 1) >= 1.0).alias("decoded_f"))
+    out = stats.join(feats, "media_id")
+    # not-applicable stats -> -1 sentinels: NULLs in value columns break
+    # row-tuple sorting in comparators when the leading columns tie
+    return out.select(
+        "media_id", "kind", "n_bytes", "decoded",
+        *[F.coalesce(F.col(c), F.lit(-1).cast(t)).alias(c)
+          for c, t in [("width", "int"), ("height", "int"),
+                       ("px_sum", "bigint"), ("n_samples", "int"),
+                       ("sample_rate", "int")]],
+        "decoded_f")
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -746,7 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "normalize_text": q_normalize_text,
-        # no-oracle entries (non-SQL-expressible / approximate):
+        # deterministic pinned-constant entries (planes/centroids embedded
+        # in the oracle SQL; approximation QUALITY stays pytest-asserted):
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1313,7 +1346,152 @@ SELECT doc_id,
     AS norm_text
 FROM documents WHERE text IS NOT NULL
 """,
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
+        "embedding_near_dup_lsh": _emb_lsh_pairs_sql(),
+        "multimodal_features": _multimodal_sql(),
     }
+
+
+def _dlist(vec) -> str:
+    """DuckDB DOUBLE[] literal from a float sequence (repr = shortest
+    round-trip decimal, so the SQL constant is the exact same double)."""
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+
+_COS6 = ("round(list_dot_product({a}, {b}) / "
+         "(sqrt(list_dot_product({a}, {a})) * "
+         "sqrt(list_dot_product({b}, {b}))), 6)")
+
+
+def _lsh_planes_cte(n_planes: int = 8, seed: int = 42) -> str:
+    """``pl(j, p)`` VALUES CTE with the same seeded hyperplanes
+    similarity.hyperplanes(64, n_planes, seed, dtype=float64) produces."""
+    import numpy as np
+    from news_rss_spark.operators.similarity import hyperplanes
+    planes = hyperplanes(64, n_planes, seed, dtype=np.float64)
+    rows = ",\n    ".join(f"({j}, {_dlist(planes[j])})"
+                          for j in range(n_planes))
+    return f"pl(j, p) AS (VALUES\n    {rows})"
+
+
+_SIG_CTE = """
+sig AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                       THEN (1 << pl.j) ELSE 0 END) AS INT) AS bucket
+  FROM e CROSS JOIN pl GROUP BY e.vec_id
+)"""
+
+
+def _ann_lsh_sql() -> str:
+    """Mirror of q_ann_lsh_topk: sign-LSH signatures, base bucket of the
+    vec_id=0 query, 4 multiprobe flips on the smallest-|margin| planes,
+    bucket-pruned cosine top-10."""
+    cos = _COS6.format(a="cand.v", b="q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_lsh_planes_cte()},{_SIG_CTE},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qm AS (SELECT pl.j, list_dot_product(q.qv, pl.p) AS d FROM pl, q),
+base AS (SELECT CAST(SUM(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS INT) AS b
+         FROM qm),
+flips AS (SELECT j FROM qm ORDER BY abs(d), j LIMIT 4),
+probes AS (SELECT b AS bucket FROM base
+           UNION ALL SELECT xor(b, 1 << j) FROM base, flips),
+cand AS (SELECT e.vec_id, e.v FROM e JOIN sig USING (vec_id)
+         WHERE sig.bucket IN (SELECT bucket FROM probes))
+SELECT cand.vec_id, {cos} AS cosine
+FROM cand, q
+ORDER BY cosine DESC, cand.vec_id
+LIMIT 10
+"""
+
+
+def _ann_ivf_sql() -> str:
+    """Mirror of q_ann_ivf_topk: argmax-dot cell assignment against the
+    pinned centroids, 6 nearest-centroid probe cells, cosine top-10.
+    Normalizations cancel out of every ordering, so plain dot products
+    reproduce the production argmax/argsort exactly."""
+    from news_rss_spark.operators.similarity import pinned_centroids
+    cents = pinned_centroids(64, 16)
+    rows = ",\n    ".join(f"({c}, {_dlist(cents[c])})" for c in range(16))
+    cos = _COS6.format(a="cand.v", b="q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent(cell, cv) AS (VALUES
+    {rows}),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+scored AS (SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS d
+           FROM e CROSS JOIN cent c),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d DESC, cell) AS rn
+             FROM scored) WHERE rn = 1),
+probes AS (SELECT c.cell FROM cent c, q
+           ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell LIMIT 6),
+cand AS (SELECT e.vec_id, e.v FROM e JOIN assign USING (vec_id)
+         WHERE assign.cell IN (SELECT cell FROM probes))
+SELECT cand.vec_id, {cos} AS cosine
+FROM cand, q
+ORDER BY cosine DESC, cand.vec_id
+LIMIT 10
+"""
+
+
+def _emb_lsh_pairs_sql() -> str:
+    """Mirror of q_embedding_near_dup_lsh: bucket equi-join + within-bucket
+    cosine verify at threshold 0.5."""
+    cos = _COS6.format(a="x.v", b="y.v")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_lsh_planes_cte()},{_SIG_CTE},
+b AS (SELECT e.vec_id, e.v, s.bucket FROM e JOIN sig s USING (vec_id))
+SELECT x.vec_id AS a, y.vec_id AS b, {cos} AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE {cos} >= 0.5
+"""
+
+
+def _multimodal_sql() -> str:
+    """Re-derive the decode-stat integers from synth_media's synthesis
+    rule: image = P6 PPM, w=4+i%5, h=3+i%4, pixel k = (7k+i)%256 (header
+    is 11 bytes for 1-digit dims, 9+digits generally); audio = 16-bit PCM
+    WAV, 64+i%64 mono frames at 8 kHz, 44-byte header; video = 800 opaque
+    bytes, undecodable."""
+    return """
+WITH m AS (
+  SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         64 + doc_id % 64 AS n
+  FROM documents
+),
+px AS (
+  -- generate_series cannot be laterally correlated in DuckDB: use the
+  -- static max pixel-count range (w<=8, h<=6 -> 3wh<=144) and filter
+  SELECT m.i, CAST(SUM((t.k * 7 + m.i) % 256) AS BIGINT) AS pxs
+  FROM m, generate_series(0, 143) AS t(k)
+  WHERE m.i % 3 = 0 AND t.k < 3 * m.w * m.h
+  GROUP BY m.i
+)
+SELECT media_id, kind,
+  CAST(CASE WHEN m.i % 3 = 0
+            THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                 + 3 * w * h
+            WHEN m.i % 3 = 1 THEN 44 + 2 * n
+            ELSE 800 END AS BIGINT) AS n_bytes,
+  (m.i % 3 <> 2) AS decoded,
+  CAST(CASE WHEN m.i % 3 = 0 THEN w ELSE -1 END AS INTEGER) AS width,
+  CAST(CASE WHEN m.i % 3 = 0 THEN h ELSE -1 END AS INTEGER) AS height,
+  coalesce(px.pxs, -1) AS px_sum,
+  CAST(CASE WHEN m.i % 3 = 1 THEN n ELSE -1 END AS INTEGER) AS n_samples,
+  CAST(CASE WHEN m.i % 3 = 1 THEN 8000 ELSE -1 END AS INTEGER) AS sample_rate,
+  (m.i % 3 <> 2) AS decoded_f
+FROM m LEFT JOIN px ON m.i = px.i
+"""
 
 
 def _lang_id_sql() -> str:

@@ -206,6 +206,56 @@ def extract_features(media: DataFrame, batch_kind: str | None = None) -> DataFra
     return src.select("media_id", "kind", "payload").mapInPandas(fn, FEATURES_DDL)
 
 
+DECODE_STATS_DDL = (
+    "media_id string, kind string, n_bytes bigint, decoded boolean, "
+    "width int, height int, px_sum bigint, n_samples int, sample_rate int"
+)
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """Integer-exact decode statistics over ``mapInPandas`` — the
+    oracle-checkable face of the REAL decoders.
+
+    Per media row: payload byte count, whether a pure-Python codec decoded
+    it, and codec-derived integers — image width/height and the exact sum
+    of all decoded pixel bytes (``px_sum``), audio sample count and rate.
+    Everything here is an integer, so a SQL oracle that re-derives the
+    values from the synthesis rule checks the decoders bit-exactly (the
+    float feature vectors stay pytest-verified — float32 summation order
+    is not SQL-reproducible)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                n_bytes = len(payload or b"")
+                try:
+                    decoded = decode_real(payload, kind)
+                except (NotImplementedError, ValueError):
+                    rows.append((mid, kind, n_bytes, False,
+                                 None, None, None, None, None))
+                    continue
+                if kind == "image":
+                    h, w = decoded.shape[:2]
+                    rows.append((mid, kind, n_bytes, True, w, h,
+                                 int(decoded.astype(np.int64).sum()),
+                                 None, None))
+                else:
+                    samples, rate = decoded
+                    rows.append((mid, kind, n_bytes, True, None, None,
+                                 None, int(samples.size), int(rate)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "n_bytes", "decoded", "width", "height",
+                "px_sum", "n_samples", "sample_rate",
+            ]).astype({"n_bytes": "int64", "width": "Int32",
+                       "height": "Int32", "px_sum": "Int64",
+                       "n_samples": "Int32", "sample_rate": "Int32"})
+
+    return (media.select("media_id", "kind", "payload")
+            .mapInPandas(fn, DECODE_STATS_DDL))
+
+
 def _resize_nn(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     """Nearest-neighbour resample via numpy fancy indexing (vectorized)."""
     h, w = arr.shape[:2]

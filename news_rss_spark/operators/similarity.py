@@ -55,9 +55,13 @@ def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
 
 # ---------------------------------------------------------------- LSH
 
-def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42,
+                dtype=np.float32) -> np.ndarray:
+    """Seeded random hyperplanes.  ``dtype=np.float64`` (with embeddings
+    cast to ``array<double>``) makes the sign computation bit-reproducible
+    in double precision — the shape the DuckDB oracle queries pin."""
     rng = np.random.RandomState(seed)
-    return rng.randn(n_planes, dim).astype(np.float32)
+    return rng.randn(n_planes, dim).astype(dtype)
 
 
 def signature_udf(planes: np.ndarray):
@@ -77,14 +81,14 @@ def signature_udf(planes: np.ndarray):
 
 def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 12,
                     seed: int = 42, vec_col: str = "embedding",
-                    out: str = "bucket") -> DataFrame:
-    planes = hyperplanes(dim, n_planes, seed)
+                    out: str = "bucket", dtype=np.float32) -> DataFrame:
+    planes = hyperplanes(dim, n_planes, seed, dtype=dtype)
     return df.withColumn(out, signature_udf(planes)(F.col(vec_col)))
 
 
 def _query_buckets(query: list[float], planes: np.ndarray,
                    multiprobe: int = 0) -> list[int]:
-    q = np.asarray(query, dtype=np.float32)
+    q = np.asarray(query, dtype=planes.dtype)
     margins = planes @ q
     base = 0
     for j, m in enumerate(margins):
@@ -102,15 +106,15 @@ def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
                     dim: int | None = None, n_planes: int = 12,
                     seed: int = 42, multiprobe: int = 3,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> DataFrame:
+                    id_col: str = "vec_id", dtype=np.float32) -> DataFrame:
     """ANN top-k: probe the query's LSH bucket (+ multiprobe neighbors).
 
     At scale the table is WRITTEN partitioned by bucket, so this filter is
     partition pruning — the scan touches only probed buckets.
     """
     dim = dim or len(query)
-    planes = hyperplanes(dim, n_planes, seed)
-    bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col)
+    planes = hyperplanes(dim, n_planes, seed, dtype=dtype)
+    bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col, dtype=dtype)
     probes = _query_buckets(query, planes, multiprobe)
     cand = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, query, k, vec_col, id_col)
@@ -141,12 +145,25 @@ def train_ivf_centroids(df: DataFrame, n_cells: int = 16, seed: int = 42,
     return cent
 
 
+def pinned_centroids(dim: int, n_cells: int = 16, seed: int = 7) -> np.ndarray:
+    """Deterministic L2-normalized float64 centroids from a seeded RNG —
+    no training, no data dependence.  With these passed to :func:`ivf_topk`
+    the whole IVF plan (cell assignment, probe selection, cosine top-k) is
+    SQL-expressible, so the driver's DuckDB oracle can check it exactly;
+    quality-bearing TRAINED centroids stay recall-tested in pytest."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_cells, dim)
+    return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+
 def cell_udf(centroids: np.ndarray):
-    """Vectorized IVF cell assignment: one numpy matmul per Arrow batch."""
+    """Vectorized IVF cell assignment: one numpy matmul per Arrow batch.
+    Computation dtype follows the centroids' dtype (float32 for trained
+    production centroids; float64 for the pinned oracle-checkable path)."""
 
     @pandas_udf("int")
     def cell(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy()).astype(np.float32)
+        mat = np.stack(v.to_numpy()).astype(centroids.dtype)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(mat @ centroids.T, axis=1).astype(np.int32))
 
@@ -169,7 +186,7 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
     if centroids is None:
         centroids = train_ivf_centroids(df, n_cells, seed,
                                         vec_col=vec_col, id_col=id_col)
-    q = np.asarray(query, dtype=np.float32)
+    q = np.asarray(query, dtype=centroids.dtype)
     q = q / max(np.linalg.norm(q), 1e-12)
     probes = [int(i) for i in np.argsort(-(centroids @ q))[:n_probe]]
     cand = with_ivf_cell(df, centroids, vec_col).filter(F.col("cell").isin(probes))
@@ -179,10 +196,11 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              dim: int = 64, n_planes: int = 8,
                              seed: int = 42, vec_col: str = "embedding",
-                             id_col: str = "vec_id") -> DataFrame:
+                             id_col: str = "vec_id",
+                             dtype=np.float32) -> DataFrame:
     """Cosine near-duplicate pairs, LSH-bucketed: the quadratic verify runs
     only within buckets (near-identical vectors collide with high prob.)."""
-    b = with_lsh_bucket(df, dim, n_planes, seed, vec_col)
+    b = with_lsh_bucket(df, dim, n_planes, seed, vec_col, dtype=dtype)
     a = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
     c = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
                  F.col("bucket").alias("bucket_b"))

@@ -233,3 +233,46 @@ class TestSecondReviewRegressions:
                   "mime string, width int, height int, duration_ms int")
         out = resize_images(media, 4, 4).collect()[0]  # passthrough, no crash
         assert bytes(out["payload"]).startswith(b"P6")
+
+
+class TestPinnedOracles:
+    """The deterministic pinned-constant paths that back the DuckDB-oracle
+    rows for ann_lsh_topk / ann_ivf_topk / multimodal_features."""
+
+    def test_pinned_centroids_deterministic_unit_norm(self, spark):
+        import numpy as np
+
+        from news_rss_spark.operators.similarity import pinned_centroids
+        c1, c2 = pinned_centroids(64, 16), pinned_centroids(64, 16)
+        assert c1.dtype == np.float64 and c1.shape == (16, 64)
+        assert (c1 == c2).all()
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    def test_ivf_pinned_finds_query_vector(self, spark):
+        import numpy as np
+
+        from news_rss_spark.operators.similarity import ivf_topk, pinned_centroids
+        e = _emb(spark).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        q = _query(spark)
+        got = ivf_topk(e, q, k=10, n_probe=6,
+                       centroids=pinned_centroids(64, 16)).collect()
+        assert got[0]["vec_id"] == 0 and got[0]["cosine"] == 1.0
+
+    def test_decode_stats_integers_match_hand_computation(self, spark):
+        import numpy as np
+
+        from news_rss_spark.operators.multimodal import decode_stats, synth_media
+        ids = spark.createDataFrame([(i,) for i in (3, 7, 5)], "doc_id long")
+        got = {r["media_id"]: r for r in decode_stats(synth_media(ids)).collect()}
+        img = got["3"]  # i=3 -> image, w=4+3%5=7, h=3+3%4=6
+        assert (img["width"], img["height"]) == (7, 6)
+        assert img["n_bytes"] == 11 + 3 * 7 * 6
+        assert img["px_sum"] == int(((np.arange(6 * 7 * 3, dtype=np.int64) * 7 + 3) % 256).sum())
+        assert img["decoded"] and img["n_samples"] is None
+        aud = got["7"]  # i=7 -> audio, n=64+7%64=71 frames at 8 kHz
+        assert (aud["n_samples"], aud["sample_rate"]) == (71, 8000)
+        assert aud["n_bytes"] == 44 + 2 * 71 and aud["decoded"]
+        vid = got["5"]  # i=5 -> opaque video payload: sha1 digest * 40
+        assert vid["n_bytes"] == 800 and not vid["decoded"]
+        assert vid["width"] is None and vid["n_samples"] is None
