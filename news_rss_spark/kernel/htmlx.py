@@ -344,9 +344,14 @@ MIN_HEADING_CHARS = 10
 MAX_LINK_DENSITY = 0.33
 
 _WS_RE = re.compile(r"[ \t\r\n\f ]+")
+# if none of these occur, the collapse regex is the identity (single
+# spaces map to single spaces) and only the edge-strip remains
+_WS_NEEDS_RE = re.compile(r"[\t\r\n\f ]|  ")
 
 
 def _norm_text(s: str) -> str:
+    if _WS_NEEDS_RE.search(s) is None:
+        return s.strip()
     return _WS_RE.sub(" ", s).strip()
 
 
@@ -488,14 +493,18 @@ _AUTOCLOSE = {"p": {"p"}, "li": {"li"}, "td": {"td", "th"}, "th": {"td", "th"},
 
 
 def extract_page_spans(html: str) -> list[tuple[str, str | None, str | None]]:
-    """Page-path extraction, streaming route (the default): one pass over
-    the token stream replicating build_dom's stack semantics (autoclose,
-    mismatch-tolerant multi-pop) and segment_blocks' emission rules without
-    materializing a DOM.  Measured marginally faster than the DOM route on
-    fixture pages (0.32 vs 0.33 ms/page median — per-token interpreter
-    overhead dominates both); byte-identical output enforced by
-    TestStreamingDomParity and a full-corpus equality check, with the DOM
-    route kept as the readable oracle."""
+    """Page-path extraction, FUSED streaming route (the default): the
+    tokenizer loop is inlined into the stack-replay extractor, so each page
+    is one pass with no intermediate token list, attributes are parsed
+    lazily (only media/``source`` tags and elements whose attr string can
+    contain class/id pay the attr regex), and whitespace-only text runs
+    short-circuit before the entity/normalize regexes (``raw.isspace()``
+    implies the normalized text is empty — both the regex class and
+    ``str.strip`` treat every Unicode whitespace char as removable at the
+    edges).  Replicates build_dom's stack semantics (autoclose,
+    mismatch-tolerant multi-pop) and segment_blocks' emission rules;
+    byte-identical output vs the readable DOM oracle route is enforced by
+    TestStreamingDomParity and a full-corpus equality check."""
     blocks: list[Block] = []
     # element stack frames: [tag, is_block_host, pos, neg, in_link, pruned]
     frames: list[list] = []
@@ -506,16 +515,13 @@ def extract_page_spans(html: str) -> list[tuple[str, str | None, str | None]]:
     # frame pops, then the resolved ref is emitted into the host flow
     capture = None  # [kind, depth, attr_ref, source_ref]
 
-    def top_flags():
+    def emit_text(raw: str) -> None:
+        # caller gates on pruned/capture and the whitespace fast path
         if frames:
             f = frames[-1]
-            return f[2], f[3], f[4], f[5]
-        return False, False, False, False
-
-    def emit_text(raw: str) -> None:
-        pos, neg, in_link, pruned = top_flags()
-        if pruned or capture is not None:
-            return
+            pos, neg, in_link = f[2], f[3], f[4]
+        else:
+            pos = neg = in_link = False
         norm = _norm_text(decode_entities(raw))
         if not norm:
             return
@@ -565,66 +571,169 @@ def extract_page_spans(html: str) -> list[tuple[str, str | None, str | None]]:
         if popped_block:
             hosts[-1][1] = None
 
-    for tok in tokenize(html):
-        t0 = tok[0]
-        if t0 == "text":
-            emit_text(tok[1])
-        elif t0 == "start":
-            _t, name, attrs, self_closing = tok
+    find = html.find
+    i, n = 0, len(html)
+    while i < n:
+        lt = find("<", i)
+        if lt == -1:
+            raw = html[i:]
+            if (capture is None and not (frames and frames[-1][5])
+                    and not raw.isspace()):
+                emit_text(raw)
+            break
+        if lt > i:
+            raw = html[i:lt]
+            if (capture is None and not (frames and frames[-1][5])
+                    and not raw.isspace()):
+                emit_text(raw)
+        if lt + 1 >= n:
+            # trailing "<" is a text token (tokenize parity)
+            if capture is None and not (frames and frames[-1][5]):
+                emit_text("<")
+            break
+        c = html[lt + 1]
+        # ASCII-letters-only gate, matching the ASCII tag-name regex (and
+        # the HTML spec): '<é' is text, never a start tag
+        if "a" <= c <= "z" or "A" <= c <= "Z":
+            m = _FULL_TAG_RE.match(html, lt + 1)
+            if m:
+                name = m.group(1).lower()
+                raw_attrs = m.group(2)
+                i = m.end()
+            else:
+                # slow path: scan respecting quotes (tokenize parity)
+                j = _TAG_NAME_TAIL_RE.match(html, lt + 1).end()
+                name = html[lt + 1:j].lower()
+                k = _ATTR_SCAN_RE.match(html, j).end()
+                quote: str | None = None
+                while k < n:
+                    ch = html[k]
+                    if quote:
+                        if ch == quote:
+                            quote = None
+                    elif ch in "\"'":
+                        quote = ch
+                    elif ch == ">":
+                        break
+                    k += 1
+                if k >= n:  # unterminated tag -> drop rest (regex parity)
+                    break
+                raw_attrs = html[j:k]
+                i = k + 1
+            stripped = raw_attrs.rstrip()
+            self_closing = stripped.endswith("/")
+
+            # ---- start-tag handling (attrs parsed only where consulted) --
             closes = _AUTOCLOSE.get(name)
             if closes and frames and frames[-1][0] in closes:
                 pop_frames(len(frames) - 1)
-            pos, neg, in_link, pruned = top_flags()
+            if frames:
+                f = frames[-1]
+                pos, neg, in_link, pruned = f[2], f[3], f[4], f[5]
+            else:
+                pos = neg = in_link = pruned = False
             suppressed = pruned or capture is not None
-            if name in ("img", "video") and not suppressed:
+            if not suppressed and (name == "img" or name == "video"):
+                attrs = _parse_attrs(stripped.rstrip("/"))
                 ref = attrs.get("src") or attrs.get("data-src")
                 if name == "img" or self_closing:
                     # img is void; a self-closed video has no <source> kids
                     if ref:
                         emit_media(name, ref, pos, neg)
-                    continue  # no frame
-                # video: defer until its subtree closes (a <source> child
-                # may carry the ref); everything inside is suppressed
-                frames.append([name, False, pos, neg, in_link, pruned])
-                capture = ["video", len(frames), ref, None]
+                else:
+                    # video: defer until its subtree closes (a <source>
+                    # child may carry the ref); inside is suppressed
+                    frames.append([name, False, pos, neg, in_link, pruned])
+                    capture = ["video", len(frames), ref, None]
                 continue
             if (capture is not None and name == "source"
                     and len(frames) == capture[1] and capture[3] is None):
-                s = attrs.get("src")
+                s = _parse_attrs(stripped.rstrip("/")).get("src")
                 if s:
                     capture[3] = s
             if self_closing or name in VOID_ELEMENTS:
                 if name in BLOCK_ELEMENTS and not suppressed:
                     # a childless block element still ends the open run
-                    # (build_dom appends the node; segment resets current)
                     hosts[-1][1] = None
-                continue
-            ch_pruned = pruned or name in PRUNE_ELEMENTS
-            if suppressed or ch_pruned:
+            elif suppressed or name in PRUNE_ELEMENTS:
                 frames.append([name, False, pos, neg, in_link, True])
-                continue
-            ci_cls = attrs.get("class", "")
-            ci_id = attrs.get("id", "")
-            ch_neg = neg
-            ch_pos = pos or name == "article"
-            if ci_cls or ci_id:
-                ci = f"{ci_cls} {ci_id}"
-                ch_neg = ch_neg or bool(_NEGATIVE_RE.search(ci))
-                ch_pos = ch_pos or bool(_POSITIVE_RE.search(ci))
-            is_block = name in BLOCK_ELEMENTS
-            frames.append([name, is_block, ch_pos, ch_neg,
-                           in_link or name == "a", False])
-            if is_block:
-                blk = Block(name, positive=ch_pos, negative=ch_neg)
-                blocks.append(blk)
-                hosts.append([name, blk, ch_pos, ch_neg])
-        else:  # end tag
-            name = tok[1]
-            for idx in range(len(frames) - 1, -1, -1):
-                if frames[idx][0] == name:
-                    pop_frames(idx)
-                    break
-            # unmatched end tag: ignored (build_dom parity)
+            else:
+                ch_neg = neg
+                ch_pos = pos or name == "article"
+                # class/id can only exist if those substrings appear in the
+                # raw attr text — most tags skip the attr regex entirely
+                if stripped and ("class" in stripped or "id" in stripped):
+                    attrs = _parse_attrs(stripped.rstrip("/"))
+                    ci_cls = attrs.get("class", "")
+                    ci_id = attrs.get("id", "")
+                    if ci_cls or ci_id:
+                        ci = f"{ci_cls} {ci_id}"
+                        ch_neg = ch_neg or bool(_NEGATIVE_RE.search(ci))
+                        ch_pos = ch_pos or bool(_POSITIVE_RE.search(ci))
+                is_block = name in BLOCK_ELEMENTS
+                frames.append([name, is_block, ch_pos, ch_neg,
+                               in_link or name == "a", False])
+                if is_block:
+                    blk = Block(name, positive=ch_pos, negative=ch_neg)
+                    blocks.append(blk)
+                    hosts.append([name, blk, ch_pos, ch_neg])
+            if name in RAWTEXT_ELEMENTS and not self_closing:
+                m2 = _RAWTEXT_CLOSE_RES[name].search(html, i)
+                if m2:
+                    # raw text dropped for script/style, kept for
+                    # title/textarea (tokenize parity: text then end token)
+                    if name in ("title", "textarea"):
+                        raw = html[i:m2.start()]
+                        if (raw and capture is None
+                                and not (frames and frames[-1][5])
+                                and not raw.isspace()):
+                            emit_text(raw)
+                    for idx in range(len(frames) - 1, -1, -1):
+                        if frames[idx][0] == name:
+                            pop_frames(idx)
+                            break
+                    i = m2.end()
+                else:
+                    i = n
+            continue
+        if c == "!":
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                i = n if end == -1 else end + 3
+            elif html.startswith("<![CDATA[", lt):
+                end = find("]]>", lt + 9)
+                raw = html[lt + 9:] if end == -1 else html[lt + 9:end]
+                if (raw and capture is None and not (frames and frames[-1][5])
+                        and not raw.isspace()):
+                    emit_text(raw)
+                i = n if end == -1 else end + 3
+            else:  # doctype or bogus declaration
+                end = find(">", lt)
+                i = n if end == -1 else end + 1
+            continue
+        if c == "?":
+            end = find(">", lt)
+            i = n if end == -1 else end + 1
+            continue
+        if c == "/":
+            m = _END_TAG_RE.match(html, lt)
+            if m:
+                name = m.group(1).lower()
+                for idx in range(len(frames) - 1, -1, -1):
+                    if frames[idx][0] == name:
+                        pop_frames(idx)
+                        break
+                # unmatched end tag: ignored (build_dom parity)
+                i = m.end()
+            else:
+                if capture is None and not (frames and frames[-1][5]):
+                    emit_text("<")
+                i = lt + 1
+            continue
+        # lone "<" before a non-tag char is a text token (tokenize parity)
+        if capture is None and not (frames and frames[-1][5]):
+            emit_text("<")
+        i = lt + 1
 
     if frames:
         pop_frames(0)
