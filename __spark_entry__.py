@@ -734,6 +734,49 @@ def q_normalize_text(spark, sf_dir):
     return normalize_text(dirty).select("doc_id", "norm_text")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (engine-new temporal operator): each purchase matched to
+    the user's most recent view at or before it — ONE shuffle, union +
+    per-key window carry-forward, no join node (operators/temporal.py).
+    Oracle: DuckDB's native ASOF LEFT JOIN (an independent implementation
+    of the same semantics)."""
+    from news_rss_spark.operators.temporal import asof_join
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), "value")
+    out = asof_join(pur, views, on="ts", by="user_id")
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.coalesce("r_view_id", F.lit(-1)).alias("view_id"),
+        F.coalesce(F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                   F.lit("")).alias("view_ts_s"),
+        F.coalesce("r_value", F.lit(-1.0)).alias("view_value"))
+
+
+def q_interval_join(spark, sf_dir):
+    """Range/interval join (engine-new temporal operator): clicks inside
+    each signup's one-hour window, via the (key, time-bucket) equi-join
+    plan — the non-equi containment predicate never becomes a nested-loop
+    join.  Oracle: the plain BETWEEN join (quadratic is fine at sf0.01)."""
+    from news_rss_spark.operators.temporal import interval_join
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"))
+    pts = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"))
+    out = interval_join(iv, pts, by="user_id", bucket_secs=3600)
+    return out.select(
+        "signup_id", "user_id", "click_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts_s"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_strip": q_tag_strip,
@@ -778,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "normalize_text": q_normalize_text,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         # deterministic pinned-constant entries (planes/centroids embedded
         # in the oracle SQL; approximation QUALITY stays pytest-asserted):
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1350,6 +1395,24 @@ FROM documents WHERE text IS NOT NULL
         "ann_ivf_topk": _ann_ivf_sql(),
         "embedding_near_dup_lsh": _emb_lsh_pairs_sql(),
         "multimodal_features": _multimodal_sql(),
+        "asof_join": """
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       coalesce(r.event_id, -1) AS view_id,
+       coalesce(strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f'), '') AS view_ts_s,
+       coalesce(r.value, -1.0) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "interval_join": """
+SELECT s.event_id AS signup_id, s.user_id, c.event_id AS click_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts_s
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON s.user_id = c.user_id
+ AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+""",
     }
 
 
