@@ -777,6 +777,45 @@ def q_interval_join(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts_s"))
 
 
+def q_warc_extract(spark, sf_dir):
+    """WARC crawl-archive source (sources/warc.py): WARC files are
+    synthesized per 50-doc group with pure JVM string exprs (HTTP/1.1
+    response records, Content-Length in bytes), parsed back by the
+    from-scratch record parser (kernel/warcx.py), and HTML 200 responses
+    projected to kernel documents.  The oracle is the identity projection
+    — any header/length/slicing defect breaks the round trip."""
+    from news_rss_spark.sources.warc import documents_from_warc
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    html = F.concat(F.lit("<html><body><p>"), F.col("text"),
+                    F.lit("</p></body></html>"))
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+              "charset=utf-8\r\n\r\n"), html)
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/a/"), F.col("doc_id").cast("string"))
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:"),
+        F.col("doc_id").cast("string"),
+        F.lit(">\r\nWARC-Date: 2025-01-05T10:00:00Z\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nContent-Type: application/http; msgtype=response\r\n"
+              "Content-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"))
+    files = (
+        d.select((F.col("doc_id") % 50).alias("file_id"),
+                 F.col("doc_id").alias("did"), rec.alias("rec"))
+        .groupBy("file_id")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("did", "rec"))),
+                        lambda s: s["rec"]), "").alias("txt"))
+        .select("file_id", F.encode("txt", "utf-8").alias("content")))
+    docs = documents_from_warc(files)
+    return docs.select(
+        F.col("doc_id").alias("url"),
+        F.element_at("spans", 2)["text"].alias("page_html"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_strip": q_tag_strip,
@@ -823,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "warc_extract": q_warc_extract,
         # deterministic pinned-constant entries (planes/centroids embedded
         # in the oracle SQL; approximation QUALITY stays pytest-asserted):
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1412,6 +1452,12 @@ FROM (SELECT * FROM events WHERE event_type = 'signup') s
 JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON s.user_id = c.user_id
  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+""",
+        "warc_extract": """
+SELECT 'https://' || source || '.example.org/a/' || CAST(doc_id AS VARCHAR)
+         AS url,
+       '<html><body><p>' || text || '</p></body></html>' AS page_html
+FROM documents WHERE text IS NOT NULL
 """,
     }
 

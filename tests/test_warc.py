@@ -1,0 +1,80 @@
+"""WARC crawl-archive parsing (kernel/warcx.py) and the Spark source stage
+(sources/warc.py): byte round-trips, gzip members, truncation contract,
+record filtering, and WARC -> kernel -> extracted article end-to-end."""
+
+from datetime import datetime, timezone
+
+import pyspark.sql.functions as F
+
+from news_rss_spark.kernel.warcx import build_warc, gunzip_members, parse_warc
+from news_rss_spark.sources.warc import documents_from_warc, warc_records
+
+RECS = [
+    {"url": "https://a.example.org/1", "status": 200,
+     "http_headers": {"Content-Type": "text/html; charset=utf-8"},
+     "body": b"<html><body><p>hello crawl this paragraph is long enough "
+             b"to clear the boilerplate density threshold</p></body></html>"},
+    {"url": "https://a.example.org/2", "status": 404,
+     "http_headers": {"Content-Type": "text/html"},
+     "body": b"<html>not found</html>"},
+    {"url": "https://a.example.org/3", "status": 200,
+     "http_headers": {"Content-Type": "image/png"},
+     "body": b"\x89PNG\r\n\x1a\nbinary-bytes-with\r\n\r\nterminators"},
+]
+
+
+class TestWarcKernel:
+    def test_round_trip_plain_and_gzip(self, spark):
+        for gz in (False, True):
+            data = build_warc(RECS, gzip_members=gz)
+            got = parse_warc(data)
+            assert [r["url"] for r in got] == [r["url"] for r in RECS]
+            assert [r["status"] for r in got] == [200, 404, 200]
+            assert got[0]["body"] == RECS[0]["body"]
+            assert got[2]["body"] == RECS[2]["body"]  # binary body w/ CRLFCRLF
+            assert got[0]["http_headers"]["content-type"] == \
+                "text/html; charset=utf-8"
+
+    def test_truncated_tail_keeps_parsed_prefix(self, spark):
+        data = build_warc(RECS)
+        cut = data[: data.rindex(b"WARC/1.0") + 40]  # mid-3rd-record
+        got = parse_warc(cut)
+        assert [r["url"] for r in got] == [RECS[0]["url"], RECS[1]["url"]]
+
+    def test_truncated_gzip_member_keeps_prefix(self, spark):
+        data = build_warc(RECS, gzip_members=True)
+        assert len(parse_warc(data[:-20])) >= 1
+
+    def test_non_warc_and_empty_input(self, spark):
+        assert parse_warc(b"") == []
+        assert parse_warc(b"random bytes") == []
+        assert gunzip_members(b"plain") == b"plain"
+
+
+class TestWarcSparkStage:
+    def _files(self, spark, gz=False):
+        data = build_warc(RECS, gzip_members=gz)
+        return spark.createDataFrame([("f0", bytearray(data))],
+                                     "file_id string, content binary")
+
+    def test_records_stage_parses_all(self, spark):
+        rows = warc_records(self._files(spark)).collect()
+        assert [(r["rec_index"], r["http_status"]) for r in rows] == \
+            [(0, 200), (1, 404), (2, 200)]
+        assert rows[0]["content_type"] == "text/html; charset=utf-8"
+
+    def test_documents_keep_only_200_html(self, spark):
+        docs = documents_from_warc(self._files(spark, gz=True)).collect()
+        assert [d["doc_id"] for d in docs] == ["https://a.example.org/1"]
+        meta, page = docs[0]["spans"]
+        assert meta["kind"] == "meta" and "a.example.org/1" in meta["text"]
+        assert page["kind"] == "page"
+        assert "hello crawl" in page["text"]
+
+    def test_warc_to_extracted_article_end_to_end(self, spark):
+        from news_rss_spark.operators.extraction import extract_articles
+        docs = documents_from_warc(self._files(spark))
+        out = extract_articles(
+            docs, now_utc=datetime(2025, 1, 5, tzinfo=timezone.utc)).collect()
+        assert len(out) == 1 and out[0]["status"] == "ok"
+        assert "hello crawl" in out[0]["text"]
