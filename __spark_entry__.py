@@ -1345,11 +1345,15 @@ WITH u AS (
   FROM documents
 ),
 parts AS (
-  SELECT doc_id, s,
-    lower(coalesce(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
-    regexp_replace(lower(coalesce(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')), ':(80|443)$', '') AS host,
+  SELECT doc_id, s, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(host_raw, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(host_raw, ':443$', '')
+         ELSE host_raw END AS host,
     coalesce(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '') AS after
-  FROM u
+  FROM (SELECT doc_id, s,
+          lower(coalesce(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+          lower(coalesce(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS host_raw
+        FROM u)
 ),
 pq AS (
   SELECT doc_id, s, scheme, host,
@@ -1371,27 +1375,22 @@ flagged AS (
   SELECT doc_id, canon_url,
     lower(coalesce(regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS chost
   FROM canon
+),
+reasoned AS (
+  SELECT doc_id, canon_url,
+    CASE WHEN NOT regexp_matches(lower(canon_url), '^https?://') THEN 'scheme'
+         WHEN chost = 'spam.example.com' OR chost LIKE '%.spam.example.com'
+           OR chost = 'lnk.example' OR chost LIKE '%.lnk.example'
+           THEN 'blocked_domain'
+         WHEN lower(canon_url) LIKE '%casino%' OR lower(canon_url) LIKE '%xxx%'
+           OR lower(canon_url) LIKE '%porn%' OR lower(canon_url) LIKE '%viagra%'
+           THEN 'badword'
+         WHEN length(canon_url) > 2048 THEN 'too_long'
+    END AS drop_reason
+  FROM flagged
 )
-SELECT doc_id, canon_url,
-  CASE WHEN NOT regexp_matches(lower(canon_url), '^https?://') THEN 'scheme'
-       WHEN chost = 'spam.example.com' OR chost LIKE '%.spam.example.com'
-         OR chost = 'lnk.example' OR chost LIKE '%.lnk.example'
-         THEN 'blocked_domain'
-       WHEN lower(canon_url) LIKE '%casino%' OR lower(canon_url) LIKE '%xxx%'
-         OR lower(canon_url) LIKE '%porn%' OR lower(canon_url) LIKE '%viagra%'
-         THEN 'badword'
-       WHEN length(canon_url) > 2048 THEN 'too_long'
-  END AS drop_reason,
-  (CASE WHEN NOT regexp_matches(lower(canon_url), '^https?://') THEN 'scheme'
-        WHEN chost = 'spam.example.com' OR chost LIKE '%.spam.example.com'
-          OR chost = 'lnk.example' OR chost LIKE '%.lnk.example'
-          THEN 'blocked_domain'
-        WHEN lower(canon_url) LIKE '%casino%' OR lower(canon_url) LIKE '%xxx%'
-          OR lower(canon_url) LIKE '%porn%' OR lower(canon_url) LIKE '%viagra%'
-          THEN 'badword'
-        WHEN length(canon_url) > 2048 THEN 'too_long'
-   END) IS NULL AS keep
-FROM flagged
+SELECT doc_id, canon_url, drop_reason IS NULL AS keep, drop_reason
+FROM reasoned
 """,
         "url_dedup": r"""
 WITH u AS (
@@ -1403,11 +1402,15 @@ WITH u AS (
   FROM documents
 ),
 parts AS (
-  SELECT doc_id, s,
-    lower(coalesce(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
-    regexp_replace(lower(coalesce(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')), ':(80|443)$', '') AS host,
+  SELECT doc_id, s, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(host_raw, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(host_raw, ':443$', '')
+         ELSE host_raw END AS host,
     coalesce(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '') AS after
-  FROM u
+  FROM (SELECT doc_id, s,
+          lower(coalesce(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+          lower(coalesce(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS host_raw
+        FROM u)
 ),
 canon AS (
   SELECT doc_id,

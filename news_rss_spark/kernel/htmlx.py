@@ -661,8 +661,12 @@ def extract_page_spans(html: str) -> list[tuple[str, str | None, str | None]]:
                 ch_neg = neg
                 ch_pos = pos or name == "article"
                 # class/id can only exist if those substrings appear in the
-                # raw attr text — most tags skip the attr regex entirely
-                if stripped and ("class" in stripped or "id" in stripped):
+                # raw attr text — most tags skip the attr regex entirely.
+                # _parse_attrs lowercases names, so the gate must be
+                # case-insensitive too (<div CLASS=...> is legal HTML)
+                if stripped and ("class" in stripped or "id" in stripped
+                                 or "class" in (low := stripped.lower())
+                                 or "id" in low):
                     attrs = _parse_attrs(stripped.rstrip("/"))
                     ci_cls = attrs.get("class", "")
                     ci_id = attrs.get("id", "")

@@ -70,10 +70,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
                .filter(F.col("_side") == 1))
 
     if tolerance_secs is not None:
+        # cast("double") keeps sub-second precision; unix_timestamp would
+        # truncate to whole seconds and mis-gate borderline matches
         mts = F.col("_m")[on]
-        delta = (F.unix_timestamp(F.col("_ts")) - F.unix_timestamp(mts)
+        delta = (F.col("_ts").cast("double") - mts.cast("double")
                  if direction == "backward"
-                 else F.unix_timestamp(mts) - F.unix_timestamp(F.col("_ts")))
+                 else mts.cast("double") - F.col("_ts").cast("double"))
         matched = matched.withColumn(
             "_m", F.when(delta <= F.lit(tolerance_secs), F.col("_m")))
 

@@ -54,8 +54,12 @@ def canonicalize_url(url: Column) -> Column:
     """
     u = F.trim(url)
     scheme = F.lower(F.regexp_extract(u, _SCHEME, 1))
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(u, _HOST, 1)), r":(80|443)$", "")
+    # default ports are scheme-specific: http on :443 (or https on :80) is
+    # a DIFFERENT resource and must not collapse onto the portless form
+    host_raw = F.lower(F.regexp_extract(u, _HOST, 1))
+    host = (F.when(scheme == "http", F.regexp_replace(host_raw, r":80$", ""))
+             .when(scheme == "https", F.regexp_replace(host_raw, r":443$", ""))
+             .otherwise(host_raw))
     after = F.regexp_extract(u, _AFTER_AUTH, 1)          # path + ?query
     path = F.regexp_extract(after, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)

@@ -150,3 +150,21 @@ class TestNonAsciiTagGate:
     def test_ascii_tag_still_parsed(self):
         toks = list(tokenize("a <b>x</b>"))
         assert any(t[0] == "start" and t[1] == "b" for t in toks)
+
+
+
+class TestUppercaseAttrParity:
+    def test_uppercase_class_id_match_dom_route(self, spark):
+        from news_rss_spark.kernel.htmlx import (
+            extract_page_spans,
+            extract_page_spans_dom,
+        )
+        cases = [
+            '<div CLASS="navbar"><p>menu menu menu menu menu menu</p></div>',
+            '<div ID="article"><p>Short positive para.</p></div>',
+            '<div Class="sidebar widget"><p>some long enough sidebar text'
+            ' that would otherwise pass</p></div>',
+            '<p CLASS="story">body body body body body body body body</p>',
+        ]
+        for html in cases:
+            assert extract_page_spans(html) == extract_page_spans_dom(html)

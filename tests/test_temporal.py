@@ -105,3 +105,20 @@ class TestIntervalJoin:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestAsofSubsecondTolerance:
+    def test_tolerance_respects_fractional_seconds(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, _ts("2024-01-01 10:30:00.900"))],
+            "event_id long, user_id long, ts timestamp")
+        right = spark.createDataFrame(
+            [(100, 10, _ts("2024-01-01 10:00:00.000"), 1.0)],
+            "rid long, user_id long, ts timestamp, value double")
+        # true delta 1800.9s > 1800 -> must be nulled (whole-second
+        # truncation would wrongly keep it)
+        got = asof_join(left, right, tolerance_secs=1800).collect()
+        assert got[0]["r_rid"] is None
+        # and 1801s tolerance keeps it
+        got2 = asof_join(left, right, tolerance_secs=1801).collect()
+        assert got2[0]["r_rid"] == 100

@@ -106,3 +106,14 @@ class TestNormalizeText:
                for r in normalize_text_nfc(df).collect()}
         assert got[1] == "caf\u00e9"
         assert got[2] is None
+
+
+class TestSchemeSpecificPorts:
+    def test_default_port_strip_is_scheme_specific(self, spark):
+        # matching scheme/port pairs collapse...
+        assert _canon(spark, "http://ex.com:80/a") == "http://ex.com/a"
+        assert _canon(spark, "https://ex.com:443/a") == "https://ex.com/a"
+        # ...mismatched pairs are DIFFERENT resources and must survive
+        assert _canon(spark, "http://ex.com:443/a") == "http://ex.com:443/a"
+        assert _canon(spark, "https://ex.com:80/a") == "https://ex.com:80/a"
+        assert _canon(spark, "ftp://ex.com:80/a") == "ftp://ex.com:80/a"
