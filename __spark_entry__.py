@@ -777,6 +777,22 @@ def q_interval_join(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts_s"))
 
 
+def q_windowed_counts(spark, sf_dir):
+    """Tumbling-window aggregation (the batch face of the watermarked
+    streaming variant, streaming/stream.py::streaming_windowed_counts —
+    both delegate to operators/events.py::windowed_counts so one
+    definition serves both; late-data drop is pytest-verified in
+    tests/test_streaming.py)."""
+    from news_rss_spark.operators.events import windowed_counts
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_counts(ev, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+         .alias("window_start_s"),
+        "event_type", "n_events", "total_value")
+
+
 def q_warc_extract(spark, sf_dir):
     """WARC crawl-archive source (sources/warc.py): WARC files are
     synthesized per 50-doc group with pure JVM string exprs (HTTP/1.1
@@ -863,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "warc_extract": q_warc_extract,
+        "windowed_counts": q_windowed_counts,
         # deterministic pinned-constant entries (planes/centroids embedded
         # in the oracle SQL; approximation QUALITY stays pytest-asserted):
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1461,6 +1478,14 @@ SELECT 'https://' || source || '.example.org/a/' || CAST(doc_id AS VARCHAR)
          AS url,
        '<html><body><p>' || text || '</p></body></html>' AS page_html
 FROM documents WHERE text IS NOT NULL
+""",
+        "windowed_counts": """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
 """,
     }
 

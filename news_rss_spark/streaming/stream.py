@@ -228,3 +228,22 @@ def run_streaming_feed_ingestion_exactly_once(
     q.awaitTermination(timeout_secs)
     if q.isActive:
         q.stop()
+
+
+def streaming_windowed_counts(events: DataFrame, window: str = "1 hour",
+                              watermark: str = "2 hours",
+                              ts_col: str = "ts",
+                              key_col: str = "event_type") -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream — the
+    late-data story the brief names: with an append-mode sink a window
+    emits exactly once, after the watermark passes its end, and events
+    arriving later than ``watermark`` behind the max seen ``ts_col`` are
+    dropped instead of resurrecting a finalized window (state for closed
+    windows is evicted, so state size is bounded by watermark horizon, not
+    stream history).  Delegates the aggregation shape to the batch
+    operator (operators/events.py::windowed_counts) so batch and streaming
+    share one definition."""
+    from news_rss_spark.operators.events import windowed_counts
+
+    return windowed_counts(events.withWatermark(ts_col, watermark),
+                           window, ts_col, key_col)

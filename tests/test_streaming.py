@@ -157,3 +157,41 @@ def test_exactly_once_sink_handles_empty_dir_and_uri_path(spark, tmp_path):
     got = spark.read.parquet(sink_uri)
     assert got.count() == 2  # 'a' deduped, 'b' appended
     assert {r["id"] for r in got.collect()} == {"a", "b"}
+
+
+def test_windowed_counts_watermark_drops_late_events(spark, tmp_path):
+    """Watermarked tumbling-window agg (brief: "watermarks + windowed aggs
+    for late data"): tick 1 lands 10:xx/11:xx events plus a 13:05 event
+    whose watermark (13:05 - 2h = 11:05) closes the 10:00 window, so
+    append mode emits 10:00 exactly once; tick 2 lands an 09:30 straggler
+    (far behind the watermark) — the finalized 10:00 window must NOT be
+    re-emitted or resurrected."""
+    from datetime import datetime as dt
+
+    from news_rss_spark.streaming.stream import streaming_windowed_counts
+
+    inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ckpt"))
+    ddl = "event_id long, ts timestamp, event_type string, value double"
+
+    def tick(rows):
+        spark.createDataFrame(rows, ddl).coalesce(1) \
+            .write.mode("append").parquet(inp)
+        src = spark.readStream.schema(ddl).parquet(inp)
+        q = (streaming_windowed_counts(src, "1 hour", "2 hours")
+             .writeStream.format("parquet").outputMode("append")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(str(r["window_start"]), r["event_type"], r["n_events"])
+                for r in spark.read.parquet(sink).collect()}
+
+    got1 = tick([
+        (1, dt(2024, 1, 1, 10, 10), "view", 1.0),
+        (2, dt(2024, 1, 1, 10, 40), "view", 2.0),
+        (3, dt(2024, 1, 1, 11, 20), "view", 3.0),
+        (4, dt(2024, 1, 1, 13, 5), "view", 4.0),   # advances watermark to 11:05
+    ])
+    assert got1 == {("2024-01-01 10:00:00", "view", 2)}  # 10:00 finalized once
+
+    got2 = tick([(5, dt(2024, 1, 1, 9, 30), "view", 99.0)])  # hopeless straggler
+    assert got2 == got1  # dropped: closed window not re-emitted or changed
