@@ -723,10 +723,18 @@ def extract_page_spans(html: str) -> list[tuple[str, str | None, str | None]]:
             m = _END_TAG_RE.match(html, lt)
             if m:
                 name = m.group(1).lower()
-                for idx in range(len(frames) - 1, -1, -1):
-                    if frames[idx][0] == name:
-                        pop_frames(idx)
-                        break
+                # fast path: the end tag matches the top frame and no
+                # capture is pending — identical to pop_frames(len-1)
+                if capture is None and frames and frames[-1][0] == name:
+                    f = frames.pop()
+                    if f[1]:
+                        hosts.pop()
+                        hosts[-1][1] = None
+                else:
+                    for idx in range(len(frames) - 1, -1, -1):
+                        if frames[idx][0] == name:
+                            pop_frames(idx)
+                            break
                 # unmatched end tag: ignored (build_dom parity)
                 i = m.end()
             else:
