@@ -739,7 +739,9 @@ def q_asof_join(spark, sf_dir):
     the user's most recent view at or before it — ONE shuffle, union +
     per-key window carry-forward, no join node (operators/temporal.py).
     Oracle: DuckDB's native ASOF LEFT JOIN (an independent implementation
-    of the same semantics)."""
+    of the same semantics).  Deterministic because (user_id, ts) is unique
+    in the events table; for tied right timestamps asof_join picks the
+    struct-max payload while ASOF JOIN's pick is unspecified."""
     from news_rss_spark.operators.temporal import asof_join
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")

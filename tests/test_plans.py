@@ -74,6 +74,16 @@ def test_feed_parse_plan_is_narrow(spark):
     assert "Exchange" not in p and "Generate" not in p
 
 
+def test_warc_parse_plan_is_narrow(spark):
+    # WARC file -> records is one Arrow stage: record fan-out happens
+    # inside the batch, so no exchange and no generate appear
+    from news_rss_spark.sources.warc import warc_records
+    files = spark.createDataFrame([("f", bytearray(b""))],
+                                  "file_id string, content binary")
+    p = _plan(warc_records(files))
+    assert "Exchange" not in p and "Generate" not in p
+
+
 def test_bucketed_tables_join_without_shuffle(spark):
     """Co-located join via bucketing (the Iceberg bucket-transform analog
     Spark can express natively): two tables bucketBy(8, doc_id) sorted on
