@@ -1487,7 +1487,7 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 6) AS total_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """,
     }
 

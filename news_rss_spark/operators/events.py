@@ -76,8 +76,8 @@ def session_stats(events: DataFrame, gap_secs: int = DEFAULT_SESSION_GAP_SECS,
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",
-                    ts_col: str = "ts",
-                    key_col: str = "event_type") -> DataFrame:
+                    ts_col: str = "ts", key_col: str = "event_type",
+                    value_col: str = "value") -> DataFrame:
     """Tumbling-window aggregation: events per (window, key) with count and
     value sum — the brief's "windowed aggs" surface, shared by the batch
     query and the watermarked streaming variant
@@ -86,11 +86,13 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
 
     One shuffle on (window, key); partial aggregation is map-side.  The
     window struct is projected to its start timestamp so batch output is
-    directly oracle-comparable (DuckDB ``time_bucket``)."""
+    directly oracle-comparable (DuckDB ``time_bucket``).  Rows with a NULL
+    ``ts_col`` are dropped — Spark's ``F.window`` adds an IsNotNull filter
+    — and the oracle states the same predicate explicitly."""
     return (events
             .groupBy(F.window(F.col(ts_col), window).alias("w"),
                      F.col(key_col))
             .agg(F.count("*").cast("long").alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("total_value"))
+                 F.round(F.sum(value_col), 6).alias("total_value"))
             .select(F.col("w")["start"].alias("window_start"),
                     key_col, "n_events", "total_value"))

@@ -154,7 +154,7 @@ class TestNonAsciiTagGate:
 
 
 class TestUppercaseAttrParity:
-    def test_uppercase_class_id_match_dom_route(self, spark):
+    def test_uppercase_class_id_match_dom_route(self):
         from news_rss_spark.kernel.htmlx import (
             extract_page_spans,
             extract_page_spans_dom,
