@@ -779,6 +779,31 @@ def q_interval_join(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts_s"))
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier construction: JVM-synthesized sitemap XML (20-doc
+    urlsets over the same deterministic messy URLs as url_canonicalize)
+    -> from-scratch sitemap parse (one Arrow stage) -> canonicalize +
+    C4-style filter -> canonical-URL aggregation.  Oracle re-derives the
+    frontier with the same canonicalization SQL."""
+    from news_rss_spark.sources.sitemap import crawl_frontier
+    d = _t(spark, sf_dir, "documents")
+    loc = F.replace(_messy_url(), F.lit("&"), F.lit("&amp;"))
+    entry = F.concat(F.lit("<url><loc>"), loc, F.lit("</loc></url>"))
+    groups = d.select((F.col("doc_id") % 20).alias("sid"),
+                      F.col("doc_id").alias("did"), entry.alias("e"))
+    sitemaps = (
+        groups.groupBy("sid")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("did", "e"))),
+                        lambda s: s["e"]), "").alias("body"))
+        .select(F.col("sid").alias("sitemap_id"),
+                F.concat(
+                    F.lit('<urlset xmlns='
+                          '"http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                    F.col("body"), F.lit("</urlset>")).alias("xml")))
+    return crawl_frontier(sitemaps)
+
+
 def q_windowed_counts(spark, sf_dir):
     """Tumbling-window aggregation (the batch face of the watermarked
     streaming variant, streaming/stream.py::streaming_windowed_counts —
@@ -882,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "warc_extract": q_warc_extract,
         "windowed_counts": q_windowed_counts,
+        "crawl_frontier": q_crawl_frontier,
         # deterministic pinned-constant entries (planes/centroids embedded
         # in the oracle SQL; approximation QUALITY stays pytest-asserted):
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1488,6 +1514,56 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 6) AS total_value
 FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+""",
+        "crawl_frontier": r"""
+WITH u AS (
+  SELECT doc_id, trim(CASE
+    WHEN doc_id % 11 = 0 THEN 'https://spam.example.com/p/' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 13 = 0 THEN 'https://' || source || '.example.org/casino/' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 7 = 0 THEN 'HTTP://' || upper(source) || '.Example.COM:80/A/' || CAST(doc_id AS VARCHAR) || '?utm_source=rss&z=9&a=1#top'
+    WHEN doc_id % 3 = 0 THEN 'https://' || source || '.example.org/a/' || CAST(doc_id AS VARCHAR) || '?utm_campaign=x&b=2'
+    WHEN doc_id % 5 = 0 THEN 'ftp://files.example.org/' || CAST(doc_id AS VARCHAR)
+    ELSE 'https://' || source || '.example.org/a/' || CAST(doc_id AS VARCHAR)
+  END) AS s
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, s, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(host_raw, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(host_raw, ':443$', '')
+         ELSE host_raw END AS host,
+    coalesce(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '') AS after
+  FROM (SELECT doc_id, s,
+          lower(coalesce(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+          lower(coalesce(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS host_raw
+        FROM u)
+),
+canon AS (
+  SELECT doc_id,
+    CASE WHEN scheme = '' THEN s
+         ELSE scheme || '://' || host
+           || (CASE WHEN coalesce(regexp_extract(after, '^([^?]*)', 1), '') = '' THEN '/'
+                    ELSE regexp_extract(after, '^([^?]*)', 1) END)
+           || (CASE WHEN q = '' THEN '' ELSE '?' || q END) END AS canon_url
+  FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+          string_split(coalesce(regexp_extract(after, '\?(.*)$', 1), ''), '&'),
+          p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|mc_cid|mc_eid|ref)='))), '&'), '') AS q
+        FROM parts)
+),
+flagged AS (
+  SELECT canon_url,
+    lower(coalesce(regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS chost
+  FROM canon
+)
+SELECT canon_url, CAST(count(*) AS BIGINT) AS n_listings
+FROM flagged
+WHERE regexp_matches(lower(canon_url), '^https?://')
+  AND NOT (chost = 'spam.example.com' OR chost LIKE '%.spam.example.com'
+           OR chost = 'lnk.example' OR chost LIKE '%.lnk.example')
+  AND NOT (lower(canon_url) LIKE '%casino%' OR lower(canon_url) LIKE '%xxx%'
+           OR lower(canon_url) LIKE '%porn%' OR lower(canon_url) LIKE '%viagra%')
+  AND length(canon_url) <= 2048
+GROUP BY canon_url
 """,
     }
 

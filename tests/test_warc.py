@@ -78,3 +78,45 @@ class TestWarcSparkStage:
             docs, now_utc=datetime(2025, 1, 5, tzinfo=timezone.utc)).collect()
         assert len(out) == 1 and out[0]["status"] == "ok"
         assert "hello crawl" in out[0]["text"]
+
+
+class TestWarcRobustness:
+    """parse_warc must never raise: a 100 TB crawl contains every possible
+    corruption and each must cost records, not tasks."""
+
+    def test_never_raises_on_arbitrary_bytes(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=400))
+        def check(data):
+            out = parse_warc(data)
+            assert isinstance(out, list)
+
+        check()
+
+    def test_never_raises_on_mutated_valid_archives(self):
+        """Bit-flips / truncations / splices of a REAL archive — the
+        adversarial neighborhood of well-formed input."""
+        from hypothesis import given, settings, strategies as st
+
+        base = build_warc(RECS)
+        gz = build_warc(RECS, gzip_members=True)
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.sampled_from([base, gz]),
+               st.integers(0, 1), st.data())
+        def check(data, mode, draw):
+            if mode == 0:  # truncate anywhere
+                cut = draw.draw(st.integers(0, len(data)))
+                mutated = data[:cut]
+            else:  # flip one byte anywhere
+                i = draw.draw(st.integers(0, len(data) - 1))
+                b = draw.draw(st.integers(0, 255))
+                mutated = data[:i] + bytes([b]) + data[i + 1:]
+            out = parse_warc(mutated)
+            assert isinstance(out, list)
+            for rec in out:
+                assert isinstance(rec["body"], bytes)
+
+        check()
