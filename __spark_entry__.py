@@ -779,6 +779,20 @@ def q_interval_join(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts_s"))
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-salted big-big equi-join on the skewed publisher key (the
+    north rule's "salts skewed publisher/domain keys"): every document
+    joined to its source's aggregate stats with the hot source spread
+    over 8 sub-keys (operators/skew.py).  Output equals the plain join —
+    the oracle IS the plain join."""
+    from news_rss_spark.operators.skew import salted_join
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    stats = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("src_docs"),
+        F.sum("n_chars").cast("long").alias("src_chars"))
+    return salted_join(d.select("doc_id", "source"), stats, "source")
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Crawl-frontier construction: JVM-synthesized sitemap XML (20-doc
     urlsets over the same deterministic messy URLs as url_canonicalize)
@@ -908,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "windowed_counts": q_windowed_counts,
         "crawl_frontier": q_crawl_frontier,
+        "salted_join": q_salted_join,
         # deterministic pinned-constant entries (planes/centroids embedded
         # in the oracle SQL; approximation QUALITY stays pytest-asserted):
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1564,6 +1579,13 @@ WHERE regexp_matches(lower(canon_url), '^https?://')
            OR lower(canon_url) LIKE '%porn%' OR lower(canon_url) LIKE '%viagra%')
   AND length(canon_url) <= 2048
 GROUP BY canon_url
+""",
+        "salted_join": """
+SELECT d.source, d.doc_id, s.src_docs, s.src_chars
+FROM documents d
+JOIN (SELECT source, CAST(count(*) AS BIGINT) AS src_docs,
+             CAST(sum(n_chars) AS BIGINT) AS src_chars
+      FROM documents GROUP BY source) s USING (source)
 """,
     }
 
