@@ -779,6 +779,35 @@ def q_interval_join(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts_s"))
 
 
+def q_robots_filter(spark, sf_dir):
+    """Robots-policy gate (RFC 9309) over synthesized frontier URLs: the
+    newsbot group's rules apply (NOT the '*' group — group selection),
+    Allow beats the shorter Disallow (longest-match), and a domain with
+    no robots row fails open.  The oracle states the expected verdict
+    per URL shape directly."""
+    from news_rss_spark.operators.robots import filter_by_robots
+    d = _t(spark, sf_dir, "documents")
+    did, ds, src = F.col("doc_id"), F.col("doc_id").cast("string"), F.col("source")
+    url = (
+        F.when(did % 11 == 0,
+               F.concat(F.lit("https://norobots.example.net/a/"), ds))
+         .when(did % 7 == 0,
+               F.concat(F.lit("https://"), src,
+                        F.lit(".example.org/private/"), ds))
+         .when(did % 5 == 0,
+               F.concat(F.lit("https://"), src, F.lit(".example.org/a/ok"), ds))
+         .otherwise(F.concat(F.lit("https://"), src,
+                             F.lit(".example.org/a/"), ds)))
+    urls = d.select("doc_id", url.alias("url"))
+    robots = (d.select(F.concat(src, F.lit(".example.org")).alias("domain"))
+              .distinct()
+              .withColumn("robots_txt", F.lit(
+                  "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+                  "\nUser-agent: newsbot\nDisallow: /a/\nAllow: /a/ok\n")))
+    return (filter_by_robots(urls, robots, user_agent="newsbot-crawler/1.0")
+            .select("doc_id", "url", "allowed"))
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-salted big-big equi-join on the skewed publisher key (the
     north rule's "salts skewed publisher/domain keys"): every document
@@ -923,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "crawl_frontier": q_crawl_frontier,
         "salted_join": q_salted_join,
+        "robots_filter": q_robots_filter,
         # deterministic pinned-constant entries (planes/centroids embedded
         # in the oracle SQL; approximation QUALITY stays pytest-asserted):
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1586,6 +1616,22 @@ FROM documents d
 JOIN (SELECT source, CAST(count(*) AS BIGINT) AS src_docs,
              CAST(sum(n_chars) AS BIGINT) AS src_chars
       FROM documents GROUP BY source) s USING (source)
+""",
+        "robots_filter": """
+SELECT doc_id,
+  CASE WHEN doc_id % 11 = 0
+         THEN 'https://norobots.example.net/a/' || CAST(doc_id AS VARCHAR)
+       WHEN doc_id % 7 = 0
+         THEN 'https://' || source || '.example.org/private/' || CAST(doc_id AS VARCHAR)
+       WHEN doc_id % 5 = 0
+         THEN 'https://' || source || '.example.org/a/ok' || CAST(doc_id AS VARCHAR)
+       ELSE 'https://' || source || '.example.org/a/' || CAST(doc_id AS VARCHAR)
+  END AS url,
+  -- no-robots domain fails open; newsbot group has no /private rule so
+  -- /private is allowed for it; Allow /a/ok outranks Disallow /a/;
+  -- everything else under /a/ is denied
+  (doc_id % 11 = 0 OR doc_id % 7 = 0 OR doc_id % 5 = 0) AS allowed
+FROM documents
 """,
     }
 

@@ -1,0 +1,118 @@
+"""robots.txt parsing + allow/deny evaluation (engine-new; the politeness
+gate between crawl-frontier construction (sources/sitemap.py) and fetching
+— the reference fetches a fixed registry of feeds it owns, a web-scale
+crawl must honor the Robots Exclusion Protocol, RFC 9309).
+
+Pure Python, from scratch, RFC 9309 semantics:
+
+- groups of ``User-agent`` lines followed by ``Allow``/``Disallow`` rules;
+  the group chosen is the longest user-agent token that is a
+  case-insensitive substring match, falling back to ``*``;
+- rule matching is longest-match-wins over the URL path; on a length tie
+  ``Allow`` wins; a missing/empty path rule matches nothing;
+- ``*`` wildcards match any char sequence, ``$`` anchors the end;
+- an unmatched URL is allowed; an unparseable/absent robots.txt allows
+  everything (the standard fail-open posture for 4xx).
+
+``Crawl-delay`` and ``Sitemap`` lines are surfaced as metadata (the
+scheduler consumes the delay; sitemap URLs feed discovery back in).
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def _rule_regex(path_pattern: str) -> re.Pattern:
+    """robots path pattern -> anchored regex (* = any run, $ = end)."""
+    out = []
+    for ch in path_pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "$":
+            out.append("$")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("^" + "".join(out))
+
+
+def parse_robots(text: str | None) -> dict:
+    """robots.txt -> ``{groups: [{agents, rules: [(allow, pattern, len)]}],
+    crawl_delay: {agent_token: float}, sitemaps: [url]}``.  Never raises."""
+    groups: list[dict] = []
+    crawl_delay: dict[str, float] = {}
+    sitemaps: list[str] = []
+    cur: dict | None = None
+    seen_rule_after_agents = True
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if cur is None or seen_rule_after_agents:
+                cur = {"agents": [], "rules": []}
+                groups.append(cur)
+                seen_rule_after_agents = False
+            cur["agents"].append(value.lower())
+        elif field in ("allow", "disallow"):
+            seen_rule_after_agents = True
+            if cur is None:
+                continue  # rules before any user-agent: ignored
+            if value:
+                cur["rules"].append((field == "allow", value, len(value)))
+            # empty Disallow == allow all (matches nothing): no rule
+        elif field == "crawl-delay":
+            seen_rule_after_agents = True
+            if cur is not None:
+                try:
+                    d = float(value)
+                except ValueError:
+                    continue
+                for a in cur["agents"]:
+                    crawl_delay[a] = d
+        elif field == "sitemap":
+            if value:
+                sitemaps.append(value)
+    return {"groups": groups, "crawl_delay": crawl_delay,
+            "sitemaps": sitemaps}
+
+
+def _select_group(robots: dict, user_agent: str) -> dict | None:
+    """Longest substring-matching user-agent token wins; '*' is the
+    fallback (RFC 9309 §2.2.1)."""
+    ua = user_agent.lower()
+    best, best_len = None, -1
+    for g in robots["groups"]:
+        for token in g["agents"]:
+            if token == "*":
+                if best_len < 0:
+                    best, best_len = g, 0
+            elif token in ua and len(token) > best_len:
+                best, best_len = g, len(token)
+    return best
+
+
+def is_allowed(robots: dict, path: str, user_agent: str = "*") -> bool:
+    """Longest-match-wins allow/deny for a URL path (RFC 9309 §2.2.2);
+    ties go to Allow; no match -> allowed."""
+    group = _select_group(robots, user_agent)
+    if group is None:
+        return True
+    best_allow, best_len = True, -1
+    for allow, pattern, plen in group["rules"]:
+        if _rule_regex(pattern).match(path):
+            if plen > best_len or (plen == best_len and allow):
+                best_allow, best_len = allow, plen
+    return best_allow
+
+
+def url_path(url: str) -> str:
+    """Path + query of an absolute URL ('' scheme -> the string itself),
+    defaulting to '/' — the component robots rules match against."""
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", url)
+    if not m:
+        return url or "/"
+    return m.group(1) or "/"

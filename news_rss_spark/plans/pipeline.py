@@ -249,3 +249,34 @@ def run_feed_ingestion_job(
     docs = documents_from_feeds(feeds, xml_col=xml_col, id_col=feed_id_col)
     return run_extraction_job(spark, docs, sink_path, lineage_path,
                               now_utc, run_id, **job_kwargs)
+
+
+def run_warc_extraction_job(
+    spark: SparkSession,
+    warc_files: DataFrame,
+    sink_path: str,
+    lineage_path: str,
+    now_utc: datetime,
+    run_id: str,
+    content_col: str = "content",
+    file_id_col: str = "file_id",
+    **job_kwargs,
+) -> JobResult:
+    """The web-crawl user story in one batch call: WARC archives
+    (file_id, content bytes) -> HTTP 200 HTML records -> kernel documents
+    -> the full idempotent extraction pipeline (resume, dedup, bucketed
+    sink, lineage).
+
+    Same single-pass plan as ``run_extraction_job``; the WARC record
+    parse (kernel/warcx.py — gzip members, Content-Length slicing) is one
+    extra narrow mapInArrow stage fused ahead of the extraction kernel,
+    no added shuffle.  Discovery and politeness live upstream:
+    sources/sitemap.py::crawl_frontier -> operators/robots.py::
+    filter_by_robots produce the fetch list whose responses land here.
+    """
+    from news_rss_spark.sources.warc import documents_from_warc
+
+    docs = documents_from_warc(warc_files, content_col=content_col,
+                               id_col=file_id_col)
+    return run_extraction_job(spark, docs, sink_path, lineage_path,
+                              now_utc, run_id, **job_kwargs)

@@ -1,0 +1,85 @@
+"""robots.txt kernel (RFC 9309 semantics) and the Spark frontier filter."""
+
+from news_rss_spark.kernel.robotsx import (
+    is_allowed,
+    parse_robots,
+    url_path,
+)
+from news_rss_spark.operators.robots import filter_by_robots
+
+ROBOTS = """
+# news site policy
+User-agent: *
+Disallow: /private/
+Disallow: /tmp*.html
+Allow: /private/press
+
+User-agent: newsbot
+User-agent: otherbot
+Disallow: /a/
+Allow: /a/ok
+Crawl-delay: 2.5
+
+Sitemap: https://ex.org/sitemap.xml
+"""
+
+
+class TestRobotsKernel:
+    def test_group_selection_longest_agent_token(self):
+        r = parse_robots(ROBOTS)
+        # generic agent -> '*' group
+        assert not is_allowed(r, "/private/x", "SomeCrawler/1.0")
+        assert is_allowed(r, "/a/anything", "SomeCrawler/1.0")
+        # newsbot matches its own group, NOT the '*' rules
+        assert not is_allowed(r, "/a/anything", "Mozilla-compatible newsbot/2")
+        assert is_allowed(r, "/private/x", "newsbot")  # '*' group not merged
+
+    def test_longest_match_wins_and_allow_tie(self):
+        r = parse_robots(ROBOTS)
+        assert is_allowed(r, "/private/press-release", "x")  # Allow is longer
+        assert not is_allowed(r, "/private/other", "x")
+        assert is_allowed(r, "/a/ok-item", "newsbot")        # Allow /a/ok wins
+        r2 = parse_robots("User-agent: *\nDisallow: /p\nAllow: /p")
+        assert is_allowed(r2, "/page", "x")  # equal length: Allow wins
+
+    def test_wildcard_and_anchor(self):
+        r = parse_robots(ROBOTS)
+        assert not is_allowed(r, "/tmp123.html", "x")
+        assert not is_allowed(r, "/tmp123.html.txt", "x")  # prefix match w/o $
+        assert is_allowed(r, "/tmpdir/a.txt", "x")  # '.html' never appears
+        r2 = parse_robots("User-agent: *\nDisallow: /*.pdf$")
+        assert not is_allowed(r2, "/docs/a.pdf", "x")
+        assert is_allowed(r2, "/docs/a.pdfx", "x")
+
+    def test_metadata_and_fail_open(self):
+        r = parse_robots(ROBOTS)
+        assert r["crawl_delay"] == {"newsbot": 2.5, "otherbot": 2.5}
+        assert r["sitemaps"] == ["https://ex.org/sitemap.xml"]
+        assert is_allowed(parse_robots(None), "/anything", "x")
+        assert is_allowed(parse_robots("garbage no colons"), "/x", "x")
+        # empty Disallow allows everything
+        assert is_allowed(parse_robots("User-agent: *\nDisallow:"), "/x", "x")
+
+    def test_url_path(self):
+        assert url_path("https://Ex.org/a/b?q=1#f") == "/a/b?q=1"
+        assert url_path("https://ex.org") == "/"
+        assert url_path("/relative") == "/relative"
+
+
+class TestRobotsSpark:
+    def test_frontier_filter_broadcast_and_fail_open(self, spark):
+        urls = spark.createDataFrame(
+            [(1, "https://a.ex.org/private/x"),
+             (2, "https://a.ex.org/public/x"),
+             (3, "https://A.EX.ORG:443/private/press-kit"),
+             (4, "https://norobots.ex.org/anything")],
+            "id long, url string")
+        robots = spark.createDataFrame(
+            [("a.ex.org", ROBOTS)], "domain string, robots_txt string")
+        got = {r["id"]: r["allowed"]
+               for r in filter_by_robots(urls, robots).collect()}
+        assert got == {1: False, 2: True, 3: True, 4: True}
+        kept = filter_by_robots(urls, robots, keep_only=True)
+        assert sorted(r["id"] for r in kept.collect()) == [2, 3, 4]
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # robots side broadcasts

@@ -120,3 +120,30 @@ class TestWarcRobustness:
                 assert isinstance(rec["body"], bytes)
 
         check()
+
+
+class TestWarcExtractionJob:
+    def test_one_call_warc_to_sink_with_resume(self, spark, tmp_path):
+        """WARC archives -> published sink in one call, then a re-run
+        skips every bucket (same ledger-driven resume as the feed path)."""
+        from news_rss_spark.plans.pipeline import run_warc_extraction_job
+
+        files = spark.createDataFrame(
+            [("f0", bytearray(build_warc(RECS))),
+             ("f1", bytearray(build_warc(RECS[:1], gzip_members=True)))],
+            "file_id string, content binary")
+        sink, lineage = str(tmp_path / "sink"), str(tmp_path / "lineage")
+        res = run_warc_extraction_job(
+            spark, files, sink, lineage,
+            datetime(2025, 1, 5, tzinfo=timezone.utc), "warc-run")
+        # f0 yields one 200/HTML doc; f1 repeats the same URL -> deduped
+        assert res.published_count == 1
+        from news_rss_spark.operators.extraction import with_text_from_spans
+        got = (with_text_from_spans(spark.read.parquet(sink))
+               .filter(F.col("status") == "ok").collect())
+        assert len(got) == 1 and "hello crawl" in got[0]["text"]
+
+        res2 = run_warc_extraction_job(
+            spark, files, sink, lineage,
+            datetime(2025, 1, 5, tzinfo=timezone.utc), "warc-run-2")
+        assert res2.skipped_buckets > 0 and res2.published_count == 1
