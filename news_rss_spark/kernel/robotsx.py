@@ -6,11 +6,13 @@ crawl must honor the Robots Exclusion Protocol, RFC 9309).
 Pure Python, from scratch, RFC 9309 semantics:
 
 - groups of ``User-agent`` lines followed by ``Allow``/``Disallow`` rules;
-  the group chosen is the longest user-agent token that is a
-  case-insensitive substring match, falling back to ``*``;
+  the agent chosen is the longest user-agent token that is a
+  case-insensitive substring match, falling back to ``*``, and ALL groups
+  carrying the winning token are merged (§2.2.1);
 - rule matching is longest-match-wins over the URL path; on a length tie
   ``Allow`` wins; a missing/empty path rule matches nothing;
-- ``*`` wildcards match any char sequence, ``$`` anchors the end;
+- ``*`` wildcards match any char sequence, a TRAILING ``$`` anchors the
+  end (mid-pattern ``$`` is a literal);
 - an unmatched URL is allowed; an unparseable/absent robots.txt allows
   everything (the standard fail-open posture for 4xx).
 
@@ -22,14 +24,21 @@ from __future__ import annotations
 
 import re
 
+from news_rss_spark.kernel.urls import AFTER_AUTH_PATTERN
+
+_AFTER_AUTH_RE = re.compile(AFTER_AUTH_PATTERN)
+
 
 def _rule_regex(path_pattern: str) -> re.Pattern:
-    """robots path pattern -> anchored regex (* = any run, $ = end)."""
+    """robots path pattern -> anchored regex: ``*`` matches any run; ``$``
+    is an end anchor ONLY in trailing position (a mid-pattern ``$`` is a
+    literal character — CGI/session paths contain them)."""
     out = []
-    for ch in path_pattern:
+    last = len(path_pattern) - 1
+    for i, ch in enumerate(path_pattern):
         if ch == "*":
             out.append(".*")
-        elif ch == "$":
+        elif ch == "$" and i == last:
             out.append("$")
         else:
             out.append(re.escape(ch))
@@ -62,7 +71,10 @@ def parse_robots(text: str | None) -> dict:
             if cur is None:
                 continue  # rules before any user-agent: ignored
             if value:
-                cur["rules"].append((field == "allow", value, len(value)))
+                # regex compiled once at parse time — evaluation over a
+                # frontier batch touches thousands of URLs per rule set
+                cur["rules"].append((field == "allow", value, len(value),
+                                     _rule_regex(value)))
             # empty Disallow == allow all (matches nothing): no rule
         elif field == "crawl-delay":
             seen_rule_after_agents = True
@@ -80,30 +92,40 @@ def parse_robots(text: str | None) -> dict:
             "sitemaps": sitemaps}
 
 
-def _select_group(robots: dict, user_agent: str) -> dict | None:
-    """Longest substring-matching user-agent token wins; '*' is the
-    fallback (RFC 9309 §2.2.1)."""
+def _select_rules(robots: dict, user_agent: str) -> list | None:
+    """Rules of the best-matching agent: the longest user-agent token that
+    substring-matches wins, and ALL groups carrying that winning token are
+    merged (RFC 9309 §2.2.1 — crawlers MUST combine same-agent groups);
+    '*' groups (merged likewise) are the fallback."""
     ua = user_agent.lower()
-    best, best_len = None, -1
+    best_len = -1
     for g in robots["groups"]:
         for token in g["agents"]:
             if token == "*":
-                if best_len < 0:
-                    best, best_len = g, 0
+                best_len = max(best_len, 0)
             elif token in ua and len(token) > best_len:
-                best, best_len = g, len(token)
-    return best
+                best_len = len(token)
+    if best_len < 0:
+        return None
+    rules: list = []
+    for g in robots["groups"]:
+        for token in g["agents"]:
+            if (best_len == 0 and token == "*") or (
+                    best_len > 0 and token in ua and len(token) == best_len):
+                rules.extend(g["rules"])
+                break
+    return rules
 
 
 def is_allowed(robots: dict, path: str, user_agent: str = "*") -> bool:
     """Longest-match-wins allow/deny for a URL path (RFC 9309 §2.2.2);
     ties go to Allow; no match -> allowed."""
-    group = _select_group(robots, user_agent)
-    if group is None:
+    rules = _select_rules(robots, user_agent)
+    if rules is None:
         return True
     best_allow, best_len = True, -1
-    for allow, pattern, plen in group["rules"]:
-        if _rule_regex(pattern).match(path):
+    for allow, _pattern, plen, rx in rules:
+        if rx.match(path):
             if plen > best_len or (plen == best_len and allow):
                 best_allow, best_len = allow, plen
     return best_allow
@@ -111,8 +133,11 @@ def is_allowed(robots: dict, path: str, user_agent: str = "*") -> bool:
 
 def url_path(url: str) -> str:
     """Path + query of an absolute URL ('' scheme -> the string itself),
-    defaulting to '/' — the component robots rules match against."""
-    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", url)
+    defaulting to '/' — the component robots rules match against.  A
+    query-only URL (``https://ex.org?id=5``) gets the '/' path prepended
+    so path-anchored rules (incl. ``Disallow: /``) apply to it."""
+    m = _AFTER_AUTH_RE.match(url)
     if not m:
         return url or "/"
-    return m.group(1) or "/"
+    p = m.group(1) or "/"
+    return "/" + p if p.startswith("?") else p

@@ -20,8 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, StructField, StructType
 
 from news_rss_spark.kernel.robotsx import is_allowed, parse_robots, url_path
-
-_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+from news_rss_spark.kernel.urls import HOST_PATTERN as _HOST
 
 
 def filter_by_robots(urls: DataFrame, robots: DataFrame,

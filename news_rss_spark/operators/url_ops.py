@@ -17,9 +17,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
-_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
-_AFTER_AUTH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+from news_rss_spark.kernel.urls import (
+    AFTER_AUTH_PATTERN as _AFTER_AUTH,
+    HOST_PATTERN as _HOST,
+    SCHEME_PATTERN as _SCHEME,
+)
 
 # tracking parameters dropped by the canonicalizer (utm_* family + the
 # usual click identifiers)

@@ -83,3 +83,33 @@ class TestRobotsSpark:
         assert sorted(r["id"] for r in kept.collect()) == [2, 3, 4]
         plan = kept._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan  # robots side broadcasts
+
+
+class TestRfc9309Compliance:
+    """Regressions for review findings: duplicate-group merge, query-only
+    paths, and literal mid-pattern '$'."""
+
+    def test_duplicate_agent_groups_are_merged(self):
+        r = parse_robots(
+            "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b")
+        assert not is_allowed(r, "/a/x", "anybot")
+        assert not is_allowed(r, "/b/x", "anybot")  # second group counts
+        r2 = parse_robots(
+            "User-agent: newsbot\nDisallow: /a\n\n"
+            "User-agent: newsbot\nDisallow: /b\n\n"
+            "User-agent: *\nDisallow: /c")
+        assert not is_allowed(r2, "/b/x", "newsbot")   # merged named groups
+        assert is_allowed(r2, "/c/x", "newsbot")       # '*' NOT merged in
+
+    def test_query_only_url_gets_root_path(self):
+        assert url_path("https://ex.org?id=5") == "/?id=5"
+        r = parse_robots("User-agent: *\nDisallow: /")
+        assert not is_allowed(r, url_path("https://ex.org?id=5"), "x")
+
+    def test_mid_pattern_dollar_is_literal(self):
+        r = parse_robots("User-agent: *\nDisallow: /a$b")
+        assert not is_allowed(r, "/a$b/c", "x")  # literal $ matches
+        assert is_allowed(r, "/ab", "x")
+        r2 = parse_robots("User-agent: *\nDisallow: /a$")
+        assert not is_allowed(r2, "/a", "x")   # trailing $ still anchors
+        assert is_allowed(r2, "/ab", "x")
