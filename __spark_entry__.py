@@ -779,6 +779,21 @@ def q_interval_join(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts_s"))
 
 
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM quality scoring (CCNet-style perplexity filter): train
+    corpus bigram/unigram counts, score each document's mean Laplace-
+    smoothed log-probability.  The per-doc fold runs in position order on
+    both engines, so the doubles add in the same sequence and the oracle
+    hash-matches (vocab_size is a driver-side scalar, model-sized)."""
+    from news_rss_spark.operators.lm_score import (
+        lm_doc_scores,
+        train_bigram_model,
+    )
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bigrams, unigrams, v = train_bigram_model(d)
+    return lm_doc_scores(d, bigrams, unigrams, v)
+
+
 def q_robots_filter(spark, sf_dir):
     """Robots-policy gate (RFC 9309) over synthesized frontier URLs: the
     newsbot group's rules apply (NOT the '*' group — group selection),
@@ -953,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "salted_join": q_salted_join,
         "robots_filter": q_robots_filter,
+        "lm_score": q_lm_score,
         # deterministic pinned-constant entries (planes/centroids embedded
         # in the oracle SQL; approximation QUALITY stays pytest-asserted):
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1632,6 +1648,38 @@ SELECT doc_id,
   -- everything else under /a/ is denied
   (doc_id % 11 = 0 OR doc_id % 7 = 0 OR doc_id % 5 = 0) AS allowed
 FROM documents
+""",
+        "lm_score": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(w) AS w1 FROM toks)
+  WHERE w1 != '' GROUP BY w1
+),
+grams AS (
+  SELECT doc_id, i AS pos, w[i + 1] AS w1, w[i + 2] AS w2
+  FROM toks, UNNEST(generate_series(0, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 2
+),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM grams GROUP BY w1, w2
+),
+v AS (SELECT count(*) AS vs FROM uni),
+scored AS (
+  SELECT g.doc_id, g.pos,
+         ln((coalesce(b.c12, 0) + 1.0)
+            / (coalesce(u.c1, 0) + (SELECT vs FROM v))) AS logp
+  FROM grams g
+  LEFT JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+  LEFT JOIN uni u ON g.w1 = u.w1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(list_aggregate(list(logp ORDER BY pos), 'sum') / count(*), 6)
+         AS avg_logp
+FROM scored GROUP BY doc_id
 """,
     }
 
