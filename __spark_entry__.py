@@ -791,6 +791,10 @@ def q_lm_score(spark, sf_dir):
     )
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     bigrams, unigrams, v = train_bigram_model(d)
+    # recomputing the count tables in the scoring job beats materializing
+    # them at this scale (measured: checkpoint only wins on a cold page
+    # cache); production would WRITE the model tables once and score many
+    # shards against them
     return lm_doc_scores(d, bigrams, unigrams, v)
 
 
