@@ -113,3 +113,16 @@ class TestRfc9309Compliance:
         r2 = parse_robots("User-agent: *\nDisallow: /a$")
         assert not is_allowed(r2, "/a", "x")   # trailing $ still anchors
         assert is_allowed(r2, "/ab", "x")
+
+
+class TestRobotsRobustness:
+    def test_parse_and_evaluate_never_raise(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(max_size=300), st.text(max_size=50))
+        def check(txt, path):
+            r = parse_robots(txt)
+            assert isinstance(is_allowed(r, path, "anybot"), bool)
+
+        check()

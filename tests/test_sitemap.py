@@ -82,3 +82,17 @@ class TestSitemapSpark:
         got2 = {r["canon_url"] for r in
                 crawl_frontier(sitemaps, seen=seen).collect()}
         assert got2 == {"http://ex.com/a?b=1", "https://ok.example.org/new"}
+
+
+class TestSitemapRobustness:
+    def test_parse_never_raises_on_arbitrary_text(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(max_size=300))
+        def check(xml):
+            out = parse_sitemap(xml)
+            assert isinstance(out["entries"], list)
+            assert out["kind"] in (None, "urlset", "sitemapindex")
+
+        check()

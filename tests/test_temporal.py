@@ -122,3 +122,14 @@ class TestAsofSubsecondTolerance:
         # and 1801s tolerance keeps it
         got2 = asof_join(left, right, tolerance_secs=1801).collect()
         assert got2[0]["r_rid"] == 100
+
+
+class TestAsofPlanShape:
+    def test_asof_join_has_single_exchange(self, spark):
+        """The whole as-of join is ONE shuffle: union -> hash partition by
+        key -> window.  AQE may add a read stage but never a second
+        Exchange on the data path."""
+        out = asof_join(_left(spark), _right(spark))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1
