@@ -921,6 +921,66 @@ def q_warc_extract(spark, sf_dir):
         F.element_at("spans", 2)["text"].alias("page_html"))
 
 
+def q_bm25_search(spark, sf_dir):
+    """Index-backed ranked search (operators/search.py — scales the
+    reference's P10 LIKE search, src/cache/local/mod.rs, to an inverted
+    index + BM25).  Term contributions fold in term order (the lm_score
+    determinism contract), so the doubles hash-match the oracle."""
+    from news_rss_spark.operators.search import bm25_search
+    d = _t(spark, sf_dir, "documents")
+    return bm25_search(d, ["spark", "merge", "window"], top_n=20)
+
+
+def q_bloom_anti_join(spark, sf_dir):
+    """Bloom-filter-pruned anti-join (operators/bloom.py): the 100 TB
+    seen-set dedup path — k broadcast joins against the aggregated
+    bitmap words prune definite-new rows before the exact anti-join.
+    Lossless, so the oracle is the plain NOT IN.  m_bits is sized small
+    here so the false-positive verify path actually executes."""
+    from news_rss_spark.operators.bloom import bloom_anti_join
+    d = _t(spark, sf_dir, "documents")
+    new = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/a/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    seen = new.filter(F.col("doc_id") % 3 == 0).select("url")
+    return bloom_anti_join(new, seen, "url", m_bits=1 << 12, k=3)
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Distributed Lloyd k-means (operators/clustering.py): 2 iterations
+    from pinned seeded init over the embeddings table, final (vec_id,
+    cluster, dist).  Floats stay oracle-exact via the 9-digit per-
+    iteration rounding contract; the oracle unrolls both iterations."""
+    from news_rss_spark.operators.clustering import kmeans_predict
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_predict(e, k=8, iters=2)
+
+
+def q_frequent_ngrams(spark, sf_dir):
+    """Corpus heavy hitters (operators/text_analysis.py): frequent word
+    3-grams across documents — the boilerplate-mining feed for chunk
+    dedup; two decomposable hash aggregations."""
+    from news_rss_spark.operators.text_analysis import frequent_ngrams
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return frequent_ngrams(d, n=3, min_docs=5)
+
+
+def q_fetch_schedule(spark, sf_dir):
+    """Politeness fetch waves (operators/url_ops.py): round-robin
+    scheduling of frontier URLs with at most 2 fetches per domain per
+    wave — the distributed form of the reference daemon's sequential
+    per-source polling."""
+    from news_rss_spark.operators.url_ops import fetch_schedule
+    d = _t(spark, sf_dir, "documents")
+    frontier = d.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.col("source"), F.lit(".example.org")).alias("domain"))
+    return fetch_schedule(frontier, per_wave=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tag_strip": q_tag_strip,
@@ -973,6 +1033,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "robots_filter": q_robots_filter,
         "lm_score": q_lm_score,
+        "bm25_search": q_bm25_search,
+        "bloom_anti_join": q_bloom_anti_join,
+        "kmeans_assign": q_kmeans_assign,
+        "frequent_ngrams": q_frequent_ngrams,
+        "fetch_schedule": q_fetch_schedule,
         # deterministic pinned-constant entries (planes/centroids embedded
         # in the oracle SQL; approximation QUALITY stays pytest-asserted):
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1685,6 +1750,48 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          AS avg_logp
 FROM scored GROUP BY doc_id
 """,
+        "bm25_search": _bm25_sql(["spark", "merge", "window"], top_n=20),
+        "bloom_anti_join": """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/a/' || CAST(doc_id AS VARCHAR)
+           AS url
+  FROM documents
+)
+SELECT doc_id, url FROM u
+WHERE url NOT IN (SELECT url FROM u WHERE doc_id % 3 = 0)
+""",
+        "kmeans_assign": _kmeans_sql(k=8, iters=2),
+        "frequent_ngrams": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, array_to_string(w[i + 1:i + 3], ' ') AS ngram
+  FROM toks, UNNEST(generate_series(0, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 3
+),
+pd AS (
+  SELECT ngram, doc_id, CAST(count(*) AS BIGINT) AS occ
+  FROM g GROUP BY ngram, doc_id
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(occ) AS BIGINT) AS n_occurrences
+FROM pd GROUP BY ngram HAVING count(*) >= 5
+""",
+        "fetch_schedule": """
+WITH f AS (
+  SELECT 'https://' || source || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         source || '.example.org' AS domain
+  FROM documents
+)
+SELECT url, domain,
+       CAST(floor((row_number() OVER (PARTITION BY domain ORDER BY url) - 1)
+                  / 2) AS INTEGER) AS wave
+FROM f
+""",
     }
 
 
@@ -1882,3 +1989,105 @@ SELECT doc_id, CAST(toks AS BIGINT) AS n_tokens,
              + 0.2 * (1 - least(digit_ratio + punct_ratio, 1.0)), 6) AS quality_score
 FROM r
 """
+
+
+def _bm25_sql(query_terms: list[str], top_n: int,
+              k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of q_bm25_search: identical parenthesization and Python-
+    computed double literals (repr round-trips the exact doubles Spark's
+    F.lit constants hold), term-ordered contribution fold."""
+    terms = sorted({t.lower() for t in query_terms if t})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    k1p1, one_m_b = repr(k1 + 1.0), repr(1.0 - b)
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+dl AS (SELECT doc_id, len(w) AS dl FROM docs),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM docs)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, term
+),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+scored AS (
+  SELECT p.doc_id, p.term,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (CAST(p.tf AS DOUBLE) * {k1p1})
+           / (CAST(p.tf AS DOUBLE)
+              + {k1!r} * ({one_m_b} + {b!r} * CAST(l.dl AS DOUBLE) / s.avgdl))
+           AS c
+  FROM post p JOIN dict d USING (term) JOIN dl l USING (doc_id), stats s
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+       round(list_aggregate(list(c ORDER BY term), 'sum'), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {top_n}
+"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Mirror of q_kmeans_assign: pinned init centroids embedded as
+    DOUBLE[] literals, ``iters`` Lloyd iterations unrolled as CTE pairs
+    (assign from centroids of generation g, update = 9-digit-rounded
+    per-(cluster, dim) means).  The distance fold is dim-ORDERED (the
+    exact double sequence Spark's ``aggregate`` fold adds) and rounded
+    to 9; empty clusters drop out of the update CTE on both engines."""
+    from news_rss_spark.operators.clustering import pinned_init
+    init = pinned_init(64, k)
+    rows = ",\n    ".join(f"({cid}, {_dlist(coords)})" for cid, coords in init)
+    parts = [f"""
+e AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS t(i)
+),
+cl0 AS (SELECT j AS cluster, i AS dim, c[i + 1] AS cval
+        FROM (VALUES
+    {rows}) AS t(j, c), UNNEST(generate_series(0, 63)) AS g(i))"""]
+    for it in range(1, iters + 1):
+        prev, cur = f"cl{it - 1}", f"cl{it}"
+        parts.append(f"""
+d{it} AS (
+  SELECT e.vec_id, c.cluster,
+         round(list_aggregate(
+             list((e.val - c.cval) * (e.val - c.cval) ORDER BY e.dim),
+             'sum'), 9) AS dist
+  FROM e JOIN {prev} c USING (dim)
+  GROUP BY e.vec_id, c.cluster
+),
+a{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM d{it}) WHERE rn = 1
+),
+{cur} AS (
+  SELECT a.cluster, e.dim, round(avg(e.val), 9) AS cval
+  FROM e JOIN a{it} a USING (vec_id)
+  GROUP BY a.cluster, e.dim
+)""")
+    final = iters + 1
+    parts.append(f"""
+d{final} AS (
+  SELECT e.vec_id, c.cluster,
+         round(list_aggregate(
+             list((e.val - c.cval) * (e.val - c.cval) ORDER BY e.dim),
+             'sum'), 9) AS dist
+  FROM e JOIN cl{iters} c USING (dim)
+  GROUP BY e.vec_id, c.cluster
+)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT vec_id, cluster, round(dist, 6) AS dist FROM (
+  SELECT vec_id, cluster, dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cluster) AS rn
+  FROM d{final}) WHERE rn = 1
+""")

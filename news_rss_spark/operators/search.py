@@ -1,0 +1,110 @@
+"""Full-text ranked search: inverted index + BM25 scoring (engine-new;
+scales the reference's LIKE-substring search, src/cache/local/mod.rs P10,
+from a per-row scan to an index-backed ranked query).
+
+Plan shape, chosen for 100 TB:
+
+- the inverted index is two hash aggregations with map-side combine —
+  postings ``(term, doc_id, tf)`` and the dictionary ``(term, df)``;
+  hot stopword terms collapse per map task before the shuffle;
+- ad-hoc search never builds the full index: the term filter sits
+  directly under the explode, so only the query's terms survive into the
+  aggregation (predicate on the generator output — Catalyst keeps it in
+  the same stage, nothing else is shuffled);
+- corpus scalars (N, avgdl) are model-sized driver values, like the
+  bigram model's vocab_size (lm_score.py);
+- the per-document score folds term contributions in TERM ORDER via
+  ``sort_array`` + ``aggregate`` so the doubles add in the same sequence
+  on every engine — the same determinism contract as lm_score.py;
+- top-k is ``orderBy(...).limit(k)`` which Spark executes as
+  TakeOrderedAndProject — per-partition heaps, no global sort.
+
+A persistent search service would materialize ``build_inverted_index``
+once (partitioned by term) and score many queries against it; BM25
+constants follow Robertson/Sparck-Jones with the Lucene +1 idf floor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _terms(text_col: str):
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def build_inverted_index(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Postings table ``(term, doc_id, tf)`` — the reusable index artifact.
+
+    One explode + one hash aggregation on the compact (term, id) key;
+    write it partitioned/bucketed by term so a query's lookup is a
+    partition-pruned scan."""
+    return (df.select(F.col(id_col), F.explode(_terms(text_col)).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term", id_col)
+            .agg(F.count("*").cast("long").alias("tf")))
+
+
+def doc_lengths(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, dl)`` — token count per document (JVM size/filter)."""
+    toks = _terms(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.filter(toks, lambda t: t != "")).cast("long").alias("dl"))
+
+
+def bm25_search(df: DataFrame, query_terms: list[str], top_n: int = 10,
+                k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-``top_n`` documents by BM25 for a bag-of-words query.
+
+    score(d) = sum over matched query terms t of
+        idf(t) * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))          (Lucene floor).
+
+    Deterministic across engines: contributions fold in term order, the
+    score is rounded to 6 digits, ties break on ``id_col``.  Returns
+    ``(id_col, n_matched, score)``.
+    """
+    docs = df.filter(F.col(text_col).isNotNull())
+    dl = doc_lengths(docs, text_col, id_col)
+    stats = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+    n_docs = int(stats["n"])
+    avgdl = float(stats["s"]) / n_docs if n_docs else 1.0
+
+    terms = sorted({t.lower() for t in query_terms if t})
+    # dl rides along through the explode (max-agg) — a big-big join of
+    # postings against doc_lengths would shuffle the whole corpus twice
+    toks = F.filter(_terms(text_col), lambda t: t != "")
+    postings = (docs.select(F.col(id_col), F.size(toks).cast("long").alias("dl"),
+                            F.explode(toks).alias("term"))
+                .filter(F.col("term").isin(terms))
+                .groupBy("term", id_col)
+                .agg(F.count("*").cast("long").alias("tf"),
+                     F.max("dl").alias("dl")))
+    dictionary = (postings.groupBy("term")
+                  .agg(F.count("*").cast("long").alias("df")))
+
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tf = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    contrib = (idf * (tf * F.lit(k1 + 1.0))
+               / (tf + F.lit(k1) * (F.lit(1.0 - b)
+                                    + F.lit(b) * dl_d / F.lit(avgdl))))
+    # the dictionary (|query terms| rows) broadcasts next to postings
+    scored = (postings
+              .join(F.broadcast(dictionary), "term")
+              .select(F.col(id_col), F.col("term"), contrib.alias("c")))
+    folded = (scored.groupBy(id_col)
+              .agg(F.sort_array(F.collect_list(F.struct("term", "c")))
+                   .alias("seq")))
+    total = F.aggregate(F.col("seq"), F.lit(0.0), lambda acc, s: acc + s["c"])
+    out = folded.select(
+        F.col(id_col),
+        F.size("seq").cast("long").alias("n_matched"),
+        F.round(total, 6).alias("score"))
+    return out.orderBy(F.desc("score"), F.col(id_col)).limit(top_n)

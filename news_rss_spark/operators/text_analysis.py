@@ -366,3 +366,36 @@ def normalize_text_nfc(df: DataFrame, text_col: str = "text",
                 names=[f.name for f in fields] + [out_col])
 
     return df.mapInArrow(batches, out_schema)
+
+
+def frequent_ngrams(df: DataFrame, n: int = 3, min_docs: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide frequent word n-grams — the boilerplate-mining step
+    (heavy hitters feed the chunk-dedup / quality filters: cookie
+    banners, nav strings, license boilerplate all surface here).
+
+    Output: ``(ngram, n_docs, n_occurrences)`` for n-grams appearing in
+    at least ``min_docs`` distinct documents.
+
+    Plan shape for 100 TB: two hash aggregations, both decomposable —
+    first by ``(ngram, doc)`` (map-side combine absorbs within-doc
+    repetition), then by ``ngram`` (count = n_docs, sum = occurrences).
+    Never a count(DISTINCT) over the raw explode — that would ship every
+    occurrence of a hot n-gram to one reducer un-combined.  An exact
+    top-k would add TakeOrdered on the result; thresholding keeps the
+    output size data-dependent but bounded by the distinct-ngram count.
+    """
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(0, size(w) - {n}), "
+        f"i -> array_join(slice(w, i + 1, {n}), ' '))")
+    per_doc = (df.select(F.col(id_col), w.alias("w"))
+               .filter(F.size("w") >= n)
+               .select(id_col, F.explode(grams).alias("ngram"))
+               .groupBy("ngram", id_col)
+               .agg(F.count("*").cast("long").alias("occ")))
+    return (per_doc.groupBy("ngram")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("occ").cast("long").alias("n_occurrences"))
+            .filter(F.col("n_docs") >= min_docs))

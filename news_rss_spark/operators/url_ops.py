@@ -117,3 +117,28 @@ def dedup_by_canonical_url(df: DataFrame, url_col: str = "url",
     return (df.select(canon, F.col(id_col))
               .groupBy("canon_url")
               .agg(F.min(id_col).alias(id_col)))
+
+
+def fetch_schedule(frontier: DataFrame, url_col: str = "url",
+                   domain_col: str = "domain",
+                   per_wave: int = 1) -> DataFrame:
+    """Politeness scheduling for the crawl frontier: round-robin fetch
+    waves per domain, so no wave issues more than ``per_wave`` requests
+    to the same host (the reference's daemon polls feeds sequentially
+    per source — this is that per-host serialization, distributed).
+
+    ``wave = (rank within domain) div per_wave``; URL order within a
+    domain is lexicographic (deterministic).  A fetch executor processes
+    wave 0 across ALL domains in parallel, then wave 1, ... — per-host
+    concurrency is bounded by ``per_wave`` while cluster-wide
+    parallelism stays |domains| x per_wave.
+
+    Plan shape: one shuffle on the domain key + a per-domain sequential
+    rank — linear per key, and a hot domain (the skew case) costs one
+    task sorting its own URLs, which is exactly the work its politeness
+    budget forces anyway.  Output adds ``wave`` (0-based int).
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(domain_col).orderBy(url_col)
+    wave = F.floor((F.row_number().over(w) - 1) / per_wave).cast("int")
+    return frontier.withColumn("wave", wave)

@@ -131,3 +131,30 @@ class TestStratifiedSample:
         hi = {r["doc_id"] for r in stratified_sample(
             d, "source", {"g": 0.6}).collect()}
         assert lo < hi
+
+
+def test_frequent_ngrams_counts(spark):
+    from news_rss_spark.operators.text_analysis import frequent_ngrams
+    docs = spark.createDataFrame([
+        (1, "accept all cookies to continue reading"),
+        (2, "please accept all cookies now"),
+        (3, "breaking news story accept all cookies"),
+        (4, "totally unrelated text here"),
+    ], ["doc_id", "text"])
+    out = {r["ngram"]: (r["n_docs"], r["n_occurrences"])
+           for r in frequent_ngrams(docs, n=3, min_docs=2).collect()}
+    assert out["accept all cookies"] == (3, 3)
+    # nothing below the doc threshold leaks through
+    assert all(v[0] >= 2 for v in out.values())
+    assert "totally unrelated text" not in out
+
+
+def test_frequent_ngrams_within_doc_repetition(spark):
+    from news_rss_spark.operators.text_analysis import frequent_ngrams
+    docs = spark.createDataFrame([
+        (1, "ha ha ha ha"),
+        (2, "ha ha zz"),
+    ], ["doc_id", "text"])
+    out = {r["ngram"]: (r["n_docs"], r["n_occurrences"])
+           for r in frequent_ngrams(docs, n=2, min_docs=2).collect()}
+    assert out["ha ha"] == (2, 4)  # 3 occurrences in doc1 + 1 in doc2

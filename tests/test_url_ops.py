@@ -117,3 +117,23 @@ class TestSchemeSpecificPorts:
         assert _canon(spark, "http://ex.com:443/a") == "http://ex.com:443/a"
         assert _canon(spark, "https://ex.com:80/a") == "https://ex.com:80/a"
         assert _canon(spark, "ftp://ex.com:80/a") == "ftp://ex.com:80/a"
+
+
+def test_fetch_schedule_politeness_waves(spark):
+    from news_rss_spark.operators.url_ops import fetch_schedule
+    rows = [(f"https://{d}.com/{i}", f"{d}.com")
+            for d in ("a", "b") for i in range(5)] + \
+           [("https://c.com/0", "c.com")]
+    df = spark.createDataFrame(rows, ["url", "domain"])
+    out = fetch_schedule(df, per_wave=2).collect()
+    by_wave_domain = {}
+    for r in out:
+        by_wave_domain.setdefault((r["wave"], r["domain"]), []).append(r["url"])
+    # no (wave, domain) cell exceeds the politeness budget
+    assert all(len(v) <= 2 for v in by_wave_domain.values())
+    # each 5-url domain needs ceil(5/2) = 3 waves; singleton domain only 1
+    waves_a = {r["wave"] for r in out if r["domain"] == "a.com"}
+    assert waves_a == {0, 1, 2}
+    assert {r["wave"] for r in out if r["domain"] == "c.com"} == {0}
+    # deterministic: lexicographic url order within domain
+    assert by_wave_domain[(0, "a.com")] == ["https://a.com/0", "https://a.com/1"]
