@@ -1,0 +1,156 @@
+"""One-call training-corpus construction: the full LLM-data funnel over a
+documents table, composed from the engine's individual operators
+(engine-new; the reference stops at publish — this is the downstream
+pipeline its output feeds at 100 TB).
+
+    quality filter  ->  exact dedup  ->  fuzzy dedup (MinHash LSH +
+    Jaccard verify + connected components)  ->  benchmark
+    decontamination  ->  deterministic split  ->  token-budget shard
+    packing  ->  partitioned parquet corpus + funnel stats
+
+Every stage is the scale-shaped operator already proven individually
+(map-side-combined aggregations, banded LSH equi-joins, broadcast
+benchmark side, content-stable split hashing, two-phase prefix-sum
+packing); this module only sequences them and accounts the funnel.
+
+Efficiency notes at 100 TB:
+
+- the expensive fuzzy-dedup survivor set is ``localCheckpoint``-ed once —
+  every later stage (decontaminate/split/pack/write) would otherwise
+  re-mine the LSH pairs through Spark's lazy plan (measured 7x on the
+  components fixpoint, operators/components.py);
+- funnel counts come from the checkpointed frames, never by re-running
+  upstream stages;
+- shard packing runs per split (3 small plans) so shards never straddle
+  train/val/test;
+- the corpus lands ``partitionBy(split)``, lz4 (measured: snappy
+  collapses under many writer threads, BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_rss_spark.operators.components import keep_only_keepers
+from news_rss_spark.operators.text_analysis import (
+    assign_split,
+    quality_features,
+    token_count,
+)
+from news_rss_spark.operators.text_dedup import (
+    contamination_check,
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+from news_rss_spark.operators.packing import pack_into_shards
+
+
+@dataclass
+class CorpusFunnel:
+    n_input: int
+    n_quality: int
+    n_exact: int
+    n_fuzzy: int
+    n_clean: int
+    split_docs: dict[str, int]
+    split_tokens: dict[str, int]
+    split_shards: dict[str, int]
+
+
+def build_training_corpus(docs: DataFrame, *,
+                          bench: DataFrame | None = None,
+                          quality_min: float = 0.3,
+                          jaccard_threshold: float = 0.8,
+                          val_frac: float = 0.1, test_frac: float = 0.1,
+                          shard_token_budget: int = 20_000,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> tuple[DataFrame, CorpusFunnel]:
+    """Run the funnel; returns ``(corpus_df, funnel)`` where ``corpus_df``
+    has the input columns plus ``quality_score, n_tokens, split,
+    shard_id`` and ``funnel`` the per-stage retention counts.
+
+    ``bench`` (optional) is the held-out benchmark table for 8-gram
+    decontamination; docs sharing any 8-gram with it are dropped.
+    """
+    base = docs.filter(F.col(text_col).isNotNull()
+                       & (F.length(F.trim(F.col(text_col))) > 0))
+    n_input = base.count()
+
+    scored = quality_features(base, text_col)
+    passed = scored.filter(F.col("quality_score") >= quality_min)
+    n_quality = passed.count()
+
+    deduped = exact_dedup(passed, text_col, id_col)
+    n_exact = deduped.count()
+
+    cands = minhash_candidate_pairs(deduped, text_col=text_col,
+                                    id_col=id_col)
+    pairs = ngram_jaccard_pairs(deduped, threshold=jaccard_threshold,
+                                text_col=text_col, id_col=id_col,
+                                candidates=cands)
+    fuzzy = keep_only_keepers(deduped, pairs.select("a", "b"), id_col=id_col)
+    # checkpoint the expensive survivor set ONCE: everything downstream
+    # (counts, decontamination, split, 3x packing, write) re-reads it
+    # instead of re-mining LSH pairs through the lazy plan
+    fuzzy = fuzzy.localCheckpoint(eager=True)
+    n_fuzzy = fuzzy.count()
+
+    if bench is not None:
+        dirty = contamination_check(fuzzy, bench, text_col, id_col)
+        clean = fuzzy.join(dirty.select(id_col), id_col, "left_anti")
+    else:
+        clean = fuzzy
+    clean = (assign_split(clean, id_col, val_frac, test_frac)
+             .withColumn("n_tokens",
+                         token_count(F.col(text_col)).cast("long")))
+    clean = clean.localCheckpoint(eager=True)
+    n_clean = clean.count()
+
+    packed = []
+    split_docs: dict[str, int] = {}
+    split_tokens: dict[str, int] = {}
+    split_shards: dict[str, int] = {}
+    for split in ("train", "val", "test"):
+        part = clean.filter(F.col("split") == split)
+        if part.isEmpty():
+            split_docs[split] = 0
+            split_tokens[split] = 0
+            split_shards[split] = 0
+            continue
+        shards = pack_into_shards(part, shard_token_budget,
+                                  order_col=id_col, tokens_col="n_tokens")
+        shards = shards.drop("prefix_sum")
+        packed.append(shards)
+        agg = shards.agg(
+            F.count("*").alias("d"), F.sum("n_tokens").alias("t"),
+            F.countDistinct("shard_id").alias("s")).collect()[0]
+        split_docs[split] = int(agg["d"])
+        split_tokens[split] = int(agg["t"])
+        split_shards[split] = int(agg["s"])
+
+    if packed:
+        corpus = packed[0]
+        for p in packed[1:]:
+            corpus = corpus.unionByName(p)
+    else:  # fully-filtered corpus: keep the output schema stable
+        corpus = clean.limit(0).withColumn("shard_id",
+                                           F.lit(0).cast("int"))
+    funnel = CorpusFunnel(n_input, n_quality, n_exact, n_fuzzy, n_clean,
+                          split_docs, split_tokens, split_shards)
+    return corpus, funnel
+
+
+def run_training_corpus_job(spark: SparkSession, docs: DataFrame,
+                            out_dir: str, **kwargs) -> CorpusFunnel:
+    """Build the corpus and land it as ``partitionBy(split)`` lz4 parquet
+    at ``out_dir``; returns the funnel stats."""
+    corpus, funnel = build_training_corpus(docs, **kwargs)
+    (corpus.write.mode("overwrite")
+     .option("compression", "lz4")
+     .partitionBy("split")
+     .parquet(out_dir))
+    return funnel

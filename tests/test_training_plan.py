@@ -1,0 +1,83 @@
+"""End-to-end training-corpus funnel (plans/training_data.py)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from news_rss_spark.plans.training_data import (
+    build_training_corpus,
+    run_training_corpus_job,
+)
+
+# 10 words no regular doc contains: only doc 104 shares 8-grams with bench
+SNIPPET = ("zulu yankee xray whiskey victor uniform tango sierra "
+           "quebec papa")
+
+
+def _text(i):
+    # 20 per-doc-unique alphabetic words: docs share only the tiny
+    # frame, so cross-doc Jaccard stays far below any dedup threshold
+    a, b = chr(97 + i // 26), chr(97 + i % 26)
+    body = " ".join(f"w{a}{b}{chr(103 + j)}x" for j in range(20))
+    return f"the quick {body} and that is the end of story"
+
+
+def _docs(spark):
+    rows = [(i, _text(i), f"src{i % 4}") for i in range(40)]
+    rows.append((100, _text(0), "src0"))                     # exact dup of 0
+    near = _text(1).replace("wabzx", "wabzy")                # 1 word changed
+    rows.append((101, near, "src1"))                         # near dup of 1
+    rows.append((102, "!!! ??? ### 123 456", "src2"))        # junk quality
+    rows.append((103, None, "src3"))                         # null text
+    rows.append((104, _text(45) + " " + SNIPPET, "src0"))    # contaminated
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(0, "held out benchmark question about " + SNIPPET)],
+        ["doc_id", "text"])
+
+
+def test_funnel_monotone_and_stage_semantics(spark):
+    corpus, f = build_training_corpus(
+        _docs(spark), bench=_bench(spark), jaccard_threshold=0.7,
+        shard_token_budget=200)
+    assert f.n_input == 44                     # null text dropped up front
+    assert f.n_input >= f.n_quality >= f.n_exact >= f.n_fuzzy >= f.n_clean
+    assert f.n_quality == 43                   # junk doc fails quality
+    assert f.n_exact == 42                     # exact dup of doc 0 collapsed
+    assert f.n_fuzzy == 41                     # near dup of doc 1 collapsed
+    rows = corpus.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert 100 not in ids and 102 not in ids and 103 not in ids
+    assert 104 not in ids                      # decontaminated
+    assert 0 in ids and 1 in ids               # keepers are the min ids
+    assert f.n_clean == len(rows)
+    assert sum(f.split_docs.values()) == f.n_clean
+
+
+def test_packing_respects_budget_and_split_isolation(spark):
+    corpus, f = build_training_corpus(_docs(spark), shard_token_budget=100)
+    max_doc = corpus.agg(F.max("n_tokens")).collect()[0][0]
+    per_shard = (corpus.groupBy("split", "shard_id")
+                 .agg(F.sum("n_tokens").alias("t"),
+                      F.min("n_tokens").alias("m")).collect())
+    for r in per_shard:
+        # greedy prefix packing: a shard exceeds budget by at most one doc
+        assert r["t"] < 100 + max_doc, r
+    for split in ("train", "val", "test"):
+        assert f.split_shards[split] <= max(f.split_docs[split], 1)
+
+
+def test_job_writes_partitioned_corpus_and_is_deterministic(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    f1 = run_training_corpus_job(spark, _docs(spark), out)
+    assert os.path.isdir(os.path.join(out, "split=train"))
+    back = spark.read.parquet(out)
+    assert back.count() == f1.n_clean
+    assert {"doc_id", "text", "quality_score", "n_tokens",
+            "shard_id"} <= set(back.columns)
+    f2 = run_training_corpus_job(spark, _docs(spark), out)
+    assert (f1.n_clean, f1.split_docs, f1.split_tokens) == \
+           (f2.n_clean, f2.split_docs, f2.split_tokens)
