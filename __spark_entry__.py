@@ -952,9 +952,11 @@ def q_kmeans_assign(spark, sf_dir):
     from pinned seeded init over the embeddings table, final (vec_id,
     cluster, dist).  Floats stay oracle-exact via the 9-digit per-
     iteration rounding contract; the oracle unrolls both iterations."""
-    from news_rss_spark.operators.clustering import kmeans_predict
+    from news_rss_spark.operators.clustering import kmeans_predict, pinned_init
     e = _t(spark, sf_dir, "embeddings")
-    return kmeans_predict(e, k=8, iters=2)
+    # init pinned at _EMB_DIM — the SAME constant _kmeans_sql embeds, so
+    # a regenerated table at another dim fails loudly instead of drifting
+    return kmeans_predict(e, k=8, iters=2, init=pinned_init(_EMB_DIM, 8))
 
 
 def q_frequent_ngrams(spark, sf_dir):
@@ -1801,6 +1803,11 @@ def _dlist(vec) -> str:
     return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
 
 
+# testdata embeddings dimensionality, shared by the Spark queries and the
+# generated oracles (kmeans init, LSH planes, IVF centroids)
+_EMB_DIM = 64
+
+
 _COS6 = ("round(list_dot_product({a}, {b}) / "
          "(sqrt(list_dot_product({a}, {a})) * "
          "sqrt(list_dot_product({b}, {b}))), 6)")
@@ -2041,7 +2048,7 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
     exact double sequence Spark's ``aggregate`` fold adds) and rounded
     to 9; empty clusters drop out of the update CTE on both engines."""
     from news_rss_spark.operators.clustering import pinned_init
-    init = pinned_init(64, k)
+    init = pinned_init(_EMB_DIM, k)
     rows = ",\n    ".join(f"({cid}, {_dlist(coords)})" for cid, coords in init)
     parts = [f"""
 e AS (
@@ -2050,7 +2057,8 @@ e AS (
 ),
 cl0 AS (SELECT j AS cluster, i AS dim, c[i + 1] AS cval
         FROM (VALUES
-    {rows}) AS t(j, c), UNNEST(generate_series(0, 63)) AS g(i))"""]
+    {rows}) AS t(j, c),
+       UNNEST(generate_series(0, {_EMB_DIM - 1})) AS g(i))"""]
     for it in range(1, iters + 1):
         prev, cur = f"cl{it - 1}", f"cl{it}"
         parts.append(f"""

@@ -28,7 +28,6 @@ constants (similarity.pinned_centroids), embedded verbatim in the oracle.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -57,8 +56,7 @@ def assign_clusters(df: DataFrame, centroids: list[tuple[int, list[float]]],
 
 
 def update_centroids(df: DataFrame, centroids: list[tuple[int, list[float]]],
-                     vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+                     vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
     """New centroids = per-(cluster, dim) mean, rounded to 9 digits;
     returns driver-side ``[(cluster_id, coords), ...]`` sorted by id.
     The assignment is recomputed INLINE in the same stage as the explode
@@ -84,18 +82,22 @@ def update_centroids(df: DataFrame, centroids: list[tuple[int, list[float]]],
 
 
 def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 2,
-               vec_col: str = "embedding", id_col: str = "vec_id",
+               vec_col: str = "embedding",
                init: list[tuple[int, list[float]]] | None = None,
                ) -> list[tuple[int, list[float]]]:
     """Lloyd iterations; returns the final centroid list.  Default init =
     pinned seeded constants (oracle-checkable); pass a data-derived
     ``init`` (e.g. a sampled k-means|| sketch) for production quality."""
     if init is None:
-        dim = len(df.select(vec_col).first()[0])
-        init = pinned_init(dim, k)
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "kmeans_fit: need at least one non-null vector to derive "
+                "the dimensionality for pinned init — pass init= explicitly")
+        init = pinned_init(len(row[0]), k)
     centroids = init
     for _ in range(iters):
-        centroids = update_centroids(df, centroids, vec_col, id_col)
+        centroids = update_centroids(df, centroids, vec_col)
     return centroids
 
 
@@ -108,10 +110,11 @@ def pinned_init(dim: int, k: int = 8, seed: int = 7) -> list[tuple[int, list[flo
 
 
 def kmeans_predict(df: DataFrame, k: int = 8, iters: int = 2,
-                   vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
-    """Fit (pinned init) + final assignment: ``(id, cluster, dist)`` with
-    dist rounded to 6 output digits."""
-    centroids = kmeans_fit(df, k, iters, vec_col, id_col)
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   init: list[tuple[int, list[float]]] | None = None,
+                   ) -> DataFrame:
+    """Fit (pinned init unless ``init`` given) + final assignment:
+    ``(id, cluster, dist)`` with dist rounded to 6 output digits."""
+    centroids = kmeans_fit(df, k, iters, vec_col, init=init)
     out = assign_clusters(df, centroids, vec_col, id_col)
     return out.select(id_col, "cluster", F.round("dist", 6).alias("dist"))

@@ -11,8 +11,8 @@ Plan shape, chosen for 100 TB:
   directly under the explode, so only the query's terms survive into the
   aggregation (predicate on the generator output — Catalyst keeps it in
   the same stage, nothing else is shuffled);
-- corpus scalars (N, avgdl) are model-sized driver values, like the
-  bigram model's vocab_size (lm_score.py);
+- corpus scalars (N, avgdl) ride as a broadcast ONE-ROW aggregate inside
+  the plan — no eager driver collect at DataFrame-construction time;
 - the per-document score folds term contributions in TERM ORDER via
   ``sort_array`` + ``aggregate`` so the doubles add in the same sequence
   on every engine — the same determinism contract as lm_score.py;
@@ -70,10 +70,16 @@ def bm25_search(df: DataFrame, query_terms: list[str], top_n: int = 10,
     ``(id_col, n_matched, score)``.
     """
     docs = df.filter(F.col(text_col).isNotNull())
-    dl = doc_lengths(docs, text_col, id_col)
-    stats = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
-    n_docs = int(stats["n"])
-    avgdl = float(stats["s"]) / n_docs if n_docs else 1.0
+    # corpus scalars (N, avgdl) stay IN the plan as a broadcast one-row
+    # aggregate — an eager collect here would scan the whole corpus at
+    # DataFrame-construction time (the _n_docs_agg rule, text_analysis.py).
+    # A lit-key equi-join (not crossJoin) keeps it a BroadcastHashJoin.
+    # the key must be COMPUTED from data ((cnt>=0) is always 1) — a lit(1)
+    # key gets folded by FoldablePropagation into `1=1`, degrading the
+    # equi-join back into a BroadcastNestedLoopJoin
+    stats = (doc_lengths(docs, text_col, id_col)
+             .agg(F.count("*").alias("cnt"), F.sum("dl").alias("s"))
+             .select((F.col("cnt") >= 0).cast("int").alias("_k"), "cnt", "s"))
 
     terms = sorted({t.lower() for t in query_terms if t})
     # dl rides along through the explode (max-agg) — a big-big join of
@@ -88,16 +94,22 @@ def bm25_search(df: DataFrame, query_terms: list[str], top_n: int = 10,
     dictionary = (postings.groupBy("term")
                   .agg(F.count("*").cast("long").alias("df")))
 
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+    n_d = F.col("cnt").cast("double")
+    avgdl = F.col("s").cast("double") / F.col("cnt")
+    idf = F.log(F.lit(1.0) + (n_d - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
     tf = F.col("tf").cast("double")
     dl_d = F.col("dl").cast("double")
     contrib = (idf * (tf * F.lit(k1 + 1.0))
                / (tf + F.lit(k1) * (F.lit(1.0 - b)
-                                    + F.lit(b) * dl_d / F.lit(avgdl))))
-    # the dictionary (|query terms| rows) broadcasts next to postings
+                                    + F.lit(b) * dl_d / avgdl)))
+    # the one-row stats attach to the tiny dictionary first, so the big
+    # postings path sees exactly ONE broadcast hash join (on term)
+    dict_stats = (dictionary
+                  .withColumn("_k", (F.col("df") >= 0).cast("int"))
+                  .join(F.broadcast(stats), "_k").drop("_k"))
     scored = (postings
-              .join(F.broadcast(dictionary), "term")
+              .join(F.broadcast(dict_stats), "term")
               .select(F.col(id_col), F.col("term"), contrib.alias("c")))
     folded = (scored.groupBy(id_col)
               .agg(F.sort_array(F.collect_list(F.struct("term", "c")))

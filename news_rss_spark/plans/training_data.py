@@ -15,12 +15,14 @@ packing); this module only sequences them and accounts the funnel.
 
 Efficiency notes at 100 TB:
 
-- the expensive fuzzy-dedup survivor set is ``localCheckpoint``-ed once —
-  every later stage (decontaminate/split/pack/write) would otherwise
-  re-mine the LSH pairs through Spark's lazy plan (measured 7x on the
-  components fixpoint, operators/components.py);
-- funnel counts come from the checkpointed frames, never by re-running
-  upstream stages;
+- the exact-dedup and fuzzy-dedup survivor sets are each
+  ``localCheckpoint``-ed once — the fuzzy stage reads the former three
+  times and every later stage (decontaminate/split/pack/write) would
+  otherwise re-mine the LSH pairs through Spark's lazy plan (measured 7x
+  on the components fixpoint, operators/components.py);
+- funnel counts cost one extra aggregation pass (pre-dedup stages share
+  a single agg) plus cheap counts on the checkpointed frames — never a
+  per-stage re-execution of the upstream prefix;
 - shard packing runs per split (3 small plans) so shards never straddle
   train/val/test;
 - the corpus lands ``partitionBy(split)``, lz4 (measured: snappy
@@ -38,7 +40,6 @@ from news_rss_spark.operators.components import keep_only_keepers
 from news_rss_spark.operators.text_analysis import (
     assign_split,
     quality_features,
-    token_count,
 )
 from news_rss_spark.operators.text_dedup import (
     contamination_check,
@@ -78,13 +79,21 @@ def build_training_corpus(docs: DataFrame, *,
     """
     base = docs.filter(F.col(text_col).isNotNull()
                        & (F.length(F.trim(F.col(text_col))) > 0))
-    n_input = base.count()
-
     scored = quality_features(base, text_col)
-    passed = scored.filter(F.col("quality_score") >= quality_min)
-    n_quality = passed.count()
+    # ONE aggregation pass yields both pre-dedup funnel counts — never a
+    # count() per stage, which would re-execute the whole upstream prefix
+    pre = scored.agg(
+        F.count("*").alias("n_in"),
+        F.sum((F.col("quality_score") >= quality_min).cast("long"))
+        .alias("n_q")).collect()[0]
+    n_input, n_quality = int(pre["n_in"]), int(pre["n_q"] or 0)
 
+    passed = scored.filter(F.col("quality_score") >= quality_min)
     deduped = exact_dedup(passed, text_col, id_col)
+    # checkpoint the exact-dedup survivors: the fuzzy stage reads them
+    # THREE times (candidate shingles, verify shingles, keeper semi-join)
+    # — one materialization beats >=3 re-runs of the quality+dedup prefix
+    deduped = deduped.localCheckpoint(eager=True)
     n_exact = deduped.count()
 
     cands = minhash_candidate_pairs(deduped, text_col=text_col,
@@ -93,9 +102,10 @@ def build_training_corpus(docs: DataFrame, *,
                                 text_col=text_col, id_col=id_col,
                                 candidates=cands)
     fuzzy = keep_only_keepers(deduped, pairs.select("a", "b"), id_col=id_col)
-    # checkpoint the expensive survivor set ONCE: everything downstream
-    # (counts, decontamination, split, 3x packing, write) re-reads it
-    # instead of re-mining LSH pairs through the lazy plan
+    # checkpoint the fuzzy survivor set too: everything downstream
+    # (decontamination, split, 3x packing, write) re-reads it instead of
+    # re-mining LSH pairs through the lazy plan (measured 7x on the
+    # components fixpoint, operators/components.py)
     fuzzy = fuzzy.localCheckpoint(eager=True)
     n_fuzzy = fuzzy.count()
 
@@ -104,9 +114,10 @@ def build_training_corpus(docs: DataFrame, *,
         clean = fuzzy.join(dirty.select(id_col), id_col, "left_anti")
     else:
         clean = fuzzy
+    # quality_features already tokenized every doc — reuse its n_tokens
+    # instead of re-splitting the corpus text a second time
     clean = (assign_split(clean, id_col, val_frac, test_frac)
-             .withColumn("n_tokens",
-                         token_count(F.col(text_col)).cast("long")))
+             .withColumn("n_tokens", F.col("n_tokens").cast("long")))
     clean = clean.localCheckpoint(eager=True)
     n_clean = clean.count()
 

@@ -67,3 +67,19 @@ def test_pinned_init_matches_similarity_constants(spark):
     ref = pinned_centroids(8, n_cells=4)
     assert [c[0] for c in init] == [0, 1, 2, 3]
     assert np.allclose(np.array([c[1] for c in init]), ref)
+
+
+def test_kmeans_fit_empty_input_raises_clearly(spark):
+    import pytest
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+    empty = spark.createDataFrame([], StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType()))]))
+    with pytest.raises(ValueError, match="pass init= explicitly"):
+        kmeans_fit(empty, k=2, iters=1)
+    null_first = spark.createDataFrame([(1, None)], StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType()))]))
+    with pytest.raises(ValueError, match="non-null vector"):
+        kmeans_fit(null_first, k=2, iters=1)
