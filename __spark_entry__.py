@@ -393,6 +393,50 @@ def q_shard_packing(spark, sf_dir):
     return out.select("doc_id", F.col("prefix_sum"), "shard_id")
 
 
+def q_concat_chunk(spark, sf_dir):
+    """Concat-and-split sequence packing: documents laid out on one
+    global token axis (distributed two-phase prefix sum, no global
+    window) and cut into fixed 4096-token context windows; one row per
+    (window, document-slice) with within-doc and within-window offsets.
+    Oracle: naive global-window cumsum + generate_series explosion."""
+    from news_rss_spark.operators.packing import concat_and_chunk
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens"))
+    return concat_and_chunk(d, chunk_tokens=4096, order_col="doc_id",
+                            tokens_col="n_tokens")
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-based mixture rebalancing (alpha=0.5): dominant
+    sources thinned so expected kept counts follow n^alpha, smallest
+    source kept in full; per-source kept stats.  The per-group keep
+    threshold follows the 9-digit rounding contract so the DuckDB oracle
+    reproduces the identical kept set."""
+    from news_rss_spark.operators.text_analysis import temperature_sample
+    d = _t(spark, sf_dir, "documents")
+    kept = temperature_sample(d, "source", alpha=0.5, id_col="doc_id",
+                              salt="temp-v1")
+    return (kept.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.sum("n_chars").cast("long").alias("kept_chars")))
+
+
+def q_language_quota(spark, sf_dir):
+    """Per-language quota selection: cap every language at its 15
+    highest-quality documents (quality_score ties break on doc_id).
+    Plans as WindowGroupLimit — hot languages never hold more than k
+    rows per task during the rank."""
+    from news_rss_spark.operators.text_analysis import (
+        quality_features,
+        top_k_per_group,
+    )
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    q = quality_features(d, "text")
+    out = top_k_per_group(q, "lang", "quality_score", k=15)
+    return out.select("lang", "doc_id", F.col("rank").cast("int").alias("rank"),
+                      "quality_score")
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split (reproducible under
     reruns, repartitioning, and corpus growth — unlike randomSplit) plus
@@ -1017,6 +1061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "dataset_split": q_dataset_split,
         "shard_packing": q_shard_packing,
+        "concat_chunk": q_concat_chunk,
+        "temperature_sample": q_temperature_sample,
+        "language_quota": q_language_quota,
         "pii_redact": q_pii_redact,
         "rss_parse": q_rss_parse,
         "worker_info": q_worker_info,
@@ -1358,6 +1405,44 @@ SELECT doc_id,
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                   / 50000) AS INT) AS shard_id
 FROM documents
+""",
+        "concat_chunk": """
+WITH p AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n,
+         CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prefix
+  FROM documents WHERE n_chars > 0
+)
+SELECT CAST(i AS BIGINT) AS chunk_id, doc_id,
+       CAST(greatest(i * 4096 - prefix, 0) AS BIGINT) AS doc_start,
+       CAST(least(n, (i + 1) * 4096 - prefix) AS BIGINT) AS doc_end,
+       CAST(greatest(prefix - i * 4096, 0) AS BIGINT) AS chunk_off
+FROM p, UNNEST(generate_series(prefix // 4096,
+                               (prefix + n - 1) // 4096)) AS g(i)
+""",
+        "temperature_sample": """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+r AS (SELECT source,
+             CAST(floor(round(pow(CAST(n AS DOUBLE)
+                                  / (SELECT min(n) FROM c), -0.5), 9)
+                        * 4294967296.0) AS BIGINT) AS cut
+      FROM c)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+FROM documents d JOIN r USING (source)
+WHERE CAST('0x' || substr(md5('temp-v1:' || CAST(d.doc_id AS VARCHAR)),
+                          1, 8) AS BIGINT) < r.cut
+GROUP BY d.source
+""",
+        "language_quota": f"""
+WITH q AS ({_quality_sql()})
+SELECT d.lang, q.doc_id,
+       CAST(row_number() OVER (PARTITION BY d.lang
+            ORDER BY q.quality_score DESC, q.doc_id) AS INT) AS rank,
+       q.quality_score
+FROM q JOIN documents d USING (doc_id)
+QUALIFY rank <= 15
 """,
         "dataset_split": """
 SELECT CASE WHEN d < 429496729 THEN 'test'

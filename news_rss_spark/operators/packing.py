@@ -69,3 +69,49 @@ def pack_into_shards(df: DataFrame, budget: int,
     pref = with_global_prefix_sum(df, order_col, tokens_col)
     return pref.withColumn(
         "shard_id", F.floor(F.col("prefix_sum") / budget).cast("int"))
+
+
+def concat_and_chunk(df: DataFrame, chunk_tokens: int,
+                     order_col: str = "doc_id",
+                     tokens_col: str = "n_tokens") -> DataFrame:
+    """Concat-and-split sequence packing: lay every document's tokens out
+    on one global token axis (in ``order_col`` order) and cut it into
+    fixed-size context windows of ``chunk_tokens`` — the standard LM
+    pretraining batch layout, where documents straddle window boundaries
+    and short documents share a window.
+
+    Output: one row per (window, document-slice) —
+
+    - ``chunk_id``  — the context window index
+    - ``doc_start``/``doc_end`` — the within-document token slice
+      [start, end) this window takes
+    - ``chunk_off`` — where that slice begins inside the window
+
+    so downstream tokenization can assemble each window with
+    ``collect_list(struct(chunk_off, doc_id, doc_start, doc_end))``
+    grouped by ``chunk_id`` without ever materializing the concatenated
+    corpus on one node.
+
+    Plan: the distributed two-phase prefix sum (above) gives each doc
+    its global offset; the window span is then a pure per-row
+    ``explode(sequence(first_chunk, last_chunk))`` — output size is
+    ``total_tokens / chunk_tokens + n_docs`` rows, linear in the corpus,
+    with no shuffle beyond the range partition the prefix sum already
+    did.  Zero-token docs contribute no rows (matching the oracle).
+    """
+    c = F.lit(chunk_tokens)
+    n = F.col(tokens_col).cast("long")
+    p = F.col("prefix_sum")
+    pref = with_global_prefix_sum(
+        df.filter(F.col(tokens_col) > 0), order_col, tokens_col)
+    spanned = pref.withColumn(
+        "chunk_id", F.explode(F.sequence(
+            F.floor(p / c), F.floor((p + n - F.lit(1)) / c))))
+    cid = F.col("chunk_id")
+    return spanned.select(
+        cid.cast("long").alias("chunk_id"),
+        F.col(order_col),
+        F.greatest(cid * c - p, F.lit(0)).cast("long").alias("doc_start"),
+        F.least(n, (cid + 1) * c - p).cast("long").alias("doc_end"),
+        F.greatest(p - cid * c, F.lit(0)).cast("long").alias("chunk_off"),
+    )

@@ -6,7 +6,7 @@ Python — and each has a bit-exact DuckDB oracle in __spark_entry__.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # marker words per language for the n-gram language-ID heuristic
@@ -249,6 +249,72 @@ def stratified_sample(df: DataFrame, group_col: str = "source",
         cut = F.when(F.col(group_col) == grp,
                      F.lit(int(rate * scale))).otherwise(cut)
     return df.filter(draw < cut)
+
+
+def temperature_sample(df: DataFrame, group_col: str = "source",
+                       alpha: float = 0.5, id_col: str = "doc_id",
+                       salt: str = "temp-v1") -> DataFrame:
+    """Temperature-based mixture rebalancing: downsample dominant groups
+    so expected kept counts are proportional to ``n_g ** alpha``.
+
+    The standard multilingual/data-mix recipe (XLM-style sampling with
+    exponent ``alpha``): the web corpus is dominated by a few huge
+    domains/languages, and training mixes flatten that head.  Keep-rate
+    per group = ``(n_g / n_min) ** (alpha - 1)`` — the SMALLEST group is
+    kept in full (rate 1) and larger groups are thinned so expected
+    contributions follow the temperature curve.  ``alpha=1`` keeps
+    everything; ``alpha=0`` equalizes every group's expected kept count
+    at ``n_min``.
+
+    Determinism contract: the per-group rate is rounded to 9 digits
+    before scaling to a 32-bit integer threshold (the same contract the
+    k-means oracle uses for cross-engine double parity), and the
+    keep/drop draw is the content-stable md5 draw of
+    :func:`stratified_sample` — the same doc survives on every run and
+    any partitioning.
+
+    Plan: one tiny hash-agg for group counts (|groups| rows), a window
+    min over THAT tiny frame (never over the corpus), then a broadcast
+    join + one codegen'd filter over the corpus — a single wide pass.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    # window over the counts frame only: <= |groups| rows in one task,
+    # NOT a corpus-wide single-partition window
+    w = Window.partitionBy()
+    rates = counts.withColumn("_nmin", F.min("_n").over(w)).withColumn(
+        "_cut",
+        F.floor(
+            F.round(
+                F.pow(F.col("_n").cast("double") / F.col("_nmin"),
+                      F.lit(alpha - 1.0)),
+                9)
+            * F.lit(float(1 << 32))).cast("long"),
+    ).select(group_col, "_cut")
+    draw = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"),
+                                   F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    return (df.join(F.broadcast(rates), group_col)
+            .filter(draw < F.col("_cut"))
+            .drop("_cut"))
+
+
+def top_k_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
+                    id_col: str = "doc_id",
+                    rank_col: str = "rank") -> DataFrame:
+    """Per-group quota selection: keep the ``k`` best rows of each group
+    (e.g. cap every language at k documents, keeping the highest
+    quality).  Ties break on ``id_col`` so the output is deterministic.
+
+    Plan: one shuffle on ``group_col``; the ``row_number`` + ``<= k``
+    filter compiles to Spark's WindowGroupLimit, which drops rows past
+    rank k DURING the sort on the map side instead of materializing
+    whole groups — a hot group never holds more than k rows per task.
+    """
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.desc(order_col), F.col(id_col)))
+    return (df.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= k))
 
 
 # ------------------------------------------------------- repetition stats

@@ -158,3 +158,76 @@ def test_frequent_ngrams_within_doc_repetition(spark):
     out = {r["ngram"]: (r["n_docs"], r["n_occurrences"])
            for r in frequent_ngrams(docs, n=2, min_docs=2).collect()}
     assert out["ha ha"] == (2, 4)  # 3 occurrences in doc1 + 1 in doc2
+
+
+# --------------------------------------------------- temperature_sample
+
+class TestTemperatureSample:
+    def _df(self, spark):
+        # three groups with very different sizes: 400 / 100 / 20
+        rows = ([(i, "big") for i in range(400)]
+                + [(400 + i, "mid") for i in range(100)]
+                + [(500 + i, "small") for i in range(20)])
+        return spark.createDataFrame(rows, "doc_id long, source string") \
+                    .repartition(7)
+
+    def test_alpha_one_keeps_everything(self, spark):
+        from news_rss_spark.operators.text_analysis import temperature_sample
+        df = self._df(spark)
+        assert temperature_sample(df, alpha=1.0).count() == df.count()
+
+    def test_smallest_group_always_kept_in_full(self, spark):
+        from news_rss_spark.operators.text_analysis import temperature_sample
+        df = self._df(spark)
+        out = temperature_sample(df, alpha=0.3)
+        assert out.filter(F.col("source") == "small").count() == 20
+
+    def test_flattens_toward_equal_counts_as_alpha_drops(self, spark):
+        from news_rss_spark.operators.text_analysis import temperature_sample
+        df = self._df(spark)
+        kept = {a: {r["source"]: r["n"] for r in
+                    temperature_sample(df, alpha=a).groupBy("source")
+                    .agg(F.count("*").alias("n")).collect()}
+                for a in (0.0, 0.5, 1.0)}
+        # alpha=0: expected n_min per group; the md5 draw is uniform so
+        # allow generous slack around 20 for the big groups
+        assert kept[0.0]["big"] < 45 and kept[0.0]["mid"] < 45
+        # monotone: lower temperature keeps fewer of the dominant group
+        assert kept[0.0]["big"] <= kept[0.5]["big"] <= kept[1.0]["big"]
+
+    def test_deterministic_under_repartition(self, spark):
+        from news_rss_spark.operators.text_analysis import temperature_sample
+        df = self._df(spark)
+        a = {r["doc_id"] for r in temperature_sample(df, alpha=0.4).collect()}
+        b = {r["doc_id"] for r in
+             temperature_sample(df.repartition(23), alpha=0.4).collect()}
+        assert a == b
+
+    def test_rates_join_is_broadcast(self, spark):
+        from news_rss_spark.operators.text_analysis import temperature_sample
+        plan = temperature_sample(self._df(spark), alpha=0.5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------ top_k_per_group
+
+class TestTopKPerGroup:
+    def test_keeps_k_best_with_id_tiebreak(self, spark):
+        from news_rss_spark.operators.text_analysis import top_k_per_group
+        rows = [(1, "en", 0.9), (2, "en", 0.9), (3, "en", 0.5),
+                (4, "de", 0.7), (5, "de", 0.1)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, q double")
+        out = {(r["lang"], r["doc_id"], r["rank"])
+               for r in top_k_per_group(df, "lang", "q", k=2).collect()}
+        assert out == {("en", 1, 1), ("en", 2, 2), ("de", 4, 1), ("de", 5, 2)}
+
+    def test_plan_uses_window_group_limit(self, spark):
+        from news_rss_spark.operators.text_analysis import top_k_per_group
+        df = spark.createDataFrame(
+            [(i, "g%d" % (i % 3), float(i)) for i in range(50)],
+            "doc_id long, lang string, q double")
+        plan = top_k_per_group(df, "lang", "q", k=5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan

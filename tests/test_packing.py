@@ -55,3 +55,72 @@ def test_no_global_window_partition_in_plan(spark):
     # the window must be keyed by the physical partition id, never empty
     assert "windowspecdefinition(_pid" in plan
     assert "windowspecdefinition(doc_id" not in plan
+
+
+# ----------------------------------------------------- concat_and_chunk
+
+def _naive_chunks(vals, c):
+    """Driver-side reference: global concat order, fixed windows of c."""
+    out, pref = [], 0
+    for k in sorted(vals):
+        n = vals[k]
+        if n <= 0:
+            continue
+        for cid in range(pref // c, (pref + n - 1) // c + 1):
+            out.append((cid, k, max(cid * c - pref, 0),
+                        min(n, (cid + 1) * c - pref),
+                        max(pref - cid * c, 0)))
+        pref += n
+    return sorted(out)
+
+
+def test_chunk_matches_naive_layout(spark):
+    from news_rss_spark.operators.packing import concat_and_chunk
+    df = _df(spark, n=400, parts=9, seed=5)
+    vals = {r["doc_id"]: r["n_tokens"] for r in df.collect()}
+    got = sorted(tuple(r) for r in concat_and_chunk(df, 1000).collect())
+    assert got == _naive_chunks(vals, 1000)
+
+
+def test_chunk_slices_tile_every_window_exactly(spark):
+    from news_rss_spark.operators.packing import concat_and_chunk
+    df = _df(spark, n=200, parts=5, seed=8)
+    rows = concat_and_chunk(df, 512).collect()
+    total = sum(r["n_tokens"] for r in df.collect())
+    by_chunk = {}
+    for r in rows:
+        by_chunk.setdefault(r["chunk_id"], []).append(r)
+    assert set(by_chunk) == set(range((total + 511) // 512))
+    for cid, seg in by_chunk.items():
+        seg.sort(key=lambda r: r["chunk_off"])
+        pos = 0
+        for r in seg:
+            assert r["chunk_off"] == pos  # no gaps, no overlaps
+            assert 0 <= r["doc_start"] < r["doc_end"]
+            pos += r["doc_end"] - r["doc_start"]
+        # every window full except the last
+        assert pos == 512 or (cid == max(by_chunk) and pos == total % 512)
+
+
+def test_chunk_zero_token_docs_contribute_nothing(spark):
+    from news_rss_spark.operators.packing import concat_and_chunk
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 5)], "doc_id long, n_tokens long")
+    rows = concat_and_chunk(df, 8).collect()
+    assert {r["doc_id"] for r in rows} == {1, 3}
+    assert sorted((r["chunk_id"], r["doc_id"]) for r in rows) == \
+        [(0, 1), (1, 1), (1, 3)]
+
+
+def test_chunk_plan_has_no_global_window(spark):
+    from news_rss_spark.operators.packing import concat_and_chunk
+    df = _df(spark, n=100)
+    plan = concat_and_chunk(df, 100)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # every Window node must be partition-scoped (keyed on _pid), never a
+    # global single-partition window over the corpus
+    import re
+    windows = re.findall(r"Window \[.*?windowspecdefinition\((.*?)\)", plan)
+    assert windows, "expected the local-prefix Window node in the plan"
+    for spec in windows:
+        assert "_pid" in spec
