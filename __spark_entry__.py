@@ -437,6 +437,34 @@ def q_language_quota(spark, sf_dir):
                       "quality_score")
 
 
+def q_hll_distinct(spark, sf_dir):
+    """From-scratch HyperLogLog distinct-text estimate per source (p=8,
+    md5-hash contract): one partial-max register aggregation, nothing but
+    <=256 rows per group ever shuffles.  The estimate is bit-reproducible
+    across engines (integer harmonic sum, one literal/integer division),
+    so the oracle replays it exactly; accuracy is pytest-asserted."""
+    from news_rss_spark.operators.sketch import hll_distinct
+    d = _t(spark, sf_dir, "documents")
+    return hll_distinct(d, "source", "text", p=8)
+
+
+def q_pagerank(spark, sf_dir):
+    """Power-iteration PageRank (3 iterations, d=0.85, dangling mass
+    redistributed) over a deterministic link graph synthesized from
+    documents: doc_id links to (doc_id*31 + j*97) % 1000 for
+    j in 1..doc_id%4 (docs with doc_id%4 == 0 emit nothing and become
+    dangling when linked).  9-digit per-iteration rounding contract; the
+    oracle unrolls the same iterations."""
+    from news_rss_spark.operators.pagerank import pagerank
+    d = _t(spark, sf_dir, "documents").filter(F.expr("doc_id % 4 > 0"))
+    e = (d.select(F.col("doc_id").alias("src"),
+                  F.explode(F.expr(
+                      "sequence(1, CAST(doc_id % 4 AS INT))")).alias("j"))
+         .select("src",
+                 ((F.col("src") * 31 + F.col("j") * 97) % 1000).alias("dst")))
+    return pagerank(e, iters=3, damping=0.85)
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split (reproducible under
     reruns, repartitioning, and corpus growth — unlike randomSplit) plus
@@ -1064,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_chunk": q_concat_chunk,
         "temperature_sample": q_temperature_sample,
         "language_quota": q_language_quota,
+        "hll_distinct": q_hll_distinct,
+        "pagerank": q_pagerank,
         "pii_redact": q_pii_redact,
         "rss_parse": q_rss_parse,
         "worker_info": q_worker_info,
@@ -1435,6 +1465,8 @@ WHERE CAST('0x' || substr(md5('temp-v1:' || CAST(d.doc_id AS VARCHAR)),
                           1, 8) AS BIGINT) < r.cut
 GROUP BY d.source
 """,
+        "hll_distinct": _hll_sql(p=8),
+        "pagerank": _pagerank_sql(iters=3, damping=0.85),
         "language_quota": f"""
 WITH q AS ({_quality_sql()})
 SELECT d.lang, q.doc_id,
@@ -2123,6 +2155,81 @@ FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT {top_n}
 """
+
+
+def _hll_sql(p: int = 8) -> str:
+    """Mirror of operators/sketch.py: 60-bit md5 hash, low-p-bit bucket,
+    exact bin()-length rho, integer harmonic sum, single literal/integer
+    division (the numerator literal is the SAME Python double Spark
+    embeds), linear-counting branch below 2.5 m."""
+    from news_rss_spark.operators.sketch import hll_alpha
+    m = 1 << p
+    kmax = 60 - p + 1
+    num = repr(hll_alpha(m) * m * m * float(1 << kmax))
+    return f"""
+WITH h AS (
+  SELECT source, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+regs AS (
+  SELECT source, h % {m} AS bucket,
+         max(CASE WHEN (h >> {p}) = 0 THEN {kmax}
+                  ELSE {kmax} - length(bin(h >> {p})) END) AS register
+  FROM h GROUP BY source, h % {m}
+),
+agg AS (
+  SELECT source,
+         sum(1::BIGINT << ({kmax} - register)) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY source
+)
+SELECT source,
+       round(CASE WHEN raw <= {repr(2.5 * m)} AND v > 0
+                  THEN {repr(float(m))} * ln({repr(float(m))} / v)
+                  ELSE raw END, 6) AS n_est
+FROM (SELECT source,
+             {num} / CAST(s_present + ({m} - n_present)
+                          * (1::BIGINT << {kmax}) AS DOUBLE) AS raw,
+             CAST({m} - n_present AS DOUBLE) AS v
+      FROM agg)
+"""
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Mirror of operators/pagerank.py over the synthesized link graph:
+    unrolled power iterations, dangling mass as a scalar subquery per
+    iteration, identical double literals (repr round-trips the exact
+    doubles Spark's F.lit holds) and operation order, 9-digit rounding."""
+    omd, d = repr(1.0 - damping), repr(damping)
+    parts = ["""
+edges AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 31 + i * 97) % 1000 AS dst
+  FROM documents, UNNEST(generate_series(1, doc_id % 4)) AS g(i)
+  WHERE doc_id % 4 > 0
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+        FROM edges GROUP BY src),
+base AS (SELECT node, deg FROM nodes LEFT JOIN deg ON node = src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS rank FROM base)"""]
+    for it in range(1, iters + 1):
+        prev, cur = f"r{it - 1}", f"r{it}"
+        parts.append(f"""
+{cur} AS (
+  SELECT b.node, b.deg,
+         round({omd} / (SELECT n FROM nn)
+               + {d} * (coalesce(c.c, 0.0)
+                        + (SELECT coalesce(sum(rank), 0.0) FROM {prev}
+                           WHERE deg IS NULL) / (SELECT n FROM nn)),
+               9) AS rank
+  FROM base b
+  LEFT JOIN (SELECT e.dst, sum(r.rank / r.deg) AS c
+             FROM {prev} r JOIN edges e ON r.node = e.src
+             GROUP BY e.dst) c ON b.node = c.dst
+)""")
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT node, rank FROM r{iters}")
 
 
 def _kmeans_sql(k: int = 8, iters: int = 2) -> str:

@@ -1,0 +1,104 @@
+"""HyperLogLog sketch: accuracy envelope, mergeability, determinism, and
+the one-aggregation plan shape."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from news_rss_spark.operators.sketch import (
+    hll_alpha,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _py_est(vals, p=8):
+    """Independent pure-Python reference of the exact same contract."""
+    m = 1 << p
+    kmax = 60 - p + 1
+    regs = {}
+    for v in vals:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        b = h % m
+        w = h >> p
+        rho = kmax if w == 0 else kmax - w.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    s = sum(1 << (kmax - r) for r in regs.values()) \
+        + (m - len(regs)) * (1 << kmax)
+    raw = hll_alpha(m) * m * m * float(1 << kmax) / s
+    zeros = m - len(regs)
+    if raw <= 2.5 * m and zeros > 0:
+        return round(m * math.log(m / zeros), 6)
+    return round(raw, 6)
+
+
+def _df(spark, n=20000, groups=3):
+    return spark.range(n).select(
+        (F.col("id") % groups).cast("string").alias("g"),
+        F.concat(F.lit("v"),
+                 (F.col("id") % 5000).cast("string"),
+                 F.lit(":"), (F.col("id") % groups).cast("string"))
+        .alias("v")).repartition(9)
+
+
+def test_matches_pure_python_reference_bit_exactly(spark):
+    df = _df(spark)
+    got = {r["g"]: r["n_est"] for r in hll_distinct(df, "g", "v").collect()}
+    for g in got:
+        vals = {r["v"] for r in df.filter(F.col("g") == g).collect()}
+        assert got[g] == _py_est(vals)
+
+
+def test_accuracy_envelope(spark):
+    # sigma ~= 1.04/sqrt(m) = 6.5% at p=8; assert a 4-sigma envelope
+    df = _df(spark)
+    est = {r["g"]: r["n_est"] for r in hll_distinct(df, "g", "v").collect()}
+    exact = {r["g"]: r["n"] for r in
+             df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()}
+    for g in exact:
+        assert abs(est[g] - exact[g]) / exact[g] < 0.26
+
+
+def test_linear_counting_small_range(spark):
+    # 40 distinct values << m: the linear-counting branch, near-exact
+    df = spark.range(1000).select(
+        F.lit("g").alias("g"), (F.col("id") % 40).cast("string").alias("v"))
+    est = hll_distinct(df, "g", "v").collect()[0]["n_est"]
+    assert abs(est - 40) / 40 < 0.1
+
+
+def test_registers_merge_by_max(spark):
+    # sketch(A union B) == per-register max of sketch(A), sketch(B)
+    df = _df(spark, n=8000)
+    a, b = df.filter(F.col("v") < "v25"), df.filter(F.col("v") >= "v25")
+    merged = (hll_registers(a, "g", "v").unionAll(hll_registers(b, "g", "v"))
+              .groupBy("g", "bucket").agg(F.max("register").alias("register")))
+    direct = {(r["g"], r["bucket"]): r["register"]
+              for r in hll_registers(df, "g", "v").collect()}
+    got = {(r["g"], r["bucket"]): r["register"] for r in merged.collect()}
+    assert got == direct
+    est_m = {r["g"]: r["n_est"]
+             for r in hll_estimate(merged, "g").collect()}
+    est_d = {r["g"]: r["n_est"]
+             for r in hll_estimate(hll_registers(df, "g", "v"), "g").collect()}
+    assert est_m == est_d
+
+
+def test_deterministic_under_repartition_and_nulls_ignored(spark):
+    df = _df(spark, n=5000)
+    withnull = df.unionAll(spark.createDataFrame(
+        [("0", None)], "g string, v string"))
+    a = sorted(tuple(r) for r in hll_distinct(df, "g", "v").collect())
+    b = sorted(tuple(r) for r in
+               hll_distinct(withnull.repartition(31), "g", "v").collect())
+    assert a == b
+
+
+def test_plan_is_one_partial_agg_shuffle(spark):
+    plan = hll_distinct(_df(spark), "g", "v") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # register build must combine map-side: partial_max before the exchange
+    assert "partial_max" in plan
+    assert "Join" not in plan
