@@ -40,6 +40,7 @@ from news_rss_spark.operators.components import keep_only_keepers
 from news_rss_spark.operators.text_analysis import (
     assign_split,
     quality_features,
+    temperature_sample,
 )
 from news_rss_spark.operators.text_dedup import (
     contamination_check,
@@ -47,7 +48,10 @@ from news_rss_spark.operators.text_dedup import (
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
 )
-from news_rss_spark.operators.packing import pack_into_shards
+from news_rss_spark.operators.packing import (
+    concat_and_chunk,
+    pack_into_shards,
+)
 
 
 @dataclass
@@ -68,6 +72,8 @@ def build_training_corpus(docs: DataFrame, *,
                           jaccard_threshold: float = 0.8,
                           val_frac: float = 0.1, test_frac: float = 0.1,
                           shard_token_budget: int = 20_000,
+                          mix_alpha: float | None = None,
+                          mix_group_col: str = "source",
                           text_col: str = "text",
                           id_col: str = "doc_id") -> tuple[DataFrame, CorpusFunnel]:
     """Run the funnel; returns ``(corpus_df, funnel)`` where ``corpus_df``
@@ -76,6 +82,12 @@ def build_training_corpus(docs: DataFrame, *,
 
     ``bench`` (optional) is the held-out benchmark table for 8-gram
     decontamination; docs sharing any 8-gram with it are dropped.
+
+    ``mix_alpha`` (optional) applies temperature mixture rebalancing
+    over ``mix_group_col`` AFTER dedup/decontamination and BEFORE the
+    split (so the rebalanced corpus still splits content-stably):
+    expected kept counts per group follow ``n ** alpha``
+    (operators/text_analysis.temperature_sample).
     """
     base = docs.filter(F.col(text_col).isNotNull()
                        & (F.length(F.trim(F.col(text_col))) > 0))
@@ -114,6 +126,9 @@ def build_training_corpus(docs: DataFrame, *,
         clean = fuzzy.join(dirty.select(id_col), id_col, "left_anti")
     else:
         clean = fuzzy
+    if mix_alpha is not None and mix_alpha < 1.0:
+        clean = temperature_sample(clean, mix_group_col, alpha=mix_alpha,
+                                   id_col=id_col)
     # quality_features already tokenized every doc — reuse its n_tokens
     # instead of re-splitting the corpus text a second time
     clean = (assign_split(clean, id_col, val_frac, test_frac)
@@ -155,13 +170,48 @@ def build_training_corpus(docs: DataFrame, *,
     return corpus, funnel
 
 
+def build_context_windows(corpus: DataFrame, chunk_tokens: int,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Concat-and-split context-window map over a packed corpus
+    (the ``split`` + ``n_tokens`` columns of :func:`build_training_corpus`
+    output): each split gets its OWN token axis, so no window ever
+    straddles train/val/test.  Returns
+    ``(split, chunk_id, id_col, doc_start, doc_end, chunk_off)`` — the
+    assembly plan a tokenizer job consumes without materializing the
+    concatenated corpus anywhere (operators/packing.concat_and_chunk)."""
+    outs = []
+    for split in ("train", "val", "test"):
+        part = corpus.filter(F.col("split") == split)
+        win = concat_and_chunk(part, chunk_tokens, order_col=id_col,
+                               tokens_col="n_tokens")
+        outs.append(win.select(F.lit(split).alias("split"), "*"))
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.unionByName(o)
+    return merged
+
+
 def run_training_corpus_job(spark: SparkSession, docs: DataFrame,
-                            out_dir: str, **kwargs) -> CorpusFunnel:
+                            out_dir: str,
+                            chunk_tokens: int | None = None,
+                            **kwargs) -> CorpusFunnel:
     """Build the corpus and land it as ``partitionBy(split)`` lz4 parquet
-    at ``out_dir``; returns the funnel stats."""
+    at ``out_dir``; returns the funnel stats.  With ``chunk_tokens`` set,
+    the per-split context-window map additionally lands under
+    ``out_dir + "_windows"``."""
     corpus, funnel = build_training_corpus(docs, **kwargs)
+    if chunk_tokens is not None:
+        # the window map re-reads the corpus three times (one axis per
+        # split) — checkpoint once instead of re-running the funnel tail
+        corpus = corpus.localCheckpoint(eager=True)
     (corpus.write.mode("overwrite")
      .option("compression", "lz4")
      .partitionBy("split")
      .parquet(out_dir))
+    if chunk_tokens is not None:
+        (build_context_windows(corpus, chunk_tokens)
+         .write.mode("overwrite")
+         .option("compression", "lz4")
+         .partitionBy("split")
+         .parquet(out_dir + "_windows"))
     return funnel

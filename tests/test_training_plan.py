@@ -81,3 +81,64 @@ def test_job_writes_partitioned_corpus_and_is_deterministic(spark, tmp_path):
     f2 = run_training_corpus_job(spark, _docs(spark), out)
     assert (f1.n_clean, f1.split_docs, f1.split_tokens) == \
            (f2.n_clean, f2.split_docs, f2.split_tokens)
+
+
+def test_temperature_mix_flattens_sources(spark):
+    from news_rss_spark.plans.training_data import build_training_corpus
+    # one dominant source, two small ones
+    rows = ([(i, "big", "unique text %d alpha beta gamma delta" % i)
+             for i in range(300)]
+            + [(1000 + i, "s1", "unique text %d epsilon zeta eta" % i)
+               for i in range(30)]
+            + [(2000 + i, "s2", "unique text %d theta iota kappa" % i)
+               for i in range(30)])
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    full, f_full = build_training_corpus(docs, quality_min=0.0)
+    mixed, f_mix = build_training_corpus(docs, quality_min=0.0, mix_alpha=0.0)
+    by_src = {r["source"]: r["n"] for r in
+              mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # alpha=0 equalizes expected counts at the smallest group's size
+    assert by_src["big"] < 100
+    assert f_mix.n_clean < f_full.n_clean
+    # split/pack accounting still holds post-mix
+    assert sum(f_mix.split_docs.values()) == f_mix.n_clean
+
+
+def test_context_windows_cover_each_split_exactly(spark):
+    from news_rss_spark.plans.training_data import (
+        build_context_windows,
+        build_training_corpus,
+    )
+    rows = [(i, "s", "w%d " % i + "lorem ipsum dolor sit amet " * (i % 7 + 1))
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    corpus, f = build_training_corpus(docs, quality_min=0.0)
+    corpus = corpus.localCheckpoint(eager=True)
+    win = build_context_windows(corpus, chunk_tokens=64)
+    got_tokens = {r["split"]: r["t"] for r in
+                  win.groupBy("split")
+                  .agg(F.sum(F.col("doc_end") - F.col("doc_start")).alias("t"))
+                  .collect()}
+    # slices tile each split's token axis exactly; windows never straddle
+    for split, toks in f.split_tokens.items():
+        assert got_tokens.get(split, 0) == toks
+    per_win = (win.groupBy("split", "chunk_id")
+               .agg(F.sum(F.col("doc_end") - F.col("doc_start")).alias("w"))
+               .collect())
+    for r in per_win:
+        assert r["w"] <= 64
+
+
+def test_job_writes_window_map(spark, tmp_path):
+    from news_rss_spark.plans.training_data import run_training_corpus_job
+    rows = [(i, "s", "text %d lorem ipsum dolor sit" % i) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = str(tmp_path / "corpus")
+    f = run_training_corpus_job(spark, docs, out, chunk_tokens=32,
+                                quality_min=0.0)
+    win = spark.read.parquet(out + "_windows")
+    assert win.count() > 0
+    assert set(win.columns) == {"split", "chunk_id", "doc_id",
+                                "doc_start", "doc_end", "chunk_off"}
+    total = win.agg(F.sum(F.col("doc_end") - F.col("doc_start"))).collect()[0][0]
+    assert total == sum(f.split_tokens.values())
