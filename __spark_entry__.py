@@ -465,6 +465,42 @@ def q_pagerank(spark, sf_dir):
     return pagerank(e, iters=3, damping=0.85)
 
 
+def q_length_histogram(spark, sf_dir):
+    """Per-source doc-length histogram (20 integer-arithmetic bins over
+    [0, 4000) chars): profiling pass before committing length filters.
+    One map-side-combined hash agg; only |sources| x 20 rows shuffle."""
+    from news_rss_spark.operators.corpus_stats import histogram
+    d = _t(spark, sf_dir, "documents")
+    return histogram(d, "n_chars", 0, 4000, 20, "source")
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-source doc-length quantiles (linear interpolation —
+    probed bit-identical between Spark percentile and DuckDB
+    quantile_cont on doubles)."""
+    from news_rss_spark.operators.corpus_stats import group_quantiles
+    d = _t(spark, sf_dir, "documents")
+    return group_quantiles(d, "source", "n_chars", [0.1, 0.5, 0.9, 0.99])
+
+
+def q_uniform_sample(spark, sf_dir):
+    """Deterministic uniform 5-sample per source by the content-stable
+    md5 draw (WindowGroupLimit rank) — the inspection-sample pull that
+    stays identical across runs/engines/partitionings."""
+    from news_rss_spark.operators.corpus_stats import uniform_sample_k
+    d = _t(spark, sf_dir, "documents")
+    return uniform_sample_k(d, "source", 5).select("source", "doc_id")
+
+
+def q_pmi_pairs(spark, sf_dir):
+    """Top-50 word pairs by PMI within a ±3-token window (collocation /
+    boilerplate-glue mining).  Pair generation is a JVM nested-transform
+    generator — no self-join of the corpus-sized position table."""
+    from news_rss_spark.operators.corpus_stats import pmi_pairs
+    d = _t(spark, sf_dir, "documents")
+    return pmi_pairs(d, window=3, min_count=5, top_n=50)
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split (reproducible under
     reruns, repartitioning, and corpus growth — unlike randomSplit) plus
@@ -1094,6 +1130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_quota": q_language_quota,
         "hll_distinct": q_hll_distinct,
         "pagerank": q_pagerank,
+        "length_histogram": q_length_histogram,
+        "length_quantiles": q_length_quantiles,
+        "uniform_sample": q_uniform_sample,
+        "pmi_pairs": q_pmi_pairs,
         "pii_redact": q_pii_redact,
         "rss_parse": q_rss_parse,
         "worker_info": q_worker_info,
@@ -1467,6 +1507,66 @@ GROUP BY d.source
 """,
         "hll_distinct": _hll_sql(p=8),
         "pagerank": _pagerank_sql(iters=3, damping=0.85),
+        "length_histogram": """
+SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+       0.0 + bin * 200.0 AS bin_lo
+FROM (SELECT source,
+             (CAST(n_chars AS BIGINT) - 0) * 20 // 4000 AS bin
+      FROM documents WHERE n_chars >= 0 AND n_chars < 4000)
+GROUP BY source, bin
+""",
+        "length_quantiles": """
+WITH a AS (
+  SELECT source,
+         quantile_cont(CAST(n_chars AS DOUBLE),
+                       [0.1, 0.5, 0.9, 0.99]) AS qs
+  FROM documents GROUP BY source
+)
+SELECT source,
+       CAST([0.1, 0.5, 0.9, 0.99][i] AS DOUBLE) AS p,
+       qs[i] AS q
+FROM a, UNNEST(generate_series(1, 4)) AS g(i)
+""",
+        "uniform_sample": """
+SELECT source, doc_id
+FROM (SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('sample-v1:' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rn
+      FROM documents)
+WHERE rn <= 5
+""",
+        "pmi_pairs": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, i AS pos, w[i + 1] AS tok
+  FROM toks, UNNEST(generate_series(0, len(w) - 1)) t(i)
+  WHERE len(w) >= 2
+),
+pr AS (
+  SELECT least(a.tok, b.tok) AS a, greatest(a.tok, b.tok) AS b
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+  WHERE a.tok != b.tok AND a.tok != '' AND b.tok != ''
+),
+c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM pr GROUP BY a, b),
+m AS (SELECT w, sum(n_ab) AS n_w
+      FROM (SELECT a AS w, n_ab FROM c UNION ALL SELECT b, n_ab FROM c)
+      GROUP BY w),
+t AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS total FROM c)
+SELECT c.a, c.b, c.n_ab,
+       round(ln(CAST(c.n_ab AS DOUBLE) * (SELECT total FROM t)
+                / (CAST(ma.n_w AS DOUBLE) * CAST(mb.n_w AS DOUBLE))),
+             6) AS pmi
+FROM c JOIN m ma ON c.a = ma.w JOIN m mb ON c.b = mb.w
+WHERE c.n_ab >= 5
+ORDER BY pmi DESC, c.a, c.b
+LIMIT 50
+""",
         "language_quota": f"""
 WITH q AS ({_quality_sql()})
 SELECT d.lang, q.doc_id,

@@ -1,0 +1,128 @@
+"""Corpus analytics: histograms, exact quantiles, deterministic uniform
+samples, and PMI co-occurrence — the profiling pass a training-data run
+does before committing filter thresholds (where do I cut doc length?
+which sources are outliers? which word pairs are boilerplate glue?).
+
+All four are single-purpose aggregation plans over the documents table:
+no UDFs, no joins of corpus-sized relations, map-side partial
+aggregation everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram(df: DataFrame, value_col: str, lo: int, hi: int,
+              n_bins: int, group_col: str | None = None) -> DataFrame:
+    """Fixed-width histogram of an INTEGER measure over [lo, hi):
+    ``(group?, bin, bin_lo, n)``.
+
+    Binning is pure integer arithmetic — ``(x - lo) * n_bins div
+    (hi - lo)`` with Spark's ``div`` / DuckDB's ``//`` — so there is no
+    float boundary to disagree about at bin edges (DuckDB has no
+    width_bucket; and a double quotient CAST differs across engines —
+    Spark truncates, DuckDB rounds).  One hash aggregation with
+    map-side combine; at most ``|groups| * n_bins`` rows ever shuffle.
+    Out-of-range rows are dropped (callers profile the range first or
+    widen it).
+    """
+    x = F.col(value_col).cast("long")
+    bin_ = F.expr(f"(CAST({value_col} AS BIGINT) - {lo}) * {n_bins} "
+                  f"div {hi - lo}")
+    keys = ([F.col(group_col)] if group_col else []) + [bin_.alias("bin")]
+    out = (df.filter((x >= lo) & (x < hi))
+           .groupBy(*keys)
+           .agg(F.count("*").alias("n")))
+    width = (hi - lo) / n_bins
+    return out.withColumn(
+        "bin_lo", F.lit(float(lo)) + F.col("bin") * F.lit(width))
+
+
+def group_quantiles(df: DataFrame, group_col: str, value_col: str,
+                    probs: list[float]) -> DataFrame:
+    """Exact linear-interpolated quantiles per group:
+    ``(group, p, q)`` — Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the (n-1)*p rank convention bit-for-bit
+    (probed on 997 uniform doubles), so the oracle needs no rounding
+    slack.  Exact percentile sorts each group's values once inside the
+    aggregation — right for profiling passes; for always-on telemetry at
+    100 TB swap in approx_percentile and drop the oracle row.
+    """
+    arr = ", ".join(repr(float(p)) for p in probs)
+    agg = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, array({arr}))").alias("qs"))
+    labels = F.array(*[F.lit(float(p)) for p in probs])
+    return (agg.select(F.col(group_col),
+                       F.posexplode("qs").alias("i", "q"))
+            .select(F.col(group_col),
+                    F.element_at(labels, F.col("i") + 1).alias("p"),
+                    F.col("q")))
+
+
+def uniform_sample_k(df: DataFrame, group_col: str, k: int,
+                     id_col: str = "doc_id",
+                     salt: str = "sample-v1") -> DataFrame:
+    """Deterministic uniform k-sample per group: rank rows by the
+    content-stable md5 draw (the assign_split/stratified_sample hash
+    contract) and keep the k smallest.  Unlike ``TABLESAMPLE`` or
+    rand(seed), the SAME rows are sampled on every run, engine, and
+    partitioning — and like top_k_per_group, the rank compiles to
+    WindowGroupLimit, so hot groups never hold more than k rows per
+    task."""
+    draw = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(draw.asc(), F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def pmi_pairs(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", window: int = 3,
+              min_count: int = 5, top_n: int = 50) -> DataFrame:
+    """Top word pairs by pointwise mutual information within a
+    ±``window``-token co-occurrence window: ``(a, b, n_ab, pmi)``.
+
+    High-PMI pairs surface collocations and templated boilerplate glue
+    ("all rights", "rights reserved") that per-word counts can't see.
+
+    Pair generation is a nested ``transform(sequence(...))`` — one
+    JVM-side generator per row, NO self-join of the position table (a
+    positions⋈positions join would shuffle the corpus twice and explode
+    skew on hot words).  Pairs are unordered (least/greatest), self
+    pairs dropped; marginals and the total come from two further
+    aggregations of the (much smaller) pair-count relation.  PMI =
+    ln(n_ab * total / (n_a * n_b)) on exact integer ratios, rounded to
+    6; ties break on (a, b).
+    """
+    t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pairs = F.expr(
+        f"""flatten(transform(sequence(0, size(_t) - 2), i ->
+              transform(sequence(i + 1, least(i + {window}, size(_t) - 1)),
+                        j -> struct(least(_t[i], _t[j]) AS a,
+                                    greatest(_t[i], _t[j]) AS b))))""")
+    p = (df.filter(F.col(text_col).isNotNull())
+         .select(t.alias("_t"))
+         .filter(F.size("_t") >= 2)
+         .select(F.explode(pairs).alias("pr"))
+         .select("pr.a", "pr.b")
+         .filter((F.col("a") != F.col("b"))
+                 & (F.col("a") != "") & (F.col("b") != "")))
+    counts = p.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    counts = counts.localCheckpoint(eager=True)  # read 3x below
+    marg = (counts.select(F.col("a").alias("w"), "n_ab")
+            .unionAll(counts.select(F.col("b").alias("w"), "n_ab"))
+            .groupBy("w").agg(F.sum("n_ab").alias("n_w")))
+    total = counts.agg(F.sum("n_ab")).collect()[0][0] or 0
+    pmi = F.round(
+        F.log(F.col("n_ab").cast("double") * F.lit(float(total))
+              / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))),
+        6)
+    return (counts.filter(F.col("n_ab") >= min_count)
+            .join(marg.withColumnRenamed("w", "a")
+                  .withColumnRenamed("n_w", "n_a"), "a")
+            .join(marg.withColumnRenamed("w", "b")
+                  .withColumnRenamed("n_w", "n_b"), "b")
+            .select("a", "b", "n_ab", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "a", "b")
+            .limit(top_n))

@@ -1,0 +1,126 @@
+"""Corpus analytics operators: histogram edges, quantile exactness,
+deterministic sampling, PMI semantics."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from news_rss_spark.operators.corpus_stats import (
+    group_quantiles,
+    histogram,
+    pmi_pairs,
+    uniform_sample_k,
+)
+
+
+class TestHistogram:
+    def test_edges_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [(v,) for v in [0, 9, 10, 19, 20, 99, 100, -1]], "x long")
+        out = {r["bin"]: (r["n"], r["bin_lo"])
+               for r in histogram(df, "x", 0, 100, 10).collect()}
+        # 100 and -1 out of range; boundary 10 starts bin 1, 20 bin 2
+        assert out[0] == (2, 0.0)
+        assert out[1] == (2, 10.0)
+        assert out[2] == (1, 20.0)
+        assert out[9] == (1, 90.0)
+        assert sum(n for n, _ in out.values()) == 6
+
+    def test_grouped(self, spark):
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 6), ("b", 5)], "g string, x long")
+        out = {(r["g"], r["bin"]): r["n"]
+               for r in histogram(df, "x", 0, 10, 2, "g").collect()}
+        assert out == {("a", 1): 2, ("b", 1): 1}
+
+
+class TestGroupQuantiles:
+    def test_interpolation_matches_numpy_convention(self, spark):
+        vals = [1.0, 2.0, 3.0, 10.0]
+        df = spark.createDataFrame([("g", v) for v in vals],
+                                   "g string, x double")
+        out = {r["p"]: r["q"] for r in
+               group_quantiles(df, "g", "x", [0.25, 0.5, 0.9]).collect()}
+        # (n-1)*p rank linear interpolation
+        assert out[0.25] == 1.75
+        assert out[0.5] == 2.5
+        # rank (n-1)*0.9 = 2.7 -> 3.0 + 0.7 * (10.0 - 3.0)
+        assert abs(out[0.9] - 7.9) < 1e-12
+
+    def test_per_group_independence(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 100.0)], "g string, x double")
+        out = {(r["g"], r["p"]): r["q"] for r in
+               group_quantiles(df, "g", "x", [0.5]).collect()}
+        assert out == {("a", 0.5): 2.0, ("b", 0.5): 100.0}
+
+
+class TestUniformSampleK:
+    def test_deterministic_and_sized(self, spark):
+        df = spark.createDataFrame(
+            [(i, "g%d" % (i % 3)) for i in range(300)],
+            "doc_id long, g string")
+        a = sorted(r["doc_id"] for r in
+                   uniform_sample_k(df, "g", 10).collect())
+        b = sorted(r["doc_id"] for r in
+                   uniform_sample_k(df.repartition(17), "g", 10).collect())
+        assert a == b and len(a) == 30
+
+    def test_matches_md5_order(self, spark):
+        df = spark.createDataFrame([(i, "g") for i in range(50)],
+                                   "doc_id long, g string")
+        got = sorted(r["doc_id"] for r in
+                     uniform_sample_k(df, "g", 5, salt="s1").collect())
+        want = sorted(sorted(
+            range(50),
+            key=lambda i: hashlib.md5(f"s1:{i}".encode()).hexdigest())[:5])
+        assert got == want
+
+    def test_small_groups_kept_whole(self, spark):
+        df = spark.createDataFrame([(1, "g"), (2, "g")], "doc_id long, g string")
+        assert uniform_sample_k(df, "g", 10).count() == 2
+
+
+class TestPmiPairs:
+    def test_collocation_beats_independent_pair(self, spark):
+        # "ab bb" glued together in every doc; "xx"/"yy" spread apart
+        rows = [(i, "ab bb xx %d yy filler%d" % (i, i)) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pmi_pairs(df, window=2, min_count=5, top_n=10).collect()
+        pairs = {(r["a"], r["b"]): r["pmi"] for r in out}
+        assert ("ab", "bb") in pairs
+        # xx-yy are 2+ apart with window=2 via the distinct middle token
+        # (xx %d yy): distance 2 -> within window, but diluted by unique
+        # middles; ab-bb must rank at least as high
+        top = out[0]
+        assert pairs[("ab", "bb")] >= max(pairs.values()) - 1e-9
+
+    def test_window_limits_distance(self, spark):
+        df = spark.createDataFrame(
+            [(i, "aa x1 x2 x3 zz tail%d" % i) for i in range(10)],
+            "doc_id long, text string")
+        near = {(r["a"], r["b"]) for r in
+                pmi_pairs(df, window=4, min_count=5, top_n=100).collect()}
+        far = {(r["a"], r["b"]) for r in
+               pmi_pairs(df, window=3, min_count=5, top_n=100).collect()}
+        assert ("aa", "zz") in near
+        assert ("aa", "zz") not in far
+
+    def test_formula_hand_checked(self, spark):
+        # 10 docs of "p q", nothing else: one pair type
+        df = spark.createDataFrame([(i, "p q") for i in range(10)],
+                                   "doc_id long, text string")
+        out = pmi_pairs(df, window=3, min_count=1, top_n=10).collect()
+        assert len(out) == 1
+        r = out[0]
+        # n_ab=10, total=10, n_a=n_b=10 -> pmi = ln(10*10/(10*10)) = 0
+        assert (r["a"], r["b"], r["n_ab"]) == ("p", "q", 10)
+        assert r["pmi"] == 0.0
+
+    def test_no_self_pairs_and_unordered(self, spark):
+        df = spark.createDataFrame([(1, "w w v")], "doc_id long, text string")
+        out = pmi_pairs(df, window=2, min_count=1, top_n=10).collect()
+        keys = {(r["a"], r["b"]) for r in out}
+        assert ("w", "w") not in keys
+        assert all(a <= b for a, b in keys)
