@@ -501,6 +501,24 @@ def q_pmi_pairs(spark, sf_dir):
     return pmi_pairs(d, window=3, min_count=5, top_n=50)
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental corpus versioning: diff two deterministic snapshot
+    views of documents (old drops doc_id%10==0, new drops %7==0 and
+    edits text on %13==0) into added/removed/changed ids — the delta an
+    incremental re-embed/re-dedup/index-refresh consumes.  One
+    column-pruned hash per side + one full-outer id join, delta-sized
+    output."""
+    from news_rss_spark.operators.snapshot import snapshot_diff
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter("doc_id % 10 != 0")
+    new = (d.filter("doc_id % 7 != 0")
+           .withColumn("text",
+                       F.when(F.expr("doc_id % 13 = 0"),
+                              F.concat(F.col("text"), F.lit(" [v2]")))
+                       .otherwise(F.col("text"))))
+    return snapshot_diff(old, new)
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split (reproducible under
     reruns, repartitioning, and corpus growth — unlike randomSplit) plus
@@ -1130,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_quota": q_language_quota,
         "hll_distinct": q_hll_distinct,
         "pagerank": q_pagerank,
+        "snapshot_diff": q_snapshot_diff,
         "length_histogram": q_length_histogram,
         "length_quantiles": q_length_quantiles,
         "uniform_sample": q_uniform_sample,
@@ -1507,6 +1526,32 @@ GROUP BY d.source
 """,
         "hll_distinct": _hll_sql(p=8),
         "pagerank": _pagerank_sql(iters=3, damping=0.85),
+        "snapshot_diff": """
+WITH o AS (
+  SELECT doc_id,
+         md5(coalesce(lang, chr(0) || 'null') || chr(1) ||
+             coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null') || chr(1) ||
+             coalesce(source, chr(0) || 'null') || chr(1) ||
+             coalesce(text, chr(0) || 'null')) AS old_hash
+  FROM documents WHERE doc_id % 10 != 0
+),
+n AS (
+  SELECT doc_id,
+         md5(coalesce(lang, chr(0) || 'null') || chr(1) ||
+             coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null') || chr(1) ||
+             coalesce(source, chr(0) || 'null') || chr(1) ||
+             coalesce(CASE WHEN doc_id % 13 = 0 THEN text || ' [v2]'
+                           ELSE text END, chr(0) || 'null')) AS new_hash
+  FROM documents WHERE doc_id % 7 != 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash != new_hash THEN 'changed' END AS change,
+       old_hash, new_hash
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash != new_hash
+""",
         "length_histogram": """
 SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
        0.0 + bin * 200.0 AS bin_lo
