@@ -1529,19 +1529,19 @@ GROUP BY d.source
         "snapshot_diff": """
 WITH o AS (
   SELECT doc_id,
-         md5(coalesce(lang, chr(0) || 'null') || chr(1) ||
-             coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null') || chr(1) ||
-             coalesce(source, chr(0) || 'null') || chr(1) ||
-             coalesce(text, chr(0) || 'null')) AS old_hash
+         md5(coalesce(md5(lang), 'n') ||
+             coalesce(md5(CAST(n_chars AS VARCHAR)), 'n') ||
+             coalesce(md5(source), 'n') ||
+             coalesce(md5(text), 'n')) AS old_hash
   FROM documents WHERE doc_id % 10 != 0
 ),
 n AS (
   SELECT doc_id,
-         md5(coalesce(lang, chr(0) || 'null') || chr(1) ||
-             coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null') || chr(1) ||
-             coalesce(source, chr(0) || 'null') || chr(1) ||
-             coalesce(CASE WHEN doc_id % 13 = 0 THEN text || ' [v2]'
-                           ELSE text END, chr(0) || 'null')) AS new_hash
+         md5(coalesce(md5(lang), 'n') ||
+             coalesce(md5(CAST(n_chars AS VARCHAR)), 'n') ||
+             coalesce(md5(source), 'n') ||
+             coalesce(md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [v2]'
+                               ELSE text END), 'n')) AS new_hash
   FROM documents WHERE doc_id % 7 != 0
 )
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,

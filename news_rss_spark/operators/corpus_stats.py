@@ -26,8 +26,15 @@ def histogram(df: DataFrame, value_col: str, lo: int, hi: int,
     Spark truncates, DuckDB rounds).  One hash aggregation with
     map-side combine; at most ``|groups| * n_bins`` rows ever shuffle.
     Out-of-range rows are dropped (callers profile the range first or
-    widen it).
+    widen it).  ``hi - lo`` must divide evenly by ``n_bins`` — with a
+    remainder, integer binning makes some bins one unit wider than the
+    uniform ``bin_lo`` labels claim, so the mismatch is rejected up
+    front instead of mislabeling edges.
     """
+    if (hi - lo) % n_bins != 0:
+        raise ValueError(
+            f"histogram: range {hi - lo} not divisible by n_bins={n_bins} "
+            f"— bin_lo labels would not match actual integer bin edges")
     x = F.col(value_col).cast("long")
     bin_ = F.expr(f"(CAST({value_col} AS BIGINT) - {lo}) * {n_bins} "
                   f"div {hi - lo}")
@@ -77,8 +84,7 @@ def uniform_sample_k(df: DataFrame, group_col: str, k: int,
             .filter(F.col("_rn") <= k).drop("_rn"))
 
 
-def pmi_pairs(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id", window: int = 3,
+def pmi_pairs(df: DataFrame, text_col: str = "text", window: int = 3,
               min_count: int = 5, top_n: int = 50) -> DataFrame:
     """Top word pairs by pointwise mutual information within a
     ±``window``-token co-occurrence window: ``(a, b, n_ab, pmi)``.

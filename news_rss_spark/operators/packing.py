@@ -33,16 +33,21 @@ def with_global_prefix_sum(df: DataFrame, order_col: str, value_col: str,
     without ever forming a global window partition."""
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism * 2
-    ranged = df.repartitionByRange(n_parts, F.col(order_col)) \
-               .withColumn("_pid", F.spark_partition_id())
+    # materialize the ranged layout ONCE: the totals job below and the
+    # final job both read it, and RangePartitioner boundaries come from
+    # per-execution sampling — two lazy executions could put a boundary
+    # row in partition p in one job and p+1 in the other, silently
+    # joining that row onto the wrong offset.  The checkpoint pins ONE
+    # partitioning for both reads (offsets are partitioning-independent
+    # only when the _pid assignment is the same on both sides).
+    ranged = (df.repartitionByRange(n_parts, F.col(order_col))
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
     w = Window.partitionBy("_pid").orderBy(order_col) \
               .rowsBetween(Window.unboundedPreceding, -1)
     local = ranged.withColumn(
         "_local_prefix", F.coalesce(F.sum(value_col).over(w), F.lit(0)))
-    # one tiny row per partition -> driver prefix-sum -> broadcast back.
-    # Range partitioner boundaries come from sampling (not deterministic),
-    # but the RESULT is partitioning-independent: offsets always add up to
-    # the same global prefix for every row.
+    # one tiny row per partition -> driver prefix-sum -> broadcast back
     totals = sorted(
         (r["_pid"], r["t"])
         for r in ranged.groupBy("_pid")

@@ -20,12 +20,16 @@ from pyspark.sql import functions as F
 
 
 def _content_hash(cols: list[str]) -> F.Column:
-    """Order-stable md5 over the compared columns; NULL and empty string
-    stay distinguishable (coalesce to a sentinel outside the value
-    alphabet)."""
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+    """Order-stable md5 over the compared columns.  Each column is
+    hashed FIRST and the fixed-width digests concatenated — a raw
+    separator-join is ambiguous when a value itself contains the
+    separator (("a\\x01b", "c") vs ("a", "b\\x01c") would collide), and
+    any sentinel string for NULL can be forged by a real value.  'n' is
+    unforgeable here because every non-null slot is exactly 32 hex
+    chars."""
+    parts = [F.coalesce(F.md5(F.col(c).cast("string")), F.lit("n"))
              for c in cols]
-    return F.md5(F.concat_ws("\x01", *parts))
+    return F.md5(F.concat(*parts))
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame,

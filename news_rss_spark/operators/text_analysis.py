@@ -194,6 +194,20 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
 
 # ---------------------------------------------------------- dataset splits
 
+def md5_draw32(id_col: str, salt: str) -> Column:
+    """THE content-stable sampling draw: first 8 md5 hex chars of
+    ``salt:id`` as a uniform 32-bit integer.  Single definition — the
+    split/sample/mix operators and their DuckDB oracles all share this
+    contract, so a change here is a dataset-versioning event, not a
+    refactor.  A NULL id draws NULL, which fails every ``<`` comparison:
+    samplers that keep on ``draw < cut`` DROP null-id rows, while
+    assign_split's otherwise-branch sends them to 'train'."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"),
+                                   F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long")
+
+
 def assign_split(df: DataFrame, id_col: str = "doc_id",
                  val_frac: float = 0.1, test_frac: float = 0.1,
                  salt: str = "split-v1") -> DataFrame:
@@ -208,10 +222,7 @@ def assign_split(df: DataFrame, id_col: str = "doc_id",
     [0, 2^32) into test | val | train.  Changing ``salt`` re-rolls every
     assignment at once (dataset versioning).
     """
-    draw = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"),
-                                   F.col(id_col).cast("string"))), 1, 8),
-        16, 10).cast("long")
+    draw = md5_draw32(id_col, salt)
     scale = float(1 << 32)
     test_cut = int(test_frac * scale)
     val_cut = test_cut + int(val_frac * scale)
@@ -239,10 +250,7 @@ def stratified_sample(df: DataFrame, group_col: str = "source",
     no shuffle, no RNG state.
     """
     rates = rates or {}
-    draw = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"),
-                                   F.col(id_col).cast("string"))), 1, 8),
-        16, 10).cast("long")
+    draw = md5_draw32(id_col, salt)
     scale = float(1 << 32)
     cut = F.lit(int(default_rate * scale))
     for grp, rate in sorted(rates.items()):
@@ -289,14 +297,14 @@ def temperature_sample(df: DataFrame, group_col: str = "source",
                       F.lit(alpha - 1.0)),
                 9)
             * F.lit(float(1 << 32))).cast("long"),
-    ).select(group_col, "_cut")
-    draw = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"),
-                                   F.col(id_col).cast("string"))), 1, 8),
-        16, 10).cast("long")
-    return (df.join(F.broadcast(rates), group_col)
-            .filter(draw < F.col("_cut"))
-            .drop("_cut"))
+    ).select(F.col(group_col).alias("_grp"), "_cut")
+    # null-SAFE join: a NULL group is a real group (it was counted above
+    # and may even set n_min) — a plain equi-join would silently delete
+    # every null-group row instead of sampling it
+    return (df.join(F.broadcast(rates),
+                    F.col(group_col).eqNullSafe(F.col("_grp")))
+            .filter(md5_draw32(id_col, salt) < F.col("_cut"))
+            .drop("_grp", "_cut"))
 
 
 def top_k_per_group(df: DataFrame, group_col: str, order_col: str, k: int,

@@ -171,14 +171,23 @@ def build_training_corpus(docs: DataFrame, *,
 
 
 def build_context_windows(corpus: DataFrame, chunk_tokens: int,
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          checkpoint: bool = True) -> DataFrame:
     """Concat-and-split context-window map over a packed corpus
     (the ``split`` + ``n_tokens`` columns of :func:`build_training_corpus`
     output): each split gets its OWN token axis, so no window ever
     straddles train/val/test.  Returns
     ``(split, chunk_id, id_col, doc_start, doc_end, chunk_off)`` — the
     assembly plan a tokenizer job consumes without materializing the
-    concatenated corpus anywhere (operators/packing.concat_and_chunk)."""
+    concatenated corpus anywhere (operators/packing.concat_and_chunk).
+
+    The corpus lineage is read THREE times (one token axis per split),
+    each with an eager prefix-sum job — so it is localCheckpoint'd here
+    by default; pass ``checkpoint=False`` only when the caller already
+    materialized it (run_training_corpus_job does), otherwise a funnel-
+    fresh corpus would re-run quality+dedup+decontamination per split."""
+    if checkpoint:
+        corpus = corpus.localCheckpoint(eager=True)
     outs = []
     for split in ("train", "val", "test"):
         part = corpus.filter(F.col("split") == split)
@@ -209,7 +218,7 @@ def run_training_corpus_job(spark: SparkSession, docs: DataFrame,
      .partitionBy("split")
      .parquet(out_dir))
     if chunk_tokens is not None:
-        (build_context_windows(corpus, chunk_tokens)
+        (build_context_windows(corpus, chunk_tokens, checkpoint=False)
          .write.mode("overwrite")
          .option("compression", "lz4")
          .partitionBy("split")

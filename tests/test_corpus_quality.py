@@ -231,3 +231,16 @@ class TestTopKPerGroup:
         plan = top_k_per_group(df, "lang", "q", k=5) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+    def test_null_group_rows_are_sampled_not_dropped(self, spark):
+        from news_rss_spark.operators.text_analysis import temperature_sample
+        rows = ([(i, "big") for i in range(200)]
+                + [(1000 + i, None) for i in range(40)])
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = temperature_sample(df, alpha=1.0)
+        # alpha=1 keeps EVERY row, including the null-source group
+        assert out.count() == 240
+        assert out.filter(F.col("source").isNull()).count() == 40
+        # and at low alpha the null group participates as a real group
+        low = temperature_sample(df, alpha=0.0)
+        assert low.filter(F.col("source").isNull()).count() == 40  # n_min

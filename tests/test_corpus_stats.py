@@ -124,3 +124,10 @@ class TestPmiPairs:
         keys = {(r["a"], r["b"]) for r in out}
         assert ("w", "w") not in keys
         assert all(a <= b for a, b in keys)
+
+
+def test_histogram_rejects_uneven_bins(spark):
+    import pytest
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="not divisible"):
+        histogram(df, "x", 0, 10, 3)

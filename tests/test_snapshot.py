@@ -59,3 +59,12 @@ def test_diff_plan_is_single_join_no_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
         + plan.count("BroadcastHashJoin") == 1
+
+
+def test_separator_injection_does_not_collide(spark):
+    old = spark.createDataFrame([(1, "a\x01b", "c")],
+                                "doc_id long, text string, meta string")
+    new = spark.createDataFrame([(1, "a", "b\x01c")],
+                                "doc_id long, text string, meta string")
+    got = snapshot_diff(old, new).collect()
+    assert len(got) == 1 and got[0]["change"] == "changed"
