@@ -247,3 +247,73 @@ def streaming_windowed_counts(events: DataFrame, window: str = "1 hour",
 
     return windowed_counts(events.withWatermark(ts_col, watermark),
                            window, ts_col, key_col)
+
+
+def incremental_hll_sink(register_path: str, group_col: str,
+                         value_col: str, p: int = 8):
+    """foreachBatch sink maintaining a running HyperLogLog register table
+    — streaming distinct counts WITHOUT keeping distinct values in state.
+
+    The register relation (group, bucket, register) merges by ``max``,
+    and max is IDEMPOTENT: a micro-batch replayed after a crash merges to
+    the exact same table, so this sink is exactly-once with no batch_id
+    bookkeeping at all (contrast exactly_once_news_sink, which needs
+    per-batch partitions because row appends are not idempotent).  State
+    is <= |groups| * 2^p rows forever, independent of stream history —
+    the streaming analog of the batch sketch's shuffle bound
+    (operators/sketch.py).
+    """
+    from news_rss_spark.operators.sketch import hll_registers
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.parquet.compression.codec", "lz4")
+        regs = hll_registers(batch_df, group_col, value_col, p)
+        prev = None
+        try:
+            prev = spark.read.parquet(register_path)
+        except AnalysisException as exc:
+            get_cond = getattr(exc, "getCondition",
+                               getattr(exc, "getErrorClass", lambda: ""))
+            marker = str(get_cond() or exc)
+            if not ("PATH_NOT_FOUND" in marker
+                    or "UNABLE_TO_INFER_SCHEMA" in marker):
+                raise
+        if prev is not None:
+            regs = (prev.unionByName(regs)
+                    .groupBy(group_col, "bucket")
+                    .agg(F.max("register").alias("register")))
+        # sever the self-read before overwriting the same location
+        regs = regs.localCheckpoint(eager=True)
+        regs.write.mode("overwrite").parquet(register_path)
+
+    return fn
+
+
+DOCUMENTS_DDL = ("doc_id bigint, text string, lang string, "
+                 "source string, n_chars bigint")
+
+
+def run_streaming_hll(spark: SparkSession, input_path: str,
+                      register_path: str, checkpoint_path: str,
+                      group_col: str = "source", value_col: str = "text",
+                      p: int = 8, schema: str = DOCUMENTS_DDL,
+                      timeout_secs: int = 300) -> None:
+    """availableNow tick: fold newly-landed documents into the running
+    HLL register table.  Read the estimate any time with
+    ``hll_estimate(spark.read.parquet(register_path), group_col, p)`` —
+    it equals the batch sketch over everything ingested so far exactly
+    (same registers, same arithmetic)."""
+    docs = spark.readStream.schema(schema).parquet(input_path)
+    q = (docs.writeStream
+         .foreachBatch(incremental_hll_sink(register_path, group_col,
+                                            value_col, p))
+         .option("checkpointLocation", checkpoint_path)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_secs)
+    if q.isActive:
+        q.stop()

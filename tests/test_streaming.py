@@ -195,3 +195,41 @@ def test_windowed_counts_watermark_drops_late_events(spark, tmp_path):
 
     got2 = tick([(5, dt(2024, 1, 1, 9, 30), "view", 99.0)])  # hopeless straggler
     assert got2 == got1  # dropped: closed window not re-emitted or changed
+
+
+def test_incremental_hll_two_ticks_equals_batch_and_replays_idempotently(
+        spark, tmp_path):
+    """Streaming HLL: fold two availableNow ticks into a register table;
+    the estimate equals the batch sketch over the union EXACTLY, and a
+    replayed tick (checkpoint wiped) is a no-op because register merge
+    (max) is idempotent — exactly-once with zero batch bookkeeping."""
+    import shutil
+
+    from news_rss_spark.operators.sketch import hll_distinct, hll_estimate
+    from news_rss_spark.streaming.stream import run_streaming_hll
+
+    inp, regs, ckpt = (str(tmp_path / p) for p in ("in", "regs", "ckpt"))
+    ddl = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, "text %d" % (i % 700), "en", "s%d" % (i % 3), 10)
+             for i in range(lo, hi)], ddl)
+
+    batch(0, 500).coalesce(1).write.mode("append").parquet(inp)
+    run_streaming_hll(spark, inp, regs, ckpt)
+    batch(500, 1200).coalesce(1).write.mode("append").parquet(inp)
+    run_streaming_hll(spark, inp, regs, ckpt)
+
+    streamed = {r["source"]: r["n_est"] for r in
+                hll_estimate(spark.read.parquet(regs), "source").collect()}
+    batched = {r["source"]: r["n_est"] for r in
+               hll_distinct(batch(0, 1200), "source", "text").collect()}
+    assert streamed == batched
+
+    # crash replay: checkpoint lost, the whole input re-delivered
+    regs_before = sorted(map(tuple, spark.read.parquet(regs).collect()))
+    shutil.rmtree(ckpt)
+    run_streaming_hll(spark, inp, regs, ckpt)
+    assert sorted(map(tuple, spark.read.parquet(regs).collect())) == \
+        regs_before
