@@ -501,6 +501,16 @@ def q_pmi_pairs(spark, sf_dir):
     return pmi_pairs(d, window=3, min_count=5, top_n=50)
 
 
+def q_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of the event value
+    series (alpha=0.3), folded in event-time order — the recursive
+    definition itself, replayed verbatim by DuckDB's list_reduce; one
+    shuffle, all JVM."""
+    from news_rss_spark.operators.events import ewma_latest
+    e = _t(spark, sf_dir, "events")
+    return ewma_latest(e, alpha=0.3)
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Incremental corpus versioning: diff two deterministic snapshot
     views of documents (old drops doc_id%10==0, new drops %7==0 and
@@ -1148,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_quota": q_language_quota,
         "hll_distinct": q_hll_distinct,
         "pagerank": q_pagerank,
+        "ewma": q_ewma,
         "snapshot_diff": q_snapshot_diff,
         "length_histogram": q_length_histogram,
         "length_quantiles": q_length_quantiles,
@@ -1526,6 +1537,19 @@ GROUP BY d.source
 """,
         "hll_distinct": _hll_sql(p=8),
         "pagerank": _pagerank_sql(iters=3, damping=0.85),
+        "ewma": f"""
+WITH s AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+       round(list_reduce(xs, (acc, x) ->
+             CAST({0.3!r} AS DOUBLE) * x
+             + CAST({1.0 - 0.3!r} AS DOUBLE) * acc), 6) AS ewma
+FROM s
+""",
         "snapshot_diff": """
 WITH o AS (
   SELECT doc_id,

@@ -96,3 +96,41 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
                  F.round(F.sum(value_col), 6).alias("total_value"))
             .select(F.col("w")["start"].alias("window_start"),
                     key_col, "n_events", "total_value"))
+
+
+def ewma_latest(events: DataFrame, alpha: float = 0.3,
+                key_col: str = "user_id", ts_col: str = "ts",
+                value_col: str = "value",
+                id_col: str = "event_id") -> DataFrame:
+    """Per-key exponentially-weighted moving average of a metric series —
+    the time-decayed "current level" a monitoring/quality dashboard
+    tracks per user/domain/source:
+
+        y_0 = x_0;   y_i = alpha * x_i + (1 - alpha) * y_{i-1}
+
+    folded in EVENT-TIME ORDER (ties break on ``id_col``), returning one
+    row per key: ``(key, n_events, ewma)``.
+
+    Determinism contract: the fold is the recursive definition itself —
+    pure multiply/add in a fixed order — so the oracle replays it
+    verbatim with DuckDB's ``list_reduce``; no closed-form
+    power-weighted sum (whose pow() calls would reorder float error).
+    Plan: ONE shuffle (groupBy key) + sort_array + aggregate, all JVM.
+    Per-key state is the collected series — right for bounded telemetry
+    series; an unbounded stream should fold incrementally through the
+    streaming path instead (y carries all history in one double).
+    """
+    seq = F.sort_array(F.collect_list(F.struct(
+        F.col(ts_col).alias("t"), F.col(id_col).alias("i"),
+        F.col(value_col).cast("double").alias("x"))))
+    folded = (events.filter(F.col(value_col).isNotNull()
+                            & F.col(ts_col).isNotNull())
+              .groupBy(key_col).agg(seq.alias("seq")))
+    y = F.aggregate(
+        F.expr("slice(seq, 2, size(seq) - 1)"),
+        F.element_at("seq", 1)["x"],
+        lambda acc, s: F.lit(alpha) * s["x"] + F.lit(1.0 - alpha) * acc)
+    return folded.select(
+        F.col(key_col),
+        F.size("seq").cast("long").alias("n_events"),
+        F.round(y, 6).alias("ewma"))

@@ -32,3 +32,37 @@ def test_latest_event_tie_break(spark):
     rows = [(1, 7, t0, 1.0), (2, 7, t0, 2.0), (3, 7, t0 - timedelta(1), 9.0)]
     out = latest_event_per_user(_ev(spark, rows)).collect()
     assert len(out) == 1 and out[0]["event_id"] == 2  # highest id wins ties
+
+
+class TestEwma:
+    def test_hand_computed_fold(self, spark):
+        from news_rss_spark.operators.events import ewma_latest
+        rows = [(1, "2026-01-01 00:00:00", 7, 10.0),
+                (2, "2026-01-01 00:01:00", 7, 20.0),
+                (3, "2026-01-01 00:02:00", 7, 0.0)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double") \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        got = ewma_latest(df, alpha=0.5).collect()[0]
+        # y0=10; y1=.5*20+.5*10=15; y2=.5*0+.5*15=7.5
+        assert (got["user_id"], got["n_events"], got["ewma"]) == (7, 3, 7.5)
+
+    def test_order_is_event_time_not_arrival(self, spark):
+        from news_rss_spark.operators.events import ewma_latest
+        rows = [(2, "2026-01-01 00:01:00", 7, 20.0),   # arrives first
+                (1, "2026-01-01 00:00:00", 7, 10.0)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double") \
+            .withColumn("ts", F.col("ts").cast("timestamp")).repartition(4)
+        got = ewma_latest(df, alpha=0.5).collect()[0]
+        assert got["ewma"] == 15.0  # 10 then 20, not 20 then 10
+
+    def test_null_value_and_ts_rows_excluded(self, spark):
+        from news_rss_spark.operators.events import ewma_latest
+        rows = [(1, "2026-01-01 00:00:00", 7, 10.0),
+                (2, None, 7, 99.0), (3, "2026-01-01 00:02:00", 7, None)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double") \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        got = ewma_latest(df, alpha=0.5).collect()[0]
+        assert (got["n_events"], got["ewma"]) == (1, 10.0)
