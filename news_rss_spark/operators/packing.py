@@ -30,34 +30,47 @@ def with_global_prefix_sum(df: DataFrame, order_col: str, value_col: str,
                            out: str = "prefix_sum",
                            num_partitions: int | None = None) -> DataFrame:
     """Exclusive prefix sum of ``value_col`` in global ``order_col`` order,
-    without ever forming a global window partition."""
+    without ever forming a global window partition.
+
+    The range partitioning is derived from bounds FROZEN driver-side
+    (one column-pruned approxQuantile pass), and ``_pid`` is then a pure
+    expression of the order key — so the totals job and the final job
+    compute the identical partition assignment by construction.
+    (repartitionByRange would re-SAMPLE boundaries per execution: the
+    two jobs could disagree about which side of a boundary a row falls
+    on, silently joining it onto the wrong offset; pinning one layout
+    with localCheckpoint avoids that too, but holds a full corpus copy
+    in executor storage for the job's lifetime — literal bounds cost
+    one extra cheap scan instead.)
+    """
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism * 2
-    # materialize the ranged layout ONCE: the totals job below and the
-    # final job both read it, and RangePartitioner boundaries come from
-    # per-execution sampling — two lazy executions could put a boundary
-    # row in partition p in one job and p+1 in the other, silently
-    # joining that row onto the wrong offset.  The checkpoint pins ONE
-    # partitioning for both reads (offsets are partitioning-independent
-    # only when the _pid assignment is the same on both sides).
-    ranged = (df.repartitionByRange(n_parts, F.col(order_col))
-              .withColumn("_pid", F.spark_partition_id())
-              .localCheckpoint(eager=True))
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds = sorted(set(
+        df.approxQuantile(order_col, probs, 1.0 / (4 * n_parts))))
+    if bounds:
+        b_arr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(F.filter(
+            b_arr, lambda b: b < F.col(order_col).cast("double")))
+    else:  # empty input (or single value): everything in partition 0
+        pid = F.lit(0)
+    keyed = df.withColumn("_pid", pid)
     w = Window.partitionBy("_pid").orderBy(order_col) \
               .rowsBetween(Window.unboundedPreceding, -1)
-    local = ranged.withColumn(
+    local = keyed.withColumn(
         "_local_prefix", F.coalesce(F.sum(value_col).over(w), F.lit(0)))
     # one tiny row per partition -> driver prefix-sum -> broadcast back
     totals = sorted(
         (r["_pid"], r["t"])
-        for r in ranged.groupBy("_pid")
+        for r in keyed.groupBy("_pid")
         .agg(F.sum(value_col).alias("t")).collect()
     )
     offsets, acc = [], 0
-    for pid, t in totals:
-        offsets.append((pid, acc))
+    for pid_val, t in totals:
+        offsets.append((pid_val, acc))
         acc += t or 0
-    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    off_df = spark.createDataFrame(offsets or [(0, 0)],
+                                   "_pid int, _offset long")
     return (
         local.join(F.broadcast(off_df), on="_pid")
         .withColumn(out, (F.col("_local_prefix") + F.col("_offset"))

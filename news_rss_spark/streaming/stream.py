@@ -254,42 +254,45 @@ def incremental_hll_sink(register_path: str, group_col: str,
     """foreachBatch sink maintaining a running HyperLogLog register table
     — streaming distinct counts WITHOUT keeping distinct values in state.
 
-    The register relation (group, bucket, register) merges by ``max``,
-    and max is IDEMPOTENT: a micro-batch replayed after a crash merges to
-    the exact same table, so this sink is exactly-once with no batch_id
-    bookkeeping at all (contrast exactly_once_news_sink, which needs
-    per-batch partitions because row appends are not idempotent).  State
-    is <= |groups| * 2^p rows forever, independent of stream history —
-    the streaming analog of the batch sketch's shuffle bound
-    (operators/sketch.py).
+    Each micro-batch writes ITS OWN registers into a ``batch_id=<n>``
+    partition via dynamic partition overwrite — the same idempotent-
+    replace protocol as exactly_once_news_sink: a replayed batch
+    overwrites only its own partition with identical content; every
+    other partition (the ingested history) is never touched, so there is
+    no read-merge-overwrite window in which a crash can lose state, and
+    no first-batch existence probe at all.  Because register merge is a
+    ``max``, the read side folds all partitions with one tiny
+    aggregation (streaming_hll_estimate); a partition per batch costs
+    <= |groups| * 2^p rows each — still sketch-sized, compact with the
+    same groupBy when batch count ever matters.
     """
     from news_rss_spark.operators.sketch import hll_registers
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.parquet.compression.codec", "lz4")
         regs = hll_registers(batch_df, group_col, value_col, p)
-        prev = None
-        try:
-            prev = spark.read.parquet(register_path)
-        except AnalysisException as exc:
-            get_cond = getattr(exc, "getCondition",
-                               getattr(exc, "getErrorClass", lambda: ""))
-            marker = str(get_cond() or exc)
-            if not ("PATH_NOT_FOUND" in marker
-                    or "UNABLE_TO_INFER_SCHEMA" in marker):
-                raise
-        if prev is not None:
-            regs = (prev.unionByName(regs)
-                    .groupBy(group_col, "bucket")
-                    .agg(F.max("register").alias("register")))
-        # sever the self-read before overwriting the same location
-        regs = regs.localCheckpoint(eager=True)
-        regs.write.mode("overwrite").parquet(register_path)
+        (regs.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .option("compression", "lz4")
+         .partitionBy("batch_id")
+         .parquet(register_path))
 
     return fn
+
+
+def streaming_hll_estimate(spark: SparkSession, register_path: str,
+                           group_col: str = "source",
+                           p: int = 8) -> DataFrame:
+    """Fold the batch-partitioned register table into per-group
+    estimates: max-merge across batches, then the batch estimator —
+    equals the batch sketch over everything ingested so far exactly
+    (same registers, same arithmetic)."""
+    from news_rss_spark.operators.sketch import hll_estimate
+
+    regs = (spark.read.parquet(register_path)
+            .groupBy(group_col, "bucket")
+            .agg(F.max("register").alias("register")))
+    return hll_estimate(regs, group_col, p)
 
 
 DOCUMENTS_DDL = ("doc_id bigint, text string, lang string, "
@@ -303,9 +306,7 @@ def run_streaming_hll(spark: SparkSession, input_path: str,
                       timeout_secs: int = 300) -> None:
     """availableNow tick: fold newly-landed documents into the running
     HLL register table.  Read the estimate any time with
-    ``hll_estimate(spark.read.parquet(register_path), group_col, p)`` —
-    it equals the batch sketch over everything ingested so far exactly
-    (same registers, same arithmetic)."""
+    ``streaming_hll_estimate(spark, register_path, group_col, p)``."""
     docs = spark.readStream.schema(schema).parquet(input_path)
     q = (docs.writeStream
          .foreachBatch(incremental_hll_sink(register_path, group_col,

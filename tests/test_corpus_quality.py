@@ -232,6 +232,8 @@ class TestTopKPerGroup:
             ._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
 
+
+class TestTemperatureSampleNullGroup:
     def test_null_group_rows_are_sampled_not_dropped(self, spark):
         from news_rss_spark.operators.text_analysis import temperature_sample
         rows = ([(i, "big") for i in range(200)]

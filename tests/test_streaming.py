@@ -205,8 +205,11 @@ def test_incremental_hll_two_ticks_equals_batch_and_replays_idempotently(
     (max) is idempotent — exactly-once with zero batch bookkeeping."""
     import shutil
 
-    from news_rss_spark.operators.sketch import hll_distinct, hll_estimate
-    from news_rss_spark.streaming.stream import run_streaming_hll
+    from news_rss_spark.operators.sketch import hll_distinct
+    from news_rss_spark.streaming.stream import (
+        run_streaming_hll,
+        streaming_hll_estimate,
+    )
 
     inp, regs, ckpt = (str(tmp_path / p) for p in ("in", "regs", "ckpt"))
     ddl = "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -222,14 +225,24 @@ def test_incremental_hll_two_ticks_equals_batch_and_replays_idempotently(
     run_streaming_hll(spark, inp, regs, ckpt)
 
     streamed = {r["source"]: r["n_est"] for r in
-                hll_estimate(spark.read.parquet(regs), "source").collect()}
+                streaming_hll_estimate(spark, regs, "source").collect()}
     batched = {r["source"]: r["n_est"] for r in
                hll_distinct(batch(0, 1200), "source", "text").collect()}
     assert streamed == batched
 
-    # crash replay: checkpoint lost, the whole input re-delivered
+    # a tick with no new data is a no-op (checkpoint intact)
     regs_before = sorted(map(tuple, spark.read.parquet(regs).collect()))
-    shutil.rmtree(ckpt)
     run_streaming_hll(spark, inp, regs, ckpt)
     assert sorted(map(tuple, spark.read.parquet(regs).collect())) == \
         regs_before
+
+    # crash replay: checkpoint lost, the whole input re-delivered (the
+    # replayed data may land under different batch boundaries, so the raw
+    # table need not be byte-identical) — but each batch only overwrites
+    # its OWN partition and registers max-merge, so the ESTIMATE is
+    # exactly unchanged: no history lost, no double counting
+    shutil.rmtree(ckpt)
+    run_streaming_hll(spark, inp, regs, ckpt)
+    after = {r["source"]: r["n_est"] for r in
+             streaming_hll_estimate(spark, regs, "source").collect()}
+    assert after == batched
