@@ -501,6 +501,23 @@ def q_pmi_pairs(spark, sf_dir):
     return pmi_pairs(d, window=3, min_count=5, top_n=50)
 
 
+def q_rollup_counts(spark, sf_dir):
+    """Hierarchical (source, lang) subtotals in ONE rollup aggregation
+    pass — per-(source,lang), per-source, and grand-total rows, subtotal
+    levels marked '<all>'."""
+    from news_rss_spark.operators.corpus_stats import rollup_counts
+    d = _t(spark, sf_dir, "documents")
+    return rollup_counts(d, ["source", "lang"], "n_chars")
+
+
+def q_pivot_counts(spark, sf_dir):
+    """source x language cross-tab with a PINNED column set (explicit
+    pivot values: no discovery pass, schema-stable output)."""
+    from news_rss_spark.operators.corpus_stats import pivot_counts
+    d = _t(spark, sf_dir, "documents")
+    return pivot_counts(d, "source", "lang", ["de", "en", "es", "fr", "zh"])
+
+
 def q_ewma(spark, sf_dir):
     """Per-user exponentially-weighted moving average of the event value
     series (alpha=0.3), folded in event-time order — the recursive
@@ -1158,6 +1175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_quota": q_language_quota,
         "hll_distinct": q_hll_distinct,
         "pagerank": q_pagerank,
+        "rollup_counts": q_rollup_counts,
+        "pivot_counts": q_pivot_counts,
         "ewma": q_ewma,
         "snapshot_diff": q_snapshot_diff,
         "length_histogram": q_length_histogram,
@@ -1537,6 +1556,24 @@ GROUP BY d.source
 """,
         "hll_distinct": _hll_sql(p=8),
         "pagerank": _pagerank_sql(iters=3, damping=0.85),
+        "rollup_counts": """
+SELECT coalesce(source, '<all>') AS source,
+       coalesce(lang, '<all>') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total
+FROM documents
+GROUP BY ROLLUP (source, lang)
+""",
+        "pivot_counts": """
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+FROM documents
+GROUP BY source
+""",
         "ewma": f"""
 WITH s AS (
   SELECT user_id,

@@ -132,3 +132,34 @@ def pmi_pairs(df: DataFrame, text_col: str = "text", window: int = 3,
             .select("a", "b", "n_ab", pmi.alias("pmi"))
             .orderBy(F.desc("pmi"), "a", "b")
             .limit(top_n))
+
+
+def rollup_counts(df: DataFrame, dims: list[str],
+                  value_col: str = "n_chars") -> DataFrame:
+    """Hierarchical subtotal cube over ``dims`` (Spark ``rollup`` —
+    grouping sets (d1..dn), (d1..dn-1), ..., ()): doc counts + value
+    sums at every prefix level in ONE aggregation pass instead of
+    n+1 separate groupBys.  Subtotal rows mark rolled-up dims with
+    '<all>' (the dims must be non-null; a real NULL would be
+    indistinguishable from a subtotal marker)."""
+    out = (df.rollup(*dims)
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum(value_col).cast("long").alias("total")))
+    for d in dims:
+        out = out.withColumn(d, F.coalesce(F.col(d), F.lit("<all>")))
+    return out
+
+
+def pivot_counts(df: DataFrame, row_col: str, pivot_col: str,
+                 values: list[str]) -> DataFrame:
+    """Cross-tab matrix: one row per ``row_col``, one column per pinned
+    ``pivot_col`` value (counts; absent combinations = 0).  The value
+    list is EXPLICIT — letting Spark discover pivot values costs an
+    extra distinct pass over the corpus AND makes the output schema
+    data-dependent, which breaks sinks and the oracle contract."""
+    out = (df.groupBy(row_col)
+           .pivot(pivot_col, values)
+           .agg(F.count(F.lit(1))))  # count("*") is invalid inside pivot
+    for v in values:
+        out = out.withColumn(v, F.coalesce(F.col(v), F.lit(0)).cast("long"))
+    return out

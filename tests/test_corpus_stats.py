@@ -131,3 +131,28 @@ def test_histogram_rejects_uneven_bins(spark):
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError, match="not divisible"):
         histogram(df, "x", 0, 10, 3)
+
+
+def test_rollup_levels_and_markers(spark):
+    from news_rss_spark.operators.corpus_stats import rollup_counts
+    df = spark.createDataFrame(
+        [("a", "en", 10), ("a", "de", 20), ("b", "en", 5)],
+        "source string, lang string, n_chars long")
+    out = {(r["source"], r["lang"]): (r["n_docs"], r["total"])
+           for r in rollup_counts(df, ["source", "lang"]).collect()}
+    assert out[("a", "en")] == (1, 10)
+    assert out[("a", "<all>")] == (2, 30)
+    assert out[("b", "<all>")] == (1, 5)
+    assert out[("<all>", "<all>")] == (3, 35)
+    assert ("<all>", "en") not in out  # rollup, not cube
+
+
+def test_pivot_matrix_with_zeros(spark):
+    from news_rss_spark.operators.corpus_stats import pivot_counts
+    df = spark.createDataFrame(
+        [("a", "en"), ("a", "en"), ("a", "de"), ("b", "en")],
+        "source string, lang string")
+    out = {r["source"]: (r["en"], r["de"], r["fr"])
+           for r in pivot_counts(df, "source", "lang",
+                                 ["en", "de", "fr"]).collect()}
+    assert out == {"a": (2, 1, 0), "b": (1, 0, 0)}
