@@ -140,13 +140,16 @@ def rollup_counts(df: DataFrame, dims: list[str],
     grouping sets (d1..dn), (d1..dn-1), ..., ()): doc counts + value
     sums at every prefix level in ONE aggregation pass instead of
     n+1 separate groupBys.  Subtotal rows mark rolled-up dims with
-    '<all>' (the dims must be non-null; a real NULL would be
+    '<all>', so every dim column comes back as STRING by construction —
+    an int dim is cast explicitly (not silently coerced by coalesce),
+    and the dims must be non-null (a real NULL would be
     indistinguishable from a subtotal marker)."""
     out = (df.rollup(*dims)
            .agg(F.count("*").cast("long").alias("n_docs"),
                 F.sum(value_col).cast("long").alias("total")))
     for d in dims:
-        out = out.withColumn(d, F.coalesce(F.col(d), F.lit("<all>")))
+        out = out.withColumn(
+            d, F.coalesce(F.col(d).cast("string"), F.lit("<all>")))
     return out
 
 
@@ -161,5 +164,8 @@ def pivot_counts(df: DataFrame, row_col: str, pivot_col: str,
            .pivot(pivot_col, values)
            .agg(F.count(F.lit(1))))  # count("*") is invalid inside pivot
     for v in values:
-        out = out.withColumn(v, F.coalesce(F.col(v), F.lit(0)).cast("long"))
+        # backtick-quote: a pivot value containing '.' would otherwise
+        # parse as struct-field access instead of a column name
+        out = out.withColumn(
+            v, F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long"))
     return out

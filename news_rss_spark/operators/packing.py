@@ -40,10 +40,24 @@ def with_global_prefix_sum(df: DataFrame, order_col: str, value_col: str,
     two jobs could disagree about which side of a boundary a row falls
     on, silently joining it onto the wrong offset; pinning one layout
     with localCheckpoint avoids that too, but holds a full corpus copy
-    in executor storage for the job's lifetime — literal bounds cost
-    one extra cheap scan instead.)
+    in executor storage for the job's lifetime.)
+
+    Contract: ``df``'s plan executes THREE times (quantile pass, totals
+    pass, final pass) — the input lineage must be DETERMINISTIC (no
+    rand()-derived rows, no concurrently-rewritten source); materialize
+    non-deterministic input first (the training funnel checkpoints
+    upstream for exactly this reason).  ``order_col`` must be numeric —
+    approxQuantile and the bounds expression don't order strings; this
+    is checked up front.
     """
     spark = df.sparkSession
+    dtype = dict(df.dtypes).get(order_col)
+    if dtype not in ("tinyint", "smallint", "int", "bigint",
+                     "float", "double", "decimal"):
+        raise TypeError(
+            f"with_global_prefix_sum: order_col {order_col!r} has type "
+            f"{dtype!r}; only numeric order keys are supported (bounds "
+            f"are frozen via approxQuantile)")
     n_parts = num_partitions or spark.sparkContext.defaultParallelism * 2
     probs = [i / n_parts for i in range(1, n_parts)]
     bounds = sorted(set(

@@ -59,16 +59,20 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
 
 def apply_delta(old: DataFrame, new: DataFrame,
                 id_col: str = "doc_id",
-                content_cols: list[str] | None = None
+                content_cols: list[str] | None = None,
+                materialize: bool = True
                 ) -> tuple[DataFrame, DataFrame]:
     """The delta a MERGE-style sink consumes: ``(upserts, deletes)`` —
     upserts are the NEW rows for added+changed ids (full rows, ready for
     ``plans/iceberg.py`` merge_into / dynamic-overwrite), deletes the
     removed ids.  Both are delta-sized semi/anti joins against the diff,
-    which is materialized ONCE — consuming both outputs would otherwise
-    re-run the two snapshot scans and the full-outer join per output."""
-    d = snapshot_diff(old, new, id_col, content_cols) \
-        .localCheckpoint(eager=True)
+    which is materialized ONCE by default — consuming both outputs would
+    otherwise re-run the two snapshot scans and the full-outer join per
+    output.  Pass ``materialize=False`` to stay fully lazy (e.g. when a
+    guard may consume neither output)."""
+    d = snapshot_diff(old, new, id_col, content_cols)
+    if materialize:
+        d = d.localCheckpoint(eager=True)
     upsert_ids = d.filter(F.col("change").isin("added", "changed")) \
         .select(id_col)
     delete_ids = d.filter(F.col("change") == "removed").select(id_col)

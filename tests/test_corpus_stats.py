@@ -156,3 +156,29 @@ def test_pivot_matrix_with_zeros(spark):
            for r in pivot_counts(df, "source", "lang",
                                  ["en", "de", "fr"]).collect()}
     assert out == {"a": (2, 1, 0), "b": (1, 0, 0)}
+
+
+def test_rollup_int_dim_cast_explicitly(spark):
+    from news_rss_spark.operators.corpus_stats import rollup_counts
+    df = spark.createDataFrame([("a", 2024, 1), ("a", 2025, 2)],
+                               "source string, year int, n_chars long")
+    out = {(r["source"], r["year"]): r["n_docs"]
+           for r in rollup_counts(df, ["source", "year"]).collect()}
+    assert out[("a", "2024")] == 1    # string by contract
+    assert out[("a", "<all>")] == 2
+
+
+def test_pivot_value_with_dot(spark):
+    from news_rss_spark.operators.corpus_stats import pivot_counts
+    df = spark.createDataFrame([("a", "zh.Hans"), ("a", "en")],
+                               "source string, lang string")
+    row = pivot_counts(df, "source", "lang", ["zh.Hans", "en"]).collect()[0]
+    assert (row["zh.Hans"], row["en"]) == (1, 1)
+
+
+def test_prefix_sum_rejects_string_order_col(spark):
+    import pytest
+    from news_rss_spark.operators.packing import with_global_prefix_sum
+    df = spark.createDataFrame([("u", 1)], "url string, n long")
+    with pytest.raises(TypeError, match="numeric order keys"):
+        with_global_prefix_sum(df, "url", "n")

@@ -199,10 +199,12 @@ def test_windowed_counts_watermark_drops_late_events(spark, tmp_path):
 
 def test_incremental_hll_two_ticks_equals_batch_and_replays_idempotently(
         spark, tmp_path):
-    """Streaming HLL: fold two availableNow ticks into a register table;
-    the estimate equals the batch sketch over the union EXACTLY, and a
-    replayed tick (checkpoint wiped) is a no-op because register merge
-    (max) is idempotent — exactly-once with zero batch bookkeeping."""
+    """Streaming HLL: fold two availableNow ticks into a batch_id-
+    partitioned register table; the estimate equals the batch sketch
+    over the union EXACTLY.  On replay each batch overwrites only its
+    own partition, and registers max-merge at read time — so after a
+    full checkpoint wipe the raw table may re-batch differently but the
+    ESTIMATE is exactly unchanged (no lost history, no double count)."""
     import shutil
 
     from news_rss_spark.operators.sketch import hll_distinct
