@@ -501,6 +501,17 @@ def q_pmi_pairs(spark, sf_dir):
     return pmi_pairs(d, window=3, min_count=5, top_n=50)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted 5-sample per source WITHOUT replacement
+    (Efraimidis-Spirakis exponential jitter, weight = n_chars): longer
+    docs proportionally likelier, same rows every run/engine/
+    partitioning; WindowGroupLimit rank like the uniform sampler."""
+    from news_rss_spark.operators.corpus_stats import weighted_sample_k
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample_k(d, "source", "n_chars", k=5) \
+        .select("source", "doc_id")
+
+
 def q_rollup_counts(spark, sf_dir):
     """Hierarchical (source, lang) subtotals in ONE rollup aggregation
     pass — per-(source,lang), per-source, and grand-total rows, subtotal
@@ -1175,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_quota": q_language_quota,
         "hll_distinct": q_hll_distinct,
         "pagerank": q_pagerank,
+        "weighted_sample": q_weighted_sample,
         "rollup_counts": q_rollup_counts,
         "pivot_counts": q_pivot_counts,
         "ewma": q_ewma,
@@ -1556,6 +1568,19 @@ GROUP BY d.source
 """,
         "hll_distinct": _hll_sql(p=8),
         "pagerank": _pagerank_sql(iters=3, damping=0.85),
+        "weighted_sample": """
+SELECT source, doc_id
+FROM (SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY -ln((CAST('0x' || substr(md5('wsample-v1:'
+                              || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             + 0.5) / 4294967296.0)
+                        / CAST(n_chars AS DOUBLE),
+                        doc_id) AS rn
+      FROM documents WHERE n_chars > 0)
+WHERE rn <= 5
+""",
         "rollup_counts": """
 SELECT coalesce(source, '<all>') AS source,
        coalesce(lang, '<all>') AS lang,

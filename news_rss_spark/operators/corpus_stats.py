@@ -169,3 +169,31 @@ def pivot_counts(df: DataFrame, row_col: str, pivot_col: str,
         out = out.withColumn(
             v, F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long"))
     return out
+
+
+def weighted_sample_k(df: DataFrame, group_col: str, weight_col: str,
+                      k: int, id_col: str = "doc_id",
+                      salt: str = "wsample-v1") -> DataFrame:
+    """Deterministic weighted k-sample WITHOUT replacement per group
+    (Efraimidis-Spirakis A-ES): each row draws the content-stable
+    uniform u and gets jitter key ``-ln(u) / w``; the k smallest keys
+    per group are an exact weighted sample without replacement —
+    doubling a row's weight doubles its inclusion odds, and (like
+    uniform_sample_k) the SAME rows are chosen on every run, engine,
+    and partitioning.  Rows with weight <= 0 or null are excluded.
+
+    Plan: one codegen'd key expression + the WindowGroupLimit rank —
+    identical shuffle shape to the uniform sampler; the weighting is
+    free.  u = (draw32 + 0.5) / 2^32 keeps u strictly inside (0, 1)
+    so ln() never sees 0.
+    """
+    from news_rss_spark.operators.text_analysis import md5_draw32
+
+    w = F.col(weight_col).cast("double")
+    u = (md5_draw32(id_col, salt).cast("double") + F.lit(0.5)) \
+        / F.lit(float(1 << 32))
+    key = -F.log(u) / w
+    win = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col))
+    return (df.filter(w > 0)
+            .withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= k).drop("_rn"))

@@ -182,3 +182,54 @@ def test_prefix_sum_rejects_string_order_col(spark):
     df = spark.createDataFrame([("u", 1)], "url string, n long")
     with pytest.raises(TypeError, match="numeric order keys"):
         with_global_prefix_sum(df, "url", "n")
+
+
+class TestWeightedSampleK:
+    def _py_sample(self, rows, k, salt="wsample-v1"):
+        import math
+        keyed = []
+        for i, w in rows:
+            draw = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+            u = (draw + 0.5) / float(1 << 32)
+            keyed.append((-math.log(u) / w, i))
+        return {i for _, i in sorted(keyed)[:k]}
+
+    def test_matches_reference_selection(self, spark):
+        from news_rss_spark.operators.corpus_stats import weighted_sample_k
+        rows = [(i, "g", float(1 + i % 7)) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+        got = {r["doc_id"] for r in
+               weighted_sample_k(df, "g", "w", k=20).collect()}
+        assert got == self._py_sample([(i, 1.0 + i % 7)
+                                       for i in range(200)], 20)
+
+    def test_weight_bias(self, spark):
+        from news_rss_spark.operators.corpus_stats import weighted_sample_k
+        # 50 heavy (w=50) + 450 light (w=1) rows in one group: the
+        # heavy minority must be strongly over-represented in a k=100 draw
+        rows = [(i, "g", 50.0 if i < 50 else 1.0) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+        got = [r["doc_id"] for r in
+               weighted_sample_k(df, "g", "w", k=100).collect()]
+        heavy = sum(1 for i in got if i < 50)
+        assert heavy >= 35  # expectation ~48; uniform draw would give ~10
+
+    def test_zero_and_null_weights_excluded(self, spark):
+        from news_rss_spark.operators.corpus_stats import weighted_sample_k
+        df = spark.createDataFrame(
+            [(1, "g", 0.0), (2, "g", None), (3, "g", 2.0)],
+            "doc_id long, g string, w double")
+        got = {r["doc_id"] for r in
+               weighted_sample_k(df, "g", "w", k=10).collect()}
+        assert got == {3}
+
+    def test_deterministic_under_repartition(self, spark):
+        from news_rss_spark.operators.corpus_stats import weighted_sample_k
+        rows = [(i, "g%d" % (i % 2), float(1 + i % 5)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+        a = sorted(r["doc_id"] for r in
+                   weighted_sample_k(df, "g", "w", 15).collect())
+        b = sorted(r["doc_id"] for r in
+                   weighted_sample_k(df.repartition(13), "g", "w", 15)
+                   .collect())
+        assert a == b
