@@ -79,6 +79,29 @@ def _find_streams(payload: bytes) -> list[tuple[bytes, bytes]]:
         pos = end + 9
 
 
+# per-stream decompressed-size cap: crawl PDFs are untrusted, and an
+# unbounded zlib.decompress lets a crafted FlateDecode stream (a
+# decompression bomb — ~1000:1 ratios are trivial) OOM the executor, a
+# failure mode the skip-row contract cannot catch after the fact
+MAX_STREAM_BYTES = 64 << 20
+
+
+def decompress_capped(data: bytes, max_out: int = MAX_STREAM_BYTES) -> bytes:
+    """zlib inflate with a hard output cap.  Mirrors one-shot
+    ``zlib.decompress`` semantics otherwise: trailing bytes after a
+    complete stream are ignored, a truncated stream raises.  Oversized
+    output raises ValueError so callers' skip-row contract absorbs it."""
+    d = zlib.decompressobj()
+    out = d.decompress(data, max_out)
+    if d.unconsumed_tail:
+        raise ValueError(
+            f"FlateDecode output exceeds {max_out} bytes "
+            "(decompression bomb?)")
+    if not d.eof:
+        raise ValueError("incomplete or truncated FlateDecode stream")
+    return out
+
+
 def _decode_stream(obj_dict: bytes, data: bytes) -> bytes:
     m = _FILTER_RE.search(obj_dict)
     if m is None:
@@ -86,7 +109,7 @@ def _decode_stream(obj_dict: bytes, data: bytes) -> bytes:
     filt = m.group(1)
     if filt == b"FlateDecode":
         try:
-            return zlib.decompress(data)
+            return decompress_capped(data)
         except zlib.error as exc:
             # zlib.error is NOT a ValueError — without this translation a
             # corrupt stream escapes the skip-row contract and kills the job

@@ -29,20 +29,51 @@ from news_rss_spark.kernel.urls import AFTER_AUTH_PATTERN
 _AFTER_AUTH_RE = re.compile(AFTER_AUTH_PATTERN)
 
 
-def _rule_regex(path_pattern: str) -> re.Pattern:
-    """robots path pattern -> anchored regex: ``*`` matches any run; ``$``
-    is an end anchor ONLY in trailing position (a mid-pattern ``$`` is a
-    literal character — CGI/session paths contain them)."""
-    out = []
-    last = len(path_pattern) - 1
-    for i, ch in enumerate(path_pattern):
-        if ch == "*":
-            out.append(".*")
-        elif ch == "$" and i == last:
-            out.append("$")
-        else:
-            out.append(re.escape(ch))
-    return re.compile("^" + "".join(out))
+class _RuleMatcher:
+    """Linear-time robots path matcher: ``*`` matches any run; ``$`` is an
+    end anchor ONLY in trailing position (a mid-pattern ``$`` is a literal
+    character — CGI/session paths contain them).
+
+    Deliberately NOT a compiled regex: each ``*`` would become ``.*`` and a
+    hostile robots.txt rule with many wildcards matched against long URL
+    paths triggers polynomial re-backtracking, evaluated once per frontier
+    URL.  Instead the pattern is split on ``*`` into literal segments and
+    matched with a leftmost ``str.find`` walk — placing every middle
+    segment at its earliest feasible position is optimal (leaves maximal
+    room for the rest), so existence of ANY placement is decided in one
+    O(len(path) * n_segments) pass with no backtracking.  Consecutive
+    ``*`` collapse for free (empty segments are skipped)."""
+
+    __slots__ = ("anchored", "core", "segs")
+
+    def __init__(self, pattern: str) -> None:
+        self.anchored = pattern.endswith("$")
+        self.core = pattern[:-1] if self.anchored else pattern
+        self.segs = self.core.split("*")
+
+    def match(self, path: str) -> bool:
+        segs = self.segs
+        if not path.startswith(segs[0]):
+            return False
+        if len(segs) == 1:  # no wildcard: plain prefix (or exact if '$')
+            return path == self.core if self.anchored else True
+        pos = len(segs[0])
+        for seg in segs[1:-1]:
+            if seg:
+                idx = path.find(seg, pos)
+                if idx == -1:
+                    return False
+                pos = idx + len(seg)
+        last = segs[-1]
+        if self.anchored:
+            return path.endswith(last) and len(path) - len(last) >= pos
+        return (path.find(last, pos) != -1) if last else True
+
+
+def _rule_regex(path_pattern: str) -> _RuleMatcher:
+    """robots path pattern -> matcher exposing ``.match(path) -> bool``
+    (regex-free; see :class:`_RuleMatcher` for the ReDoS rationale)."""
+    return _RuleMatcher(path_pattern)
 
 
 def parse_robots(text: str | None) -> dict:

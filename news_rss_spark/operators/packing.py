@@ -48,7 +48,11 @@ def with_global_prefix_sum(df: DataFrame, order_col: str, value_col: str,
     non-deterministic input first (the training funnel checkpoints
     upstream for exactly this reason).  ``order_col`` must be numeric —
     approxQuantile and the bounds expression don't order strings; this
-    is checked up front.
+    is checked up front.  ``order_col`` must also be UNIQUE (like
+    doc_id): the window sum over tied order values depends on arrival
+    order within the tie, so duplicate keys break the byte-identical
+    determinism contract — checked below at the cost the totals pass
+    already pays (the duplicate probe rides the same aggregation shape).
     """
     spark = df.sparkSession
     dtype = dict(df.dtypes).get(order_col)
@@ -73,12 +77,23 @@ def with_global_prefix_sum(df: DataFrame, order_col: str, value_col: str,
               .rowsBetween(Window.unboundedPreceding, -1)
     local = keyed.withColumn(
         "_local_prefix", F.coalesce(F.sum(value_col).over(w), F.lit(0)))
-    # one tiny row per partition -> driver prefix-sum -> broadcast back
-    totals = sorted(
-        (r["_pid"], r["t"])
-        for r in keyed.groupBy("_pid")
-        .agg(F.sum(value_col).alias("t")).collect()
-    )
+    # one tiny row per partition -> driver prefix-sum -> broadcast back.
+    # The same pass proves order_col uniqueness: duplicates of an order
+    # value land in one _pid (pid is a function of the value), so a
+    # per-pid count vs count-distinct mismatch catches every tie without
+    # an extra job — ties would make the window sum arrival-order-
+    # dependent, violating the determinism contract.
+    totals_rows = (keyed.groupBy("_pid")
+                   .agg(F.sum(value_col).alias("t"),
+                        F.count("*").alias("n"),
+                        F.count_distinct(order_col).alias("nd")).collect())
+    if any(r["n"] != r["nd"] for r in totals_rows):
+        raise ValueError(
+            f"with_global_prefix_sum: order_col {order_col!r} has "
+            "duplicate values — the global order (and therefore the "
+            "prefix sum) would be nondeterministic; use a unique key "
+            "like doc_id")
+    totals = sorted((r["_pid"], r["t"]) for r in totals_rows)
     offsets, acc = [], 0
     for pid_val, t in totals:
         offsets.append((pid_val, acc))

@@ -103,15 +103,25 @@ WHEN NOT MATCHED AND s._op != 'delete' THEN INSERT
 
 
 def merge_registry(spark: SparkSession, registry: DataFrame,
-                   changes: DataFrame) -> tuple[DataFrame, str]:
+                   changes: DataFrame,
+                   table: str | None = None) -> tuple[DataFrame, str]:
     """Apply upsert/delete changes to the registry.
 
-    With an Iceberg catalog the registry is a table name and the MERGE SQL
-    runs; here (DataFrame-in/DataFrame-out fallback) the identical row
-    semantics are computed relationally: deletes drop matching ids, updates
-    replace matching rows, inserts append the rest.  Returns (result,
-    path_marker).
+    When ``table`` names an Iceberg registry table AND an Iceberg catalog
+    is actually configured (:func:`iceberg_available`), the MERGE SQL from
+    :func:`merge_registry_sql` executes against it and the merged table is
+    returned with marker ``'iceberg'``.  Otherwise — including every call
+    that passes only DataFrames — the identical row semantics are computed
+    relationally (deletes drop matching ids, updates replace matching
+    rows, inserts append the rest) and the marker is ``'dataframe'``.
     """
+    if table is not None and iceberg_available(spark):
+        changes.createOrReplaceTempView("_registry_changes")
+        try:
+            spark.sql(merge_registry_sql(table, "_registry_changes"))
+        finally:
+            spark.catalog.dropTempView("_registry_changes")
+        return spark.table(table), "iceberg"
     cols = registry.columns
     deletes = changes.filter(F.col("_op") == "delete").select("id")
     upserts = changes.filter(F.col("_op") != "delete").select(*cols)

@@ -166,8 +166,6 @@ def exactly_once_news_sink(sink_path: str, now_utc: datetime = EPOCH,
         from pyspark.errors import AnalysisException
 
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        spark.conf.set("spark.sql.parquet.compression.codec", "lz4")
         out = batch_df
         # only the genuinely-missing/empty-sink case may skip the dedup
         # (first batch ever); a corrupt sink, IO failure, or schema drift
@@ -197,8 +195,15 @@ def exactly_once_news_sink(sink_path: str, now_utc: datetime = EPOCH,
                                  key="id", ts_col="datetime")
             # sever the self-read before overwriting the same location
             out = out.localCheckpoint(eager=True)
+        # per-write options, NOT session confs: a session-wide
+        # partitionOverwriteMode / codec mutation here would leak into
+        # concurrent jobs sharing the session (the hazard components.py
+        # documents); incremental_hll_sink already follows this rule
         (out.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite").partitionBy("batch_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", "lz4")
+            .partitionBy("batch_id")
             .parquet(sink_path))
 
     return fn

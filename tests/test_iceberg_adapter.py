@@ -49,3 +49,17 @@ def test_merge_fallback_row_semantics(spark):
     assert set(rows) == {2, 9}              # 1 deleted, 9 inserted
     assert rows[2]["name"] == "Sky Renamed"  # 2 updated
     assert rows[2]["interval_secs"] == 600
+
+
+def test_merge_with_table_name_falls_back_without_catalog(spark):
+    """Passing a table name only routes to the MERGE SQL when an Iceberg
+    catalog is actually configured; in this sandbox (no Iceberg jars) the
+    call must take the DataFrame fallback — and say so in the marker."""
+    reg = spark.createDataFrame(
+        [(1, "a", "l1", True, 3, 100, 60)],
+        "id int, name string, link string, run_at_launch boolean, "
+        "max_retries int, timeout int, interval_secs int")
+    changes = reg.withColumn("_op", F.lit("upsert"))
+    out, marker = merge_registry(spark, reg, changes, table="cat.db.sources")
+    assert marker == "dataframe"
+    assert out.count() == 1

@@ -124,3 +124,16 @@ def test_chunk_plan_has_no_global_window(spark):
     assert windows, "expected the local-prefix Window node in the plan"
     for spec in windows:
         assert "_pid" in spec
+
+
+def test_duplicate_order_col_rejected(spark):
+    """Ties in order_col make the prefix sum arrival-order-dependent —
+    the determinism contract rejects them up front (ADVICE r2)."""
+    import pytest
+
+    from news_rss_spark.operators.packing import with_global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 30), (3, 40)], "k int, v int")
+    with pytest.raises(ValueError, match="duplicate"):
+        with_global_prefix_sum(df, "k", "v").collect()

@@ -93,3 +93,19 @@ class TestReviewRegressions:
                + b"\nendstream endobj\n5 0 obj "
                + str(len(content)).encode() + b" endobj\n")
         assert extract_pdf_text(pdf) == "indirect ok"
+
+    def test_decompression_bomb_is_capped(self):
+        """A tiny FlateDecode stream inflating past MAX_STREAM_BYTES must
+        become a ValueError (skip row), not an executor OOM."""
+        import zlib
+
+        from news_rss_spark.kernel.pdfx import decompress_capped
+
+        bomb = zlib.compress(b"\x00" * (1 << 20))  # ~1 KB -> 1 MiB
+        with pytest.raises(ValueError, match="bomb"):
+            decompress_capped(bomb, max_out=1 << 16)
+        # under the cap: exact one-shot semantics incl. trailing garbage
+        ok = zlib.compress(b"payload" * 10)
+        assert decompress_capped(ok + b"\n", max_out=1 << 16) == b"payload" * 10
+        with pytest.raises(ValueError, match="truncated"):
+            decompress_capped(ok[:-4], max_out=1 << 16)

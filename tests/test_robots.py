@@ -126,3 +126,54 @@ class TestRobotsRobustness:
             assert isinstance(is_allowed(r, path, "anybot"), bool)
 
         check()
+
+
+class TestRuleMatcherLinearTime:
+    """The matcher is find-based, not regex: hostile wildcard-heavy rules
+    must stay fast and keep regex-equivalent semantics."""
+
+    def test_hostile_wildcard_rule_is_fast(self):
+        import time
+        # 40 wildcards against a long non-matching path: a compiled
+        # '.*'-chain regex backtracks polynomially here; the walker is
+        # one linear pass
+        r = parse_robots("User-agent: *\nDisallow: /" + "a*" * 40 + "zzz")
+        path = "/" + "a" * 5000 + "q"
+        t0 = time.perf_counter()
+        assert is_allowed(r, path, "x")  # no match -> allowed
+        assert time.perf_counter() - t0 < 0.5
+
+    def test_matcher_equals_regex_semantics(self):
+        import re
+
+        from hypothesis import given, settings, strategies as st
+
+        from news_rss_spark.kernel.robotsx import _rule_regex
+
+        def reference_regex(pattern):
+            out, last = [], len(pattern) - 1
+            for i, ch in enumerate(pattern):
+                if ch == "*":
+                    out.append(".*")
+                elif ch == "$" and i == last:
+                    out.append("$")
+                else:
+                    out.append(re.escape(ch))
+            return re.compile("^" + "".join(out))
+
+        alphabet = st.sampled_from(list("ab/*.$x?"))
+
+        @settings(max_examples=500, deadline=None)
+        @given(st.text(alphabet, max_size=12), st.text(alphabet, max_size=24))
+        def check(pattern, path):
+            got = _rule_regex(pattern).match(path)
+            want = bool(reference_regex(pattern).match(path))
+            assert got == want, (pattern, path)
+
+        check()
+
+    def test_consecutive_wildcards_collapse(self):
+        r = parse_robots("User-agent: *\nDisallow: /a***b")
+        assert not is_allowed(r, "/aXXb", "x")
+        assert not is_allowed(r, "/ab", "x")
+        assert is_allowed(r, "/a", "x")

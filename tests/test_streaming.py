@@ -248,3 +248,30 @@ def test_incremental_hll_two_ticks_equals_batch_and_replays_idempotently(
     after = {r["source"]: r["n_est"] for r in
              streaming_hll_estimate(spark, regs, "source").collect()}
     assert after == batched
+
+
+def test_exactly_once_sink_does_not_mutate_session_confs(spark, tmp_path):
+    """Overwrite mode / codec ride the DataFrameWriter, never the session
+    (ADVICE r2: a per-batch session mutation leaks into concurrent jobs)."""
+    from news_rss_spark.streaming.stream import exactly_once_news_sink
+
+    before = (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", None),
+        spark.conf.get("spark.sql.parquet.compression.codec", None),
+    )
+    sink = str(tmp_path / "sink")
+    fn = exactly_once_news_sink(sink)
+    batch = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00")],
+        "id int, text string, datetime string",
+    ).withColumn("datetime", F.col("datetime").cast("timestamp"))
+    fn(batch, 0)
+    fn(batch, 1)  # second batch exercises the anti-join + overwrite path
+    after = (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", None),
+        spark.conf.get("spark.sql.parquet.compression.codec", None),
+    )
+    assert after == before
+    # dynamic overwrite still honored per-write: batch 0's partition intact
+    got = spark.read.parquet(sink)
+    assert sorted(r["batch_id"] for r in got.select("batch_id").collect()) == [0]
