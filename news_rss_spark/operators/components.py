@@ -14,8 +14,10 @@ Scale shape:
   partial min) — no collect, no driver-side graph;
 - rounds needed = graph diameter; LSH near-dup clusters are clique-ish
   (diameter 1-3), so the loop converges in 2-4 rounds — this is NOT a
-  general web-graph CC (for billion-edge power-law graphs switch to the
-  large-star/small-star alternation, same per-round plan shape);
+  general web-graph CC (for billion-edge power-law / long-chain graphs
+  use :func:`connected_components_star`, the large-star/small-star
+  alternation with the same per-round plan shape but O(log^2 n) round
+  count independent of diameter);
 - each round ``localCheckpoint``s the labels to truncate the lineage the
   driver loop would otherwise stack up (20 rounds of joins in one plan);
 - convergence check is a count over the joined old/new labels — cheap
@@ -71,12 +73,99 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     return labels.unionByName(singletons)
 
 
+def connected_components_star(nodes: DataFrame, pairs: DataFrame,
+                              id_col: str = "doc_id",
+                              max_iter: int = 50) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    web-graph escape hatch :func:`connected_components`'s docstring
+    promises: convergence in O(log^2 n) rounds regardless of diameter,
+    where min-label propagation needs diameter-many rounds (a crawl
+    graph's chains are long; a near-dup graph's are not).
+
+    Per round both operations are ONE groupBy (map-side partial min) +
+    ONE broadcast-or-shuffle join of the edge list against the |nodes|-
+    sized min relation — the same per-round shuffle shape as the
+    propagation variant, but the edge list itself contracts toward the
+    star graph (child -> component-min) instead of staying fixed:
+
+    - large-star: for each node u, attach every STRICTLY LARGER
+      neighbour to m = min(N(u) + {u});
+    - small-star: direct edges large->small, then attach every
+      not-larger neighbour (and u itself) to m.
+
+    Both preserve connectivity and only ever link a node to a smaller
+    label, so the fixpoint is edges (v, component_min) — the labels are
+    read off the converged edge set.  Each round's edge set is
+    localCheckpoint'd (iterative lineage truncation, as in the
+    propagation variant).  Output schema and values are IDENTICAL to
+    :func:`connected_components` — one oracle covers both."""
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .filter(F.col("src") != F.col("dst"))
+    edges = edges.localCheckpoint(eager=True)
+    touched = (edges.select(F.col("src").alias("node"))
+               .union(edges.select(F.col("dst").alias("node")))
+               .distinct().localCheckpoint(eager=True))
+
+    def _min_rel(e: DataFrame) -> DataFrame:
+        # m(u) = min over the grouped neighbourhood and u itself
+        return (e.groupBy("src").agg(F.min("dst").alias("mn"))
+                .select("src", F.least("src", "mn").alias("m")))
+
+    for _ in range(max_iter):
+        # -- large-star over the symmetrized edge set
+        sym = (edges.union(edges.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst"))))
+        mins = _min_rel(sym)
+        large = (sym.join(mins, "src")
+                 .filter(F.col("dst") > F.col("src"))
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .filter(F.col("src") != F.col("dst")).distinct())
+        # -- small-star over edges directed large -> small
+        directed = large.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"))
+        mins2 = _min_rel(directed)
+        attach = (directed.join(mins2, "src")
+                  .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+        self_attach = mins2.select(F.col("src"), F.col("m").alias("dst"))
+        new_edges = (attach.union(self_attach)
+                     .filter(F.col("src") != F.col("dst")).distinct()
+                     .localCheckpoint(eager=True))
+        changed = (new_edges.exceptAll(edges).limit(1).count()
+                   + edges.exceptAll(new_edges).limit(1).count())
+        edges = new_edges
+        if changed == 0:
+            break
+    # converged star graph: every non-root points at its component min
+    # (exactly one edge per child at the fixpoint; the min-agg also keeps
+    # the readout single-rowed if max_iter cut convergence short); roots
+    # appear only on the dst side and label themselves
+    lbl = (edges.groupBy("src").agg(F.min("dst").alias("comp"))
+           .withColumnRenamed("src", "node"))
+    labels = (touched.join(lbl, on="node", how="left")
+              .select("node", F.coalesce("comp", F.col("node")).alias("comp")))
+    singletons = (nodes.select(F.col(id_col).alias("node"))
+                  .join(touched, on="node", how="left_anti")
+                  .withColumn("comp", F.col("node")))
+    return labels.unionByName(singletons)
+
+
 def dedup_clusters(df: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id",
-                   max_iter: int = 20) -> DataFrame:
+                   max_iter: int = 20,
+                   algorithm: str = "propagation") -> DataFrame:
     """(doc_id, component, is_keeper): keeper = the component's min id —
-    the deterministic survivor a dedup pipeline retains."""
-    comp = connected_components(df.select(id_col), pairs, id_col, max_iter)
+    the deterministic survivor a dedup pipeline retains.
+
+    ``algorithm='propagation'`` (default) is min-label propagation —
+    right for clique-ish near-dup graphs (diameter 1-3).
+    ``algorithm='star'`` is the large-star/small-star alternation —
+    right for long-chain / power-law graphs where round count must not
+    scale with diameter.  Identical output either way."""
+    cc = (connected_components_star if algorithm == "star"
+          else connected_components)
+    comp = cc(df.select(id_col), pairs, id_col, max_iter)
     return comp.select(
         F.col("node").alias(id_col),
         F.col("comp").alias("component"),

@@ -5,13 +5,18 @@ metadata; decode / feature-extract / resize / frame-sample run as Arrow-
 batched functions over ``mapInPandas``.
 
 Decode is REAL for the formats a pure-Python codec can handle — binary
-PPM (P6) images and 16-bit PCM WAV audio (``decode_ppm`` / ``decode_wav``
-below; ``synth_media`` generates decodable payloads deterministically) —
-including an actual nearest-neighbour image resize.  Compressed codecs
-(JPEG/PNG/MP3/H.264) would need PIL/librosa/av, which are not in this
-container: those payloads fall back to a deterministic sha1 stand-in
-feature at a clearly-marked call site.  The Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — is identical either way.
+PPM (P6) images, PNG (8-bit RGB/RGBA, all five scanline filters, CRC
+checked — ``decode_png``/``encode_png`` from scratch over stdlib zlib)
+and 16-bit PCM WAV audio (``decode_ppm`` / ``decode_wav`` below;
+``synth_media`` / ``synth_png_media`` generate decodable payloads
+deterministically) — including an actual nearest-neighbour image resize.
+The remaining compressed codecs (JPEG/MP3/H.264) would need
+PIL/librosa/av, which are not in this container: those payloads fall
+back to a deterministic sha1 stand-in feature at a clearly-marked call
+site, and every feature row carries an explicit ``decoded`` status
+column so real and stand-in features are never silently mixed.  The
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+is identical either way.
 """
 
 from __future__ import annotations
@@ -32,7 +37,7 @@ MEDIA_DDL = (
 
 FEATURES_DDL = (
     "media_id string, kind string, n_bytes bigint, sha1 string, "
-    "feature array<float>"
+    "feature array<float>, decoded boolean"
 )
 
 FEATURE_DIM = 8
@@ -94,6 +99,157 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(arr: np.ndarray, filter_per_row=None) -> bytes:
+    """Real PNG encode: 8-bit RGB (h,w,3) or RGBA (h,w,4) -> signature +
+    IHDR + one zlib IDAT + IEND, from scratch via stdlib zlib/struct.
+
+    ``filter_per_row(row_idx) -> 0..4`` selects the scanline filter
+    (default ``row % 5`` so a round-trip exercises EVERY decode filter
+    path — None/Sub/Up/Average/Paeth).  Filtering is pure numpy: each
+    filter is a vectorized function of the raw row and the raw prior row
+    (encoding has no sequential dependency; only decoding does)."""
+    import struct
+    import zlib as _z
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError("encode_png wants (h, w, 3|4) uint8")
+    h, w, c = arr.shape
+    if filter_per_row is None:
+        filter_per_row = lambda r: r % 5  # noqa: E731
+    flat = arr.astype(np.int64).reshape(h, w * c)
+    zeros = np.zeros(w * c, dtype=np.int64)
+    out_rows = []
+    for r in range(h):
+        raw, prior = flat[r], (flat[r - 1] if r else zeros)
+        left = np.concatenate([np.zeros(c, dtype=np.int64), raw[:-c]])
+        ul = np.concatenate([np.zeros(c, dtype=np.int64), prior[:-c]])
+        ft = int(filter_per_row(r))
+        if ft == 0:
+            f = raw
+        elif ft == 1:
+            f = raw - left
+        elif ft == 2:
+            f = raw - prior
+        elif ft == 3:
+            f = raw - (left + prior) // 2
+        elif ft == 4:
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, ul))
+            f = raw - pred
+        else:
+            raise ValueError(f"invalid PNG filter {ft}")
+        out_rows.append(bytes([ft]) + (f % 256).astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
+    idat = _z.compress(b"".join(out_rows))
+    return (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode, from scratch: chunk walk with CRC verification,
+    capped zlib inflate, scanline unfilter (all five filters) ->
+    (h, w, 3|4) uint8.  Supports the mainline still-image profile —
+    8-bit truecolor (type 2) and truecolor+alpha (type 6),
+    non-interlaced; anything else (palette, 16-bit, Adam7) raises
+    ValueError so the skip-row / fallback contracts absorb it.
+
+    The inflate goes through kernel.pdfx.decompress_capped with the
+    EXACT expected output size h*(1+w*c) as the cap — a crafted IDAT
+    bomb cannot expand past the dimensions the IHDR promised.  Unfilter
+    is per-row: None/Up are vectorized; Sub/Average/Paeth depend on the
+    reconstructed left neighbour and walk the row byte-wise (rows here
+    are tiny; a production build would push these into C the way PIL
+    does — the Spark-side plumbing is unchanged either way)."""
+    import struct
+
+    from news_rss_spark.kernel.pdfx import decompress_capped
+
+    if not payload or not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(PNG_SIG), None, []
+    while pos + 12 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) < ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if zlib_crc32(typ + data) != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (2, 6) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={ctype} "
+            f"interlace={interlace}); only 8-bit RGB/RGBA non-interlaced")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    c = 3 if ctype == 2 else 4
+    stride = w * c
+    expected = h * (stride + 1)
+    raw = decompress_capped(b"".join(idat), max_out=expected)
+    if len(raw) != expected:
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)])
+        prior = out[r - 1] if r else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for x in range(c, stride):
+                line[x] = (line[x] + line[x - c]) & 0xFF
+        elif ft == 2:
+            line = bytearray(
+                ((np.frombuffer(bytes(line), dtype=np.uint8).astype(np.int64)
+                  + prior) % 256).astype(np.uint8).tobytes())
+        elif ft == 3:
+            for x in range(stride):
+                left = line[x - c] if x >= c else 0
+                line[x] = (line[x] + (left + int(prior[x])) // 2) & 0xFF
+        elif ft == 4:
+            for x in range(stride):
+                left = line[x - c] if x >= c else 0
+                ul = int(prior[x - c]) if x >= c else 0
+                line[x] = (line[x] + _paeth(left, int(prior[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG scanline filter {ft}")
+        out[r] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return out.reshape(h, w, c)
+
+
+def zlib_crc32(data: bytes) -> int:
+    import zlib as _z
+    return _z.crc32(data) & 0xFFFFFFFF
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Real audio decode for PCM WAV via the stdlib wave module ->
     (int16 sample array [n_frames, n_channels] flattened, sample_rate).
@@ -135,17 +291,21 @@ def decode_real(payload: bytes, kind: str):
     paths (JPEG/PNG/MP3/H.264) still require PIL/librosa/av and raise.
 
     - image + P6 magic   -> decode_ppm -> (h, w, 3) uint8 array
+    - image + PNG magic  -> decode_png -> (h, w, 3|4) uint8 array (REAL
+      compressed-format decode: zlib inflate + filters 0-4, from scratch)
     - audio + RIFF magic -> decode_wav -> (int16 samples, rate)
     - anything else      -> NotImplementedError (library call goes here,
-      e.g. PIL.Image.open(io.BytesIO(payload)))
+      e.g. PIL.Image.open(io.BytesIO(payload)) for JPEG, librosa for MP3)
     """
     if kind == "image" and payload and payload.startswith(b"P6"):
         return decode_ppm(payload)
+    if kind == "image" and payload and payload.startswith(PNG_SIG):
+        return decode_png(payload)
     if kind == "audio" and payload and payload.startswith(b"RIFF"):
         return decode_wav(payload)
     raise NotImplementedError(
         f"no pure-Python codec for kind={kind} with this payload; "
-        "wire PIL/librosa/av here for compressed formats"
+        "wire PIL/librosa/av here for JPEG/MP3/H.264"
     )
 
 
@@ -157,26 +317,29 @@ def _fake_feature(payload: bytes) -> np.ndarray:
     return arr / 65536.0
 
 
-def _feature_of(payload: bytes, kind: str) -> np.ndarray:
-    """Real features for the decodable formats (PPM image, PCM WAV audio):
-    marker 1.0 + shape/colour or rate/energy stats.  Falls back to the
-    sha1 stand-in (marker < 1.0 w.h.p.) for compressed codecs."""
+def _feature_of(payload: bytes, kind: str) -> tuple[np.ndarray, bool]:
+    """(feature, decoded): real features for the decodable formats
+    (PPM/PNG image, PCM WAV audio) — marker 1.0 + shape/colour or
+    rate/energy stats — or the sha1 stand-in with ``decoded=False`` for
+    the remaining compressed codecs.  The boolean is the authoritative
+    status; downstream must not infer it from the marker value."""
     try:
         decoded = decode_real(payload, kind)
     except (NotImplementedError, ValueError):
-        return _fake_feature(payload)
+        return _fake_feature(payload), False
     if kind == "image":
         arr = decoded.astype(np.float32)
         h, w = arr.shape[:2]
         mean = arr.mean(axis=(0, 1)) / 255.0
         return np.array([1.0, w / 4096.0, h / 4096.0, mean[0], mean[1],
-                         mean[2], arr.std() / 255.0, 0.0], dtype=np.float32)
+                         mean[2], arr.std() / 255.0, 0.0],
+                        dtype=np.float32), True
     samples, rate = decoded
     x = samples.astype(np.float32) / 32768.0
     rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
     zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if x.size > 1 else 0.0
     return np.array([1.0, x.size / 1e6, rate / 48000.0, rms, zcr,
-                     0.0, 0.0, 0.0], dtype=np.float32)
+                     0.0, 0.0, 0.0], dtype=np.float32), True
 
 
 def extract_features(media: DataFrame, batch_kind: str | None = None) -> DataFrame:
@@ -192,14 +355,15 @@ def extract_features(media: DataFrame, batch_kind: str | None = None) -> DataFra
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            feats = [_feature_of(p, k).tolist()
+            pairs = [_feature_of(p, k)
                      for p, k in zip(payloads, pdf["kind"])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": payloads.map(lambda b: len(b or b"")).astype("int64"),
                 "sha1": payloads.map(lambda b: hashlib.sha1(b or b"").hexdigest()),
-                "feature": feats,
+                "feature": [f.tolist() for f, _ in pairs],
+                "decoded": [d for _, d in pairs],
             })
 
     src = media if batch_kind is None else media.filter(F.col("kind") == batch_kind)
@@ -277,17 +441,24 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             out = pdf.copy()
             new_payloads = []
             for payload, kind in zip(out["payload"], out["kind"]):
-                if kind == "image" and payload and payload.startswith(b"P6"):
+                if kind == "image" and payload and (
+                        payload.startswith(b"P6")
+                        or payload.startswith(PNG_SIG)):
                     try:
-                        arr = _resize_nn(decode_ppm(payload), target_w, target_h)
-                        new_payloads.append(encode_ppm(arr))
+                        is_png = payload.startswith(PNG_SIG)
+                        arr = _resize_nn(
+                            decode_png(payload) if is_png
+                            else decode_ppm(payload), target_w, target_h)
+                        new_payloads.append(
+                            encode_png(arr) if is_png else encode_ppm(arr))
                     except ValueError:
-                        # truncated/garbage P6: pass through like any other
-                        # undecodable payload — one bad image never aborts
-                        # the stage
+                        # truncated/garbage image: pass through like any
+                        # other undecodable payload — one bad image never
+                        # aborts the stage
                         new_payloads.append(payload)
                 else:
                     # PIL.Image.open(...).resize(...) re-encode goes here
+                    # for the remaining compressed formats (JPEG)
                     new_payloads.append(payload)
             out["payload"] = new_payloads
             is_img = out["kind"] == "image"
@@ -329,6 +500,35 @@ def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     payload = hashlib.sha1(str(i).encode()).digest() * 40
                     rows.append((str(i), "video", payload, "video/mp4",
                                  None, None, 1000 + i % 5000))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "mime", "width", "height",
+                "duration_ms",
+            ]).astype({"width": "Int32", "height": "Int32",
+                       "duration_ms": "Int32"})
+
+    return df.select(id_col).mapInPandas(fn, MEDIA_DDL)
+
+
+def synth_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL PNG payloads, distributed (mapInPandas): every
+    id becomes an 8-bit PNG image — RGB for even ids, RGBA for odd —
+    with the SAME dimension/pixel rule as synth_media's PPM branch
+    (w = 4+i%5, h = 3+i%4, channel-flattened pixel k = (7k+i)%256) so a
+    SQL oracle re-derives the decoded stats from the rule, and the
+    per-row filter rotation (row % 5) forces the decoder through all
+    five scanline filters on every image taller than 4 rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                w, h = 4 + i % 5, 3 + i % 4
+                c = 3 if i % 2 == 0 else 4
+                grid = (np.arange(h * w * c, dtype=np.int64) * 7 + i)
+                arr = (grid % 256).astype(np.uint8).reshape(h, w, c)
+                rows.append((str(i), "image", encode_png(arr),
+                             "image/png", w, h, None))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "payload", "mime", "width", "height",
                 "duration_ms",

@@ -373,18 +373,36 @@ PII_PATTERNS = [
     ("phone", r"\+?\d[\d\- ]{7,14}\d"),
 ]
 
+# extended set: IBAN and IPv6 join the chain.  ORDER IS LOAD-BEARING:
+# - iban before phone — an IBAN's digit body ("...500105175407...")
+#   contains 8-16 digit windows the phone pattern would otherwise eat;
+# - ipv6 before ipv4/phone — hex groups are digit-adjacent.
+# The IPv6 pattern covers full-form addresses (2-7 colon groups); the
+# '::'-compressed forms need alternation Spark's and DuckDB's regex
+# engines disagree on at \b edges, so they stay out of the contract.
+# All patterns are RE2-safe (no backrefs/lookaround), the repo-wide rule.
+PII_PATTERNS_EXTENDED = [
+    ("email", PII_PATTERNS[0][1]),
+    ("iban", r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"),
+    ("ipv6", r"\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\b"),
+    ("ipv4", PII_PATTERNS[1][1]),
+    ("phone", PII_PATTERNS[2][1]),
+]
+
 
 def redact_pii(df: DataFrame, text_col: str = "text",
-               out_col: str = "clean_text") -> DataFrame:
-    """Scrub emails / IPv4 addresses / phone-like digit runs from a text
-    column, replacing each with a typed token (``<EMAIL>`` etc.) and
+               out_col: str = "clean_text",
+               patterns: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Scrub emails / IPv4 addresses / phone-like digit runs (and, with
+    ``patterns=PII_PATTERNS_EXTENDED``, IBANs + full-form IPv6) from a
+    text column, replacing each with a typed token (``<EMAIL>`` etc.) and
     counting matches per category.  Pure regexp_replace/regexp-count JVM
     expressions — whole-stage codegen, order-deterministic (patterns apply
     in the declared order so counts refer to the pre-redaction text of
     their own stage)."""
     cleaned = F.col(text_col)
     counted = df
-    for name, pat in PII_PATTERNS:
+    for name, pat in (PII_PATTERNS if patterns is None else patterns):
         counted = counted.withColumn(
             f"n_{name}",
             F.size(F.regexp_extract_all(cleaned, F.lit(pat), 0)).cast("long"))

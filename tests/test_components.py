@@ -48,3 +48,52 @@ def test_converges_well_under_max_iter(spark):
         _nodes(spark, list(range(6))),
         _pairs(spark, [(i, i + 1) for i in range(5)]), max_iter=8)
     assert {r["comp"] for r in comp.collect()} == {0}
+
+
+class TestStarVariant:
+    """Large-star/small-star must produce IDENTICAL labels to min-label
+    propagation on every graph shape, and converge on long chains in far
+    fewer rounds than the diameter."""
+
+    def test_matches_propagation_on_known_graphs(self, spark):
+        from news_rss_spark.operators.components import (
+            connected_components_star,
+        )
+        cases = [
+            ([1, 2, 3, 4, 9], [(1, 2), (2, 3), (3, 4)]),
+            ([10, 11, 12, 20, 21, 30], [(10, 11), (11, 12), (20, 21)]),
+            ([1], []),
+            ([5, 6], [(6, 5)]),
+            ([1, 2, 3, 4, 5, 6, 7],
+             [(1, 2), (1, 3), (2, 3), (4, 5), (5, 6), (6, 4), (6, 7)]),
+        ]
+        for ids, prs in cases:
+            want = {(r["node"], r["comp"]) for r in connected_components(
+                _nodes(spark, ids), _pairs(spark, prs)).collect()}
+            got = {(r["node"], r["comp"]) for r in connected_components_star(
+                _nodes(spark, ids), _pairs(spark, prs)).collect()}
+            assert got == want, (ids, prs)
+
+    def test_long_chain_converges_sublinearly(self, spark):
+        """A 64-node chain (diameter 63) must fully label with max_iter
+        far below the diameter — the whole point of the star alternation."""
+        from news_rss_spark.operators.components import (
+            connected_components_star,
+        )
+        n = 64
+        comp = connected_components_star(
+            _nodes(spark, list(range(n))),
+            _pairs(spark, [(i, i + 1) for i in range(n - 1)]),
+            max_iter=12)
+        got = {r["node"]: r["comp"] for r in comp.collect()}
+        assert got == {i: 0 for i in range(n)}
+
+    def test_dedup_clusters_star_keepers(self, spark):
+        df = _nodes(spark, [10, 11, 12, 20, 21, 30])
+        out = dedup_clusters(
+            df, _pairs(spark, [(10, 11), (11, 12), (20, 21)]),
+            algorithm="star")
+        rows = {r["doc_id"]: (r["component"], r["is_keeper"])
+                for r in out.collect()}
+        assert rows == {10: (10, True), 11: (10, False), 12: (10, False),
+                        20: (20, True), 21: (20, False), 30: (30, True)}

@@ -246,3 +246,35 @@ class TestTemperatureSampleNullGroup:
         # and at low alpha the null group participates as a real group
         low = temperature_sample(df, alpha=0.0)
         assert low.filter(F.col("source").isNull()).count() == 40  # n_min
+
+
+class TestPiiExtended:
+    def test_iban_redacted_before_phone_sees_its_digits(self, spark):
+        """An IBAN's digit body must land in n_iban, NOT leak a phone
+        match — the ordering contract PII_PATTERNS_EXTENDED documents."""
+        from news_rss_spark.operators.text_analysis import (
+            PII_PATTERNS_EXTENDED, redact_pii,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "pay DE44500105175407324931 today"),
+             (2, "peer fe80:0:0:0:0:21:fe21:67cf and 10.0.3.7"),
+             (3, "mail a.b@ex.org or call +1 555-0123-456")],
+            "doc_id int, text string")
+        out = {r["doc_id"]: r for r in
+               redact_pii(df, patterns=PII_PATTERNS_EXTENDED).collect()}
+        assert out[1]["n_iban"] == 1 and out[1]["n_phone"] == 0
+        assert out[1]["clean_text"] == "pay <IBAN> today"
+        assert out[2]["n_ipv6"] == 1 and out[2]["n_ipv4"] == 1
+        assert out[2]["clean_text"] == "peer <IPV6> and <IPV4>"
+        assert out[3]["n_email"] == 1 and out[3]["n_phone"] == 1
+        assert out[3]["clean_text"] == "mail <EMAIL> or call <PHONE>"
+
+    def test_default_patterns_unchanged(self, spark):
+        from news_rss_spark.operators.text_analysis import redact_pii
+
+        df = spark.createDataFrame([(1, "x a@b.io 1.2.3.4")],
+                                   "doc_id int, text string")
+        row = redact_pii(df).collect()[0]
+        assert row["clean_text"] == "x <EMAIL> <IPV4>"
+        assert "n_iban" not in row.asDict()

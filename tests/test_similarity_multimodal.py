@@ -276,3 +276,111 @@ class TestPinnedOracles:
         vid = got["5"]  # i=5 -> opaque video payload: sha1 digest * 40
         assert vid["n_bytes"] == 800 and not vid["decoded"]
         assert vid["width"] is None and vid["n_samples"] is None
+
+
+class TestPngCodec:
+    """From-scratch PNG: round-trip through every scanline filter,
+    CRC/truncation/variant rejection, the real resize path, and the
+    explicit decoded-status column."""
+
+    def test_roundtrip_all_filters_rgb_and_rgba(self):
+        import numpy as np
+
+        from news_rss_spark.operators.multimodal import decode_png, encode_png
+
+        rng = np.random.RandomState(3)
+        for c in (3, 4):
+            arr = rng.randint(0, 256, (7, 5, c), dtype=np.uint8)
+            for ft in range(5):
+                got = decode_png(encode_png(arr, lambda r, ft=ft: ft))
+                assert (got == arr).all() and got.shape == arr.shape
+            # rotating filters (the synth default)
+            assert (decode_png(encode_png(arr)) == arr).all()
+
+    def test_rejects_bad_crc_truncation_and_variants(self):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest
+
+        from news_rss_spark.operators.multimodal import (
+            PNG_SIG, decode_png, encode_png,
+        )
+
+        good = encode_png(np.zeros((3, 4, 3), dtype=np.uint8))
+        bad = bytearray(good)
+        bad[20] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(bad))
+        with pytest.raises(ValueError, match="truncated"):
+            decode_png(good[:25])
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"P6 1 1 255 xxx")
+        # 16-bit depth IHDR: unsupported variant, not a crash
+        ihdr = struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0)
+        chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+                 + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_png(PNG_SIG + chunk
+                       + good[8 + 12 + 13:])  # reuse good IDAT/IEND
+
+    def test_idat_bomb_is_capped_by_ihdr_dimensions(self):
+        """An IDAT inflating past h*(1+w*c) must ValueError (skip row),
+        never balloon executor memory."""
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest
+
+        from news_rss_spark.operators.multimodal import PNG_SIG
+
+        w, h = 4, 3
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        # claims 4x3 RGB (39 raw bytes) but inflates to 1 MiB
+        idat = zlib.compress(b"\x00" * (1 << 20))
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+        payload = (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+                   + chunk(b"IEND", b""))
+        from news_rss_spark.operators.multimodal import decode_png
+        with pytest.raises(ValueError):
+            decode_png(payload)
+
+    def test_resize_really_resamples_png(self, spark):
+        import numpy as np
+
+        from news_rss_spark.operators.multimodal import (
+            decode_png, resize_images, synth_png_media,
+        )
+
+        d = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+        media = synth_png_media(d)
+        out = {r["media_id"]: r for r in
+               resize_images(media, 3, 2).collect()}
+        for mid, row in out.items():
+            arr = decode_png(bytes(row["payload"]))
+            assert arr.shape[:2] == (2, 3)
+            assert arr.shape[2] == (3 if int(mid) % 2 == 0 else 4)
+            assert (row["width"], row["height"]) == (3, 2)
+
+    def test_feature_decoded_status_column(self, spark):
+        """Real and stand-in features carry an explicit decoded flag —
+        never inferred from the marker value (VERDICT r2)."""
+        from news_rss_spark.operators.multimodal import (
+            extract_features, synth_media, synth_png_media,
+        )
+
+        d = spark.range(0, 9).withColumnRenamed("id", "doc_id")
+        rows = {r["media_id"]: r for r in
+                extract_features(synth_media(d)).collect()}
+        for mid, r in rows.items():
+            want = int(mid) % 3 != 2  # video = fallback
+            assert r["decoded"] is want, mid
+            assert (r["feature"][0] == 1.0) == want
+        png = extract_features(synth_png_media(d)).collect()
+        assert all(r["decoded"] for r in png)
