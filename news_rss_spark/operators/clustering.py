@@ -87,7 +87,15 @@ def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 2,
                ) -> list[tuple[int, list[float]]]:
     """Lloyd iterations; returns the final centroid list.  Default init =
     pinned seeded constants (oracle-checkable); pass a data-derived
-    ``init`` (e.g. a sampled k-means|| sketch) for production quality."""
+    ``init`` (e.g. a sampled k-means|| sketch) for production quality.
+
+    Each iteration runs one distributed hash aggregation and collects
+    exactly k x dim rows (update_centroids) — a constant-size driver
+    transfer that is legitimate at ANY corpus scale because the next
+    iteration needs the centroids as plan literals.  Do not imitate this
+    collect-per-iteration pattern for relations that grow with the data
+    (pagerank.py makes the same point for its 1-row dangling-mass
+    scalar)."""
     if init is None:
         row = df.select(vec_col).first()
         if row is None or row[0] is None:

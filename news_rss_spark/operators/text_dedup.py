@@ -240,7 +240,8 @@ def simhash16(df: DataFrame, text_col: str = "text",
 def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
                            text_col: str = "text",
                            id_col: str = "doc_id",
-                           n_bits: int = 16) -> DataFrame:
+                           n_bits: int = 16,
+                           sig: DataFrame | None = None) -> DataFrame:
     """ALL pairs with SimHash Hamming distance <= ``max_hamming``, exactly.
 
     Pigeonhole banding (the standard SimHash blocking): split the signature
@@ -254,8 +255,14 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
     scale-safe: each doc shuffles k rows of (band:int, band_val:long, sim).
 
     At 64-bit scale the structure is unchanged (k bands of 64/k bits).
+
+    ``sig`` optionally supplies a precomputed ``(id_col, simhash)``
+    relation of the SAME width — the signature aggregation is the
+    expensive half, and a pipeline that mines pairs at several radii
+    (e.g. near-dup report + cluster resolution) should compute and
+    materialize it once rather than re-tokenizing the corpus per radius.
     """
-    sim = simhash(df, text_col, id_col, n_bits=n_bits)
+    sim = simhash(df, text_col, id_col, n_bits=n_bits) if sig is None else sig
     k = max_hamming + 1
     if k > n_bits:
         # k bands over n_bits < k bits would include zero-width bands whose

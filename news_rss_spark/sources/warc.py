@@ -85,8 +85,10 @@ def documents_from_warc(files: DataFrame, content_col: str = "content",
     (P2) drops titleless documents; the target URI is the record's identity
     the way a feed item's guid/title is."""
     recs = warc_records(files, content_col, id_col)
+    # lower() on warc_type mirrors the kernel's case-insensitive token
+    # gate (producer casing varies; content_type already goes through it)
     ok = recs.filter(
-        (F.col("warc_type") == "response")
+        (F.lower(F.col("warc_type")) == "response")
         & (F.col("http_status") == 200)
         & F.lower(F.col("content_type")).contains("html"))
     null_s = F.lit(None).cast("string")

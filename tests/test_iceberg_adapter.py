@@ -63,3 +63,32 @@ def test_merge_with_table_name_falls_back_without_catalog(spark):
     out, marker = merge_registry(spark, reg, changes, table="cat.db.sources")
     assert marker == "dataframe"
     assert out.count() == 1
+
+
+def test_merge_sql_golden_and_real_parser_grammar(spark):
+    """Documented-semantics lock (sandbox has no Iceberg jars to EXECUTE
+    the MERGE): (a) byte-exact golden of the generated statement, and
+    (b) Spark's own SQL parser must produce a MergeIntoTable plan with
+    the delete-guard, full-column update, and guarded insert — the same
+    grammar Iceberg's Spark extension executes on a catalog-equipped
+    cluster (see IMPLEMENTATION.md)."""
+    sql = merge_registry_sql("cat.db.sources", "staged")
+    assert sql == (
+        "MERGE INTO cat.db.sources t\n"
+        "USING staged s\n"
+        "ON t.id = s.id\n"
+        "WHEN MATCHED AND s._op = 'delete' THEN DELETE\n"
+        "WHEN MATCHED THEN UPDATE SET\n"
+        "  t.name = s.name, t.link = s.link, t.run_at_launch = s.run_at_launch,\n"
+        "  t.max_retries = s.max_retries, t.timeout = s.timeout,\n"
+        "  t.interval_secs = s.interval_secs\n"
+        "WHEN NOT MATCHED AND s._op != 'delete' THEN INSERT\n"
+        "  (id, name, link, run_at_launch, max_retries, timeout, interval_secs)\n"
+        "  VALUES (s.id, s.name, s.link, s.run_at_launch, s.max_retries, s.timeout,\n"
+        "          s.interval_secs)"
+    )
+    plan = str(spark._jsparkSession.sessionState().sqlParser().parsePlan(sql))
+    assert "MergeIntoTable" in plan
+    assert "deleteaction" in plan.lower()
+    assert "updateaction" in plan.lower()
+    assert "insertaction" in plan.lower()

@@ -177,3 +177,18 @@ class TestRuleMatcherLinearTime:
         assert not is_allowed(r, "/aXXb", "x")
         assert not is_allowed(r, "/ab", "x")
         assert is_allowed(r, "/a", "x")
+
+
+class TestUppercaseProducerForms:
+    def test_uppercase_field_names_parse(self):
+        r = parse_robots(
+            "USER-AGENT: *\nDISALLOW: /private/\nALLOW: /private/ok\n"
+            "CRAWL-DELAY: 1.5\nSITEMAP: https://ex.org/s.xml")
+        assert not is_allowed(r, "/private/x", "anybot")
+        assert is_allowed(r, "/private/ok-item", "anybot")
+        assert r["crawl_delay"] == {"*": 1.5}
+        assert r["sitemaps"] == ["https://ex.org/s.xml"]
+
+    def test_uppercase_agent_token_matches_lowercased_ua(self):
+        r = parse_robots("User-agent: NewsBot\nDisallow: /x")
+        assert not is_allowed(r, "/x/1", "Mozilla newsbot/3")

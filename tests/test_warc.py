@@ -147,3 +147,44 @@ class TestWarcExtractionJob:
             spark, files, sink, lineage,
             datetime(2025, 1, 5, tzinfo=timezone.utc), "warc-run-2")
         assert res2.skipped_buckets > 0 and res2.published_count == 1
+
+
+class TestProducerCasingAndEol:
+    """Real crawls vary header casing; gates must be case-insensitive
+    (round-2 found this class in the HTML tokenizer — CLASS=), and
+    non-CRLF framing must degrade to the skip contract, never a crash."""
+
+    def test_uppercase_header_names_and_mime_params(self):
+        body = b"hello uppercase"
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: TEXT/HTML\r\n\r\n" + body)
+        rec = (b"WARC/1.0\r\n"
+               b"WARC-TYPE: Response\r\n"
+               b"WARC-TARGET-URI: https://ex.org/a\r\n"
+               b"CONTENT-TYPE: application/http; MsgType=Response\r\n"
+               b"CONTENT-LENGTH: " + str(len(http)).encode() + b"\r\n\r\n"
+               + http + b"\r\n\r\n")
+        got = parse_warc(rec)
+        assert len(got) == 1
+        # raw value preserved, gate matched case-insensitively
+        assert got[0]["warc_type"] == "Response"
+        assert got[0]["status"] == 200
+        assert got[0]["body"] == body
+        assert got[0]["http_headers"]["content-type"] == "TEXT/HTML"
+
+    def test_mixed_eol_headers_never_crash_and_keep_prefix(self):
+        from hypothesis import given, settings, strategies as st
+
+        good = build_warc(RECS)
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.sampled_from([b"\n", b"\r", b"\r\n"]), st.data())
+        def check(eol, data):
+            # rewrite a suffix of the archive's CRLFs with a foreign EOL
+            start = data.draw(st.integers(0, len(good)))
+            mutated = good[:start] + good[start:].replace(b"\r\n", eol)
+            recs = parse_warc(mutated)
+            assert isinstance(recs, list)
+            for r in recs:
+                assert isinstance(r["body"], (bytes, bytearray))
+
+        check()
