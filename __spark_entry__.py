@@ -1182,6 +1182,23 @@ def q_fetch_schedule(spark, sf_dir):
     return fetch_schedule(frontier, per_wave=2)
 
 
+def q_cms_token_counts(spark, sf_dir):
+    """Count-Min sketch frequency estimation (operators/sketch.py):
+    corpus token occurrences folded into a 4x256 mergeable counter
+    relation, point estimates = min over the 4 hash rows, heavy hitters
+    (est >= 50) reported.  The md5 hash contract makes the sketch (and
+    its collision over-counts) bit-reproducible, so the DuckDB oracle
+    replays the estimates exactly; the never-undercount guarantee is
+    pytest-asserted."""
+    from news_rss_spark.operators.sketch import cms_counters, cms_estimate
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    counters = cms_counters(toks, "tok", d=4, w=256)
+    est = cms_estimate(counters, toks, "tok", d=4, w=256)
+    return est.filter(F.col("est") >= 50).select("value", "est")
+
+
 def q_streaming_hll_estimate(spark, sf_dir):
     """Streaming distinct-count arithmetic, driver-checkable: the corpus
     is ingested as two deterministic micro-batches through the EXACT
@@ -1291,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "cms_token_counts": q_cms_token_counts,
         "streaming_hll_estimate": q_streaming_hll_estimate,
         "dedup_clusters_star": q_dedup_clusters_star,
         "pii_redact_extended": q_pii_redact_extended,
@@ -1429,6 +1447,33 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bits
 def oracle_sql() -> dict[str, str]:
     return {
         # --- round-3 additions ----------------------------------------
+        "cms_token_counts": """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS v
+  FROM documents WHERE length(trim(text)) > 0
+),
+depths AS (SELECT * FROM (VALUES (0), (1), (2), (3)) d(depth)),
+rows AS (
+  SELECT depth,
+         CAST('0x' || substr(md5('cms-' || CAST(depth AS VARCHAR) || ':' || v),
+                             1, 8) AS BIGINT) % 256 AS pos
+  FROM toks CROSS JOIN depths
+),
+counters AS (SELECT depth, pos, count(*) AS cnt FROM rows GROUP BY depth, pos),
+cand AS (SELECT DISTINCT v FROM toks),
+probe AS (
+  SELECT c.v, d.depth,
+         CAST('0x' || substr(md5('cms-' || CAST(d.depth AS VARCHAR) || ':' || c.v),
+                             1, 8) AS BIGINT) % 256 AS pos
+  FROM cand c CROSS JOIN depths d
+),
+est AS (
+  SELECT p.v AS value, min(coalesce(ct.cnt, 0)) AS est
+  FROM probe p LEFT JOIN counters ct ON ct.depth = p.depth AND ct.pos = p.pos
+  GROUP BY p.v
+)
+SELECT value, CAST(est AS BIGINT) AS est FROM est WHERE est >= 50
+""",
         # max-merged per-batch HLL registers == whole-corpus registers
         # (max is associative), so the streaming estimate replays as the
         # batch sketch with the same group column

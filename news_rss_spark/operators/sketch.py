@@ -101,3 +101,67 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
     """Sketch + estimate in one call: ``(group, n_est)``."""
     return hll_estimate(hll_registers(df, group_col, value_col, p),
                         group_col, p)
+
+
+# ------------------------------------------------- Count-Min sketch (CMS)
+
+def cms_counters(items: DataFrame, value_col: str,
+                 d: int = 4, w: int = 256) -> DataFrame:
+    """Deterministic Count-Min sketch (Cormode & Muthukrishnan 2005 — the
+    frequency-estimation counterpart of the HLL above) from plain
+    DataFrame ops: ``(depth, pos, cnt)`` counters, d rows x w columns.
+
+    Like the HLL, the hash is the engine's content-stable md5 contract
+    (row j hashes ``'cms-<j>:' || value``, first 8 hex chars -> pos =
+    h % w), so the sketch is REPRODUCIBLE across engines/partitionings
+    and a DuckDB oracle can replay estimates bit-exactly; and the state
+    is an open, MERGEABLE relation — counter tables of two corpus
+    snapshots union + ``sum`` into the sketch of their union, the same
+    streaming/incremental story as the HLL register table.
+
+    Plan: one generator projection (d rows per item via a JVM
+    ``explode(sequence)``) -> ONE hash aggregation with map-side partial
+    sums; only the d*w counter relation ever shuffles.  Null values are
+    ignored (COUNT semantics)."""
+    if d < 1 or w < 2:
+        raise ValueError("cms_counters: need d >= 1 rows and w >= 2 columns")
+    vals = items.filter(F.col(value_col).isNotNull())
+    depth = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("depth")
+    rows = vals.select(F.col(value_col).alias("v"), depth)
+    pos = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("cms-"),
+                                          F.col("depth").cast("string"),
+                                          F.lit(":"),
+                                          F.col("v").cast("string"))),
+                           1, 8), 16, 10).cast("long"),
+        F.lit(w)).cast("int")
+    return (rows.select("depth", pos.alias("pos"))
+            .groupBy("depth", "pos")
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_estimate(counters: DataFrame, candidates: DataFrame,
+                 value_col: str, d: int = 4, w: int = 256) -> DataFrame:
+    """Point estimates for a candidate relation: ``(value, est)`` with
+    est = min over the d rows of the counter each candidate hashes to —
+    an upper bound on the true count (never under-counts; over-counts by
+    collision mass, bounded by ||f||/w per row w.h.p.).
+
+    The counter relation is d*w rows — broadcast — so the estimate is a
+    broadcast join + one small groupBy, no shuffle of the candidates."""
+    cand = (candidates.filter(F.col(value_col).isNotNull())
+            .select(F.col(value_col).alias("value")).distinct())
+    expanded = cand.select(
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("depth"))
+    pos = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("cms-"),
+                                          F.col("depth").cast("string"),
+                                          F.lit(":"),
+                                          F.col("value").cast("string"))),
+                           1, 8), 16, 10).cast("long"),
+        F.lit(w)).cast("int")
+    joined = (expanded.withColumn("pos", pos)
+              .join(F.broadcast(counters), on=["depth", "pos"], how="left")
+              .select("value", F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    return joined.groupBy("value").agg(F.min("cnt").alias("est"))

@@ -102,3 +102,54 @@ def test_plan_is_one_partial_agg_shuffle(spark):
     # register build must combine map-side: partial_max before the exchange
     assert "partial_max" in plan
     assert "Join" not in plan
+
+
+class TestCountMin:
+    def _toks(self, spark, words):
+        return spark.createDataFrame([(w,) for w in words], "tok string")
+
+    def test_never_undercounts_and_exact_when_wide(self, spark):
+        from news_rss_spark.operators.sketch import cms_counters, cms_estimate
+
+        words = ["a"] * 7 + ["b"] * 3 + ["c"] * 1
+        toks = self._toks(spark, words)
+        # wide sketch: w >> distinct values -> collisions vanish -> exact
+        counters = cms_counters(toks, "tok", d=3, w=4096)
+        est = {r["value"]: r["est"] for r in
+               cms_estimate(counters, toks, "tok", d=3, w=4096).collect()}
+        assert est == {"a": 7, "b": 3, "c": 1}
+        # narrow sketch: collisions allowed, but NEVER an undercount
+        c2 = cms_counters(toks, "tok", d=2, w=2)
+        est2 = {r["value"]: r["est"] for r in
+                cms_estimate(c2, toks, "tok", d=2, w=2).collect()}
+        assert est2["a"] >= 7 and est2["b"] >= 3 and est2["c"] >= 1
+
+    def test_counters_merge_by_sum(self, spark):
+        """Union + sum of two snapshots' counters == counters of the
+        union — the mergeable-relation contract shared with the HLL."""
+        from pyspark.sql import functions as F
+
+        from news_rss_spark.operators.sketch import cms_counters
+
+        t1 = self._toks(spark, ["x", "y", "x"])
+        t2 = self._toks(spark, ["y", "z"])
+        merged = (cms_counters(t1, "tok", d=4, w=64)
+                  .unionByName(cms_counters(t2, "tok", d=4, w=64))
+                  .groupBy("depth", "pos").agg(F.sum("cnt").alias("cnt")))
+        direct = cms_counters(t1.unionByName(t2), "tok", d=4, w=64)
+        a = {(r["depth"], r["pos"]): r["cnt"] for r in merged.collect()}
+        b = {(r["depth"], r["pos"]): r["cnt"] for r in direct.collect()}
+        assert a == b
+
+    def test_nulls_ignored_and_bad_params_raise(self, spark):
+        import pytest
+
+        from news_rss_spark.operators.sketch import cms_counters, cms_estimate
+
+        toks = spark.createDataFrame([("a",), (None,), ("a",)], "tok string")
+        counters = cms_counters(toks, "tok", d=2, w=1024)
+        est = {r["value"]: r["est"] for r in
+               cms_estimate(counters, toks, "tok", d=2, w=1024).collect()}
+        assert est == {"a": 2}
+        with pytest.raises(ValueError):
+            cms_counters(toks, "tok", d=0, w=16)
