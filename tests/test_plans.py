@@ -132,3 +132,26 @@ def test_ivf_cell_layout_prunes_partitions(spark, tmp_path):
     n_cells_read = probed.select("cell").distinct().count()
     assert n_cells_read <= 2
     assert "PushedFilters" in p
+
+
+def test_cms_estimate_broadcasts_counters(spark, queries):
+    """The CMS point-estimate join must broadcast the d*w counter
+    relation — candidates are corpus-sized and must not shuffle for the
+    join (their own distinct is the only exchange they pay)."""
+    p = _plan(queries["cms_token_counts"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    # the counters (build) side, not the candidates, is broadcast:
+    # no sort-merge join anywhere in the estimate path
+    assert "SortMergeJoin" not in p
+
+
+def test_star_cc_per_round_has_no_nested_loop(spark):
+    """One large-star/small-star round compiles to groupBy + equi-joins
+    only — never a cartesian/nested-loop product."""
+    from news_rss_spark.operators.components import connected_components_star
+    nodes = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    pairs = nodes.filter("doc_id > 0").select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") - 1).alias("b"))
+    out = connected_components_star(nodes, pairs, max_iter=2)
+    p = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
