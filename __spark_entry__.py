@@ -1182,6 +1182,32 @@ def q_fetch_schedule(spark, sf_dir):
     return fetch_schedule(frontier, per_wave=2)
 
 
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line filtering (operators/text_analysis.py): the synth
+    corpus has no line structure, so a deterministic 4-line layout is
+    built JVM-side first — a punctuated long line (kept), a short line
+    (word-count fail), an unpunctuated run (punctuation fail), and a
+    rotating tail that is either a 5-word quoted keeper or a lorem-ipsum
+    poison line that kills the whole document; every 23rd doc also gains
+    a curly brace (code probe).  The oracle rebuilds the same lines and
+    replays the rules."""
+    from news_rss_spark.operators.text_analysis import c4_line_filter
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.trim("text"), r"\s+")
+    l1 = F.concat(F.array_join(F.slice(toks, 1, 6), " "), F.lit("."))
+    l2 = F.lit("too short.")
+    l3 = F.array_join(F.slice(toks, 7, 8), " ")
+    l4 = F.when(F.col("doc_id") % 17 == 0,
+                F.lit("lorem ipsum makes this doc toxic."))\
+         .otherwise(F.lit('a quoted "line" ends well?'))
+    curly = F.when(F.col("doc_id") % 23 == 0, F.lit(" {js}"))\
+             .otherwise(F.lit(""))
+    lined = d.withColumn(
+        "text", F.concat(F.concat_ws("\n", l1, l2, l3, l4), curly))
+    return c4_line_filter(lined).select(
+        "doc_id", "n_lines", "n_kept", "clean_text")
+
+
 def q_cms_token_counts(spark, sf_dir):
     """Count-Min sketch frequency estimation (operators/sketch.py):
     corpus token occurrences folded into a 4x256 mergeable counter
@@ -1308,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "c4_line_filter": q_c4_line_filter,
         "cms_token_counts": q_cms_token_counts,
         "streaming_hll_estimate": q_streaming_hll_estimate,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -1447,6 +1474,35 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bits
 def oracle_sql() -> dict[str, str]:
     return {
         # --- round-3 additions ----------------------------------------
+        "c4_line_filter": r"""
+WITH lined AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 6), ' ')
+         || '.' || chr(10) || 'too short.' || chr(10)
+         || array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 7, 14), ' ')
+         || chr(10)
+         || CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum makes this doc toxic.'
+                 ELSE 'a quoted "line" ends well?' END
+         || CASE WHEN doc_id % 23 = 0 THEN ' {js}' ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+),
+f AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+                     ln -> len(string_split_regex(trim(ln), '\s+')) >= 5
+                           AND regexp_matches(ln, '[.!?"]\s*$')) AS kept,
+         (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS bad
+  FROM lined
+)
+SELECT doc_id,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CAST(CASE WHEN bad THEN 0 ELSE len(kept) END AS INTEGER) AS n_kept,
+       CASE WHEN bad THEN NULL
+            ELSE array_to_string(kept, chr(10)) END AS clean_text
+FROM f
+WHERE (CASE WHEN bad THEN 0 ELSE len(kept) END) > 0
+""",
         "cms_token_counts": """
 WITH toks AS (
   SELECT unnest(string_split_regex(trim(text), '\\s+')) AS v

@@ -410,6 +410,41 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     return counted.withColumn(out_col, cleaned)
 
 
+# ------------------------------------------------------ C4 line filtering
+
+def c4_line_filter(df: DataFrame, text_col: str = "text",
+                   out_col: str = "clean_text",
+                   min_words: int = 5) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 recipe, the
+    rules every large text pipeline since reuses): keep only lines with
+    >= ``min_words`` words that end in terminal punctuation; drop the
+    whole document if it mentions "lorem ipsum" or contains a curly
+    brace (code);  output adds per-doc ``n_lines``/``n_kept`` and the
+    re-joined ``out_col``, and documents with zero surviving lines drop.
+
+    All JVM expressions: one ``split`` + higher-order ``filter`` over the
+    line array + ``rlike`` terminal-punctuation probe — codegen'd,
+    shuffle-free, RE2-compatible (bit-exact DuckDB oracle).  The curly
+    and lorem-ipsum probes are whole-document, applied before line
+    inspection, exactly as in the paper."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (F.size(F.split(F.trim(ln), r"\s+")) >= min_words)
+        & ln.rlike(r'[.!?"]\s*$'))
+    doc_bad = (F.lower(F.col(text_col)).contains("lorem ipsum")
+               | F.col(text_col).contains("{"))
+    return (df
+            .withColumn("n_lines", F.size(lines).cast("int"))
+            .withColumn("n_kept",
+                        F.when(doc_bad, F.lit(0))
+                        .otherwise(F.size(kept)).cast("int"))
+            .withColumn(out_col,
+                        F.when(doc_bad, F.lit(None).cast("string"))
+                        .otherwise(F.array_join(kept, "\n")))
+            .filter(F.col("n_kept") > 0))
+
+
 # ------------------------------------------------------- text normalization
 
 # C0 controls except \t \n \r, plus DEL — stripped before training

@@ -278,3 +278,32 @@ class TestPiiExtended:
         row = redact_pii(df).collect()[0]
         assert row["clean_text"] == "x <EMAIL> <IPV4>"
         assert "n_iban" not in row.asDict()
+
+
+class TestC4LineFilter:
+    def test_rules_applied_per_line_and_per_doc(self, spark):
+        from news_rss_spark.operators.text_analysis import c4_line_filter
+
+        df = spark.createDataFrame([
+            (1, 'one two three four five six ends here.\nshort.\n'
+                'no punctuation at all here but long enough\n'
+                'a quoted "line" ends well?'),
+            (2, 'this document mentions lorem ipsum somewhere fine.\nx.'),
+            (3, 'function() { return 1; } is code with many words here.'),
+            (4, 'tiny'),
+        ], "doc_id int, text string")
+        out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+        assert set(out) == {1}  # 2=lorem, 3=curly, 4=no keepable line
+        r = out[1]
+        assert r["n_lines"] == 4 and r["n_kept"] == 2
+        assert r["clean_text"] == (
+            'one two three four five six ends here.\n'
+            'a quoted "line" ends well?')
+
+    def test_min_words_knob(self, spark):
+        from news_rss_spark.operators.text_analysis import c4_line_filter
+
+        df = spark.createDataFrame([(1, "just four words here.")],
+                                   "doc_id int, text string")
+        assert c4_line_filter(df).count() == 0
+        assert c4_line_filter(df, min_words=4).count() == 1
