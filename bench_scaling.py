@@ -15,6 +15,7 @@ Usage:  python bench_scaling.py [n_docs]   (default 120000)
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
@@ -51,7 +52,13 @@ def main() -> None:
 
     sh(["zip", "-qr", PKG, "news_rss_spark"])
 
+    # one marker per landed size; stale markers from a DIFFERENT size must
+    # go, or a later run at that size would trust a corpus that was since
+    # overwritten (mode('overwrite') replaces the parquet, not the markers)
     marker = f"{INPUT}/.n{n_docs}"
+    for stale in glob.glob(f"{INPUT}/.n*"):
+        if stale != marker:
+            os.remove(stale)
     if not os.path.exists(marker):
         # land the corpus CLUSTERED by the resume bucket (the Iceberg
         # bucket(doc_id) partition-transform layout the pipeline assumes at
