@@ -26,6 +26,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC for timestamp-rendering queries.
+
+    Timestamp RENDERING is session-timezone-dependent and happens at
+    collect time, AFTER the query function returns — so the pin cannot be
+    save/restored inside the function without changing the lazily-evaluated
+    result.  Our own session factory already sets UTC (session.py), making
+    this a no-op there; under a foreign harness session it is a defensive
+    pin.  Always the same fixed value, so repeated calls never conflict.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 # ---------------------------------------------------------------------------
 # flagship: interleave the documents table into the input_hint shape and run
 # the full extraction kernel (deterministic, no RNG — pure column mapping)
@@ -117,13 +130,7 @@ def q_domain_extract(spark, sf_dir):
 
 def q_date_parse_fallback(spark, sf_dir):
     """P7 (mod.rs:183-192): parse w/ pinned-now fallback on garbage."""
-    # timestamp RENDERING is session-timezone-dependent and happens at
-    # collect time, after this function returns — so the UTC pin cannot
-    # be save/restored here.  Our session factory already sets UTC
-    # (session.py); this set is a deliberate no-op there and a defensive
-    # pin under a foreign harness session.  It is the ONLY query that
-    # touches session conf, and only to this fixed value.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _utc(spark)  # see _utc: rendering reads the conf at collect time
     e = _t(spark, sf_dir, "events")
     raw = F.when(F.col("event_id") % 10 == 0, F.lit("garbage")) \
            .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
@@ -300,7 +307,7 @@ def q_extract_pipeline(spark, sf_dir):
     meta/html fast path over deterministically interleaved documents, so the
     whole mapInArrow stage is oracle-checkable in SQL."""
     from news_rss_spark.operators.extraction import extract_articles
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # pub_date rendering
+    _utc(spark)
     docs = _t(spark, sf_dir, "documents")
     interleaved = interleave_documents(docs)
     ext = extract_articles(interleaved, now_utc=PINNED_NOW)
@@ -732,7 +739,7 @@ def q_sessionize(spark, sf_dir):
     """Window-function surface: gap-based sessionization over the events
     table (lag + running sum, one shuffle on user_id)."""
     from news_rss_spark.operators.events import session_stats
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _utc(spark)
     e = _t(spark, sf_dir, "events")
     return session_stats(e, gap_secs=1800)
 
@@ -741,7 +748,7 @@ def q_latest_event(spark, sf_dir):
     """Changelog compaction: latest event per user via row_number()=1
     (Catalyst rewrites to a per-partition top-k)."""
     from news_rss_spark.operators.events import latest_event_per_user
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _utc(spark)
     e = _t(spark, sf_dir, "events")
     return latest_event_per_user(e).select(
         "user_id", "event_id", "event_type",
@@ -942,7 +949,7 @@ def q_asof_join(spark, sf_dir):
     in the events table; for tied right timestamps asof_join picks the
     struct-max payload while ASOF JOIN's pick is unspecified."""
     from news_rss_spark.operators.temporal import asof_join
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     pur = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts")
@@ -964,7 +971,7 @@ def q_interval_join(spark, sf_dir):
     plan — the non-equi containment predicate never becomes a nested-loop
     join.  Oracle: the plain BETWEEN join (quadratic is fine at sf0.01)."""
     from news_rss_spark.operators.temporal import interval_join
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     iv = ev.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("signup_id"), "user_id",
@@ -1072,7 +1079,7 @@ def q_windowed_counts(spark, sf_dir):
     definition serves both; late-data drop is pytest-verified in
     tests/test_streaming.py)."""
     from news_rss_spark.operators.events import windowed_counts
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     out = windowed_counts(ev, "1 hour")
     return out.select(
