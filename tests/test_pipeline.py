@@ -114,6 +114,33 @@ class TestLineageAndResume:
         assert after_rows == full_rows  # byte-identical content
         assert r3.published_count == r1.published_count
 
+    def test_orphan_staging_reclaimed_on_resume(self, spark, paths):
+        """A SIGKILLed run strands its .spark-staging-*/_temporary dirs
+        inside the sink (a full extra copy of the output at scale); the
+        next run must reclaim them and leave real data untouched."""
+        import os
+        sink, lineage = paths
+        docs = documents_df(spark, 120, seed=3, num_partitions=4)
+        r1 = run_extraction_job(spark, docs, sink, lineage, NOW, "r1", n_buckets=8)
+        assert r1.gc_staging_dirs == 0
+        before = {(r["id"], r["text"]) for r in
+                  with_text_from_spans(spark.read.parquet(sink)).collect()}
+
+        for orphan in (".spark-staging-dead-run-uuid", "_temporary"):
+            d = os.path.join(sink, orphan, "bucket=3")
+            os.makedirs(d)
+            with open(os.path.join(d, "part-00000.parquet"), "wb") as f:
+                f.write(b"stranded bytes")
+
+        r2 = run_extraction_job(spark, docs, sink, lineage, NOW, "r2", n_buckets=8)
+        assert r2.gc_staging_dirs == 2
+        assert not os.path.exists(os.path.join(sink, "_temporary"))
+        assert not os.path.exists(os.path.join(sink, ".spark-staging-dead-run-uuid"))
+        after = {(r["id"], r["text"]) for r in
+                 with_text_from_spans(spark.read.parquet(sink)).collect()}
+        assert after == before
+        assert r2.skipped_buckets == 8  # GC never touches the ledger
+
     def test_resume_survives_static_overwrite_conf(self, spark, paths):
         """Regression: resume must not truncate completed buckets even when
         the caller's session carries the default STATIC partition-overwrite
