@@ -400,6 +400,52 @@ def q_simhash_wide_near_dup(spark, sf_dir):
                                   sig=_sig60(spark, sf_dir))
 
 
+def q_simhash128_near_dup(spark, sf_dir):
+    """Web-scale SimHash width: 128-bit signature as 4 independent 32-bit
+    band signatures (disjoint md5 hex slices — each band int64-oracle-
+    safe), hamming <= 3 over the concatenated signature.  32-bit bands
+    hold banding's birthday collisions to ~k*C(n,2)/2^32 — the 15-bit
+    bands the int64 cap forces at this radius melted down at 50M docs
+    (measured; see text_dedup.simhash_bands).  Oracle: brute-force pair
+    scan over the same per-band signatures — deliberately NOT the banded
+    plan, so completeness is checked against an independent route."""
+    from news_rss_spark.operators.text_dedup import simhash_bands_near_dup_pairs
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return simhash_bands_near_dup_pairs(d, max_hamming=3)
+
+
+def _simhash_bands_sql(band_bits: int = 32, n_bands: int = 4,
+                       max_hamming: int = 3) -> str:
+    hex_per = (band_bits + 3) // 4
+    hashes = ",\n    ".join(
+        f"CAST('0x' || substr(md5(tok), {1 + j * hex_per}, {hex_per}) AS BIGINT) AS h{j}"
+        for j in range(n_bands))
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h{j} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}_{i}"
+        for j in range(n_bands) for i in range(band_bits))
+    bands = ",\n    ".join(
+        "CAST(" + " + ".join(
+            f"(CASE WHEN s{j}_{i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(band_bits)) + f" AS BIGINT) AS b{j}"
+        for j in range(n_bands))
+    ham = " + ".join(f"bit_count(xor(x.b{j}, y.b{j}))" for j in range(n_bands))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+h AS (
+  SELECT doc_id, {hashes} FROM toks
+),
+bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {bands} FROM bits)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST({ham} AS INT) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE {ham} <= {max_hamming}
+"""
+
+
 def q_pii_redact(spark, sf_dir):
     """Corpus scrubbing: typed redaction of emails/IPs/phone runs with
     per-category counts.  The synthetic text is clean, so PII is injected
@@ -1341,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "simhash128_near_dup": q_simhash128_near_dup,
         "c4_line_filter": q_c4_line_filter,
         "cms_token_counts": q_cms_token_counts,
         "streaming_hll_estimate": q_streaming_hll_estimate,
@@ -1481,6 +1528,7 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bits
 def oracle_sql() -> dict[str, str]:
     return {
         # --- round-3 additions ----------------------------------------
+        "simhash128_near_dup": _simhash_bands_sql(),
         "c4_line_filter": r"""
 WITH lined AS (
   SELECT doc_id,

@@ -307,6 +307,116 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
     )
 
 
+def simhash_bands(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", band_bits: int = 32,
+                  n_bands: int = 4) -> DataFrame:
+    """Wide SimHash as an ARRAY of ``n_bands`` independent ``band_bits``-
+    wide band signatures — the web-scale variant of :func:`simhash`.
+
+    WHY: banded blocking yields ~k * C(n,2) / 2^band_width random
+    candidate collisions.  The int64-capped :func:`simhash` gives
+    15-bit bands at radius 3 — fine at 10^5 docs, but at 50M docs that
+    is ~10^11 birthday-collision pairs (measured: the probe filled a
+    252 GB disk with shuffle spill before dying).  Pair mining needs
+    band_width ~ log2(n) + slack; 32-bit bands keep the same corpus at
+    ~10^6 random collisions.
+
+    Band j hashes tokens with its OWN disjoint md5 hex slice (md5 is 128
+    bits = exactly 4 x 32 at the defaults), so bands are independent and
+    each stays a positive int64 — the bit-exact DuckDB oracle contract of
+    :func:`simhash` survives per band, and hamming over the full
+    concatenated signature is simply the SUM of per-band hammings.
+    Band 0 of the defaults == ``simhash(n_bits=32)`` exactly (same
+    leading hex slice) — locked by test.
+
+    Plan: one explode + ONE groupBy(id) carrying n_bands*band_bits
+    decomposable +/-1 sums (map-side combined, skew-safe); the shuffle
+    rows are final-sized partials (id + sums), never token rows.
+    """
+    if not 1 <= band_bits <= 60:
+        raise ValueError("band_bits must be in [1, 60] (int64-safe)")
+    hex_per_band = (band_bits + 3) // 4
+    if n_bands * hex_per_band > 32:
+        raise ValueError(
+            f"{n_bands} bands x {hex_per_band} hex chars exceed md5's 32 "
+            f"hex chars — lower band_bits or n_bands")
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+    toks = toks.withColumn("md5", F.md5("tok"))
+    band_hash = [
+        F.conv(F.substring("md5", 1 + j * hex_per_band, hex_per_band), 16, 10)
+        .cast("long").alias(f"h{j}")
+        for j in range(n_bands)
+    ]
+    h = toks.select(id_col, *band_hash)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col(f"h{j}"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{j}_{i}")
+        for j in range(n_bands) for i in range(band_bits)
+    ]
+    agg = h.groupBy(id_col).agg(*bit_sums)
+    sigs = []
+    for j in range(n_bands):
+        band = None
+        for i in range(band_bits):
+            term = F.when(F.col(f"s{j}_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            band = term if band is None else band + term
+        sigs.append(band.cast("long"))
+    return agg.select(F.col(id_col), F.array(*sigs).alias("sig"))
+
+
+def simhash_bands_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 band_bits: int = 32, n_bands: int = 4,
+                                 sig: DataFrame | None = None) -> DataFrame:
+    """ALL pairs within Hamming distance ``max_hamming`` over the
+    ``n_bands * band_bits``-bit wide signature, exactly — the structure of
+    :func:`simhash_near_dup_pairs` with the band boundaries already
+    materialized as array elements (no shifting), so band width no longer
+    fights the int64 signature cap: radius 3 gets 32-bit bands instead of
+    15-bit ones, which is the difference between ~10^6 and ~10^11
+    birthday-collision candidates at 50M docs.
+
+    Pigeonhole over array positions: <= max_hamming differing bits touch
+    <= max_hamming bands, so with n_bands >= max_hamming + 1 every true
+    pair agrees exactly on some band.  Candidates come from ONE equi-join
+    on (band_idx, band_val); the exact verify sums bit_count(xor) across
+    the zipped arrays.
+    """
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"completeness needs n_bands >= max_hamming+1; "
+            f"got n_bands={n_bands}, max_hamming={max_hamming}")
+    s = (simhash_bands(df, text_col, id_col, band_bits, n_bands)
+         if sig is None else sig)
+    exploded = s.select(
+        F.col(id_col), F.col("sig"),
+        F.posexplode("sig").alias("band", "band_val"),
+    )
+    a = exploded.select(F.col(id_col).alias("a"),
+                        F.col("sig").alias("sig_a"), "band", "band_val")
+    b = exploded.select(F.col(id_col).alias("b"),
+                        F.col("sig").alias("sig_b"), "band", "band_val")
+    cand = (
+        a.join(b, on=["band", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()  # a pair may collide in several bands
+    )
+    per_band = F.zip_with(
+        "sig_a", "sig_b",
+        lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"))
+    hamming = F.aggregate(per_band, F.lit(0).cast("long"),
+                          lambda acc, x: acc + x)
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 # ------------------------------------------- corpus-level chunk dedup
 
 def dedup_chunks(df: DataFrame, text_col: str = "text",

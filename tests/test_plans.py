@@ -55,7 +55,8 @@ def test_scalar_paths_whole_stage_codegen(spark, queries):
 
 def test_no_nested_loop_in_any_pair_mining_plan(spark, queries):
     for q in ("minhash_pairs", "ngram_jaccard", "simhash_near_dup",
-              "simhash_wide_near_dup", "embedding_near_dup_lsh"):
+              "simhash_wide_near_dup", "simhash128_near_dup",
+              "embedding_near_dup_lsh"):
         p = _plan(queries[q](spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in p, q
         assert "CartesianProduct" not in p, q

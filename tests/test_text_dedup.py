@@ -7,7 +7,10 @@ from pyspark.sql import functions as F
 
 from news_rss_spark.operators.text_dedup import (
     minhash_candidate_pairs,
+    simhash,
     simhash16,
+    simhash_bands,
+    simhash_bands_near_dup_pairs,
     simhash_near_dup_pairs,
 )
 
@@ -48,6 +51,61 @@ class TestSimhashBanding:
 
     def test_no_nested_loop_join(self, spark):
         plan = simhash_near_dup_pairs(_docs(spark), max_hamming=3) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestSimhashBandsWide:
+    def test_band0_equals_narrow_simhash32(self, spark):
+        """Band 0 uses md5's leading 8 hex chars — the exact token hash of
+        simhash(n_bits=32), so the two must agree bit-for-bit (locks the
+        slice layout and the +/-1 fold against drift)."""
+        d = _docs(spark)
+        wide = {r["doc_id"]: r["sig"] for r in simhash_bands(d).collect()}
+        narrow = {r["doc_id"]: r["simhash"]
+                  for r in simhash(d, n_bits=32).collect()}
+        assert {k: v[0] for k, v in wide.items()} == narrow
+
+    def test_bands_are_independent_slices(self, spark):
+        """Different bands hash through disjoint md5 slices — across the
+        corpus they must not be identical arrays (independence smoke)."""
+        sigs = [r["sig"] for r in simhash_bands(_docs(spark)).collect()]
+        for j in range(1, 4):
+            assert any(s[0] != s[j] for s in sigs)
+
+    def test_pairs_exactly_match_brute_force(self, spark):
+        """Same pigeonhole-completeness contract as the int64 variant,
+        over the 128-bit concatenated signature (hamming = sum of
+        per-band hammings)."""
+        d = _docs(spark)
+        sigs = {r["doc_id"]: r["sig"] for r in simhash_bands(d).collect()}
+        for max_hamming in (0, 1, 3):
+            got = {
+                (r["a"], r["b"], r["hamming"])
+                for r in simhash_bands_near_dup_pairs(
+                    d, max_hamming=max_hamming, n_bands=4).collect()
+            }
+            want = set()
+            for a, b in itertools.combinations(sorted(sigs), 2):
+                h = sum(bin(x ^ y).count("1")
+                        for x, y in zip(sigs[a], sigs[b]))
+                if h <= max_hamming:
+                    want.add((a, b, h))
+            assert got == want
+
+    def test_radius_beyond_band_count_rejected(self, spark):
+        import pytest
+        with pytest.raises(ValueError, match="n_bands >= max_hamming"):
+            simhash_bands_near_dup_pairs(_docs(spark), max_hamming=4,
+                                         n_bands=4)
+
+    def test_band_width_cap_rejected(self, spark):
+        import pytest
+        with pytest.raises(ValueError, match="exceed md5"):
+            simhash_bands(_docs(spark), band_bits=60, n_bands=4)
+
+    def test_no_nested_loop_join(self, spark):
+        plan = simhash_bands_near_dup_pairs(_docs(spark), max_hamming=3) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
