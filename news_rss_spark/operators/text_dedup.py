@@ -319,15 +319,21 @@ def simhash_bands(df: DataFrame, text_col: str = "text",
     is ~10^11 birthday-collision pairs (measured: the probe filled a
     252 GB disk with shuffle spill before dying).  Pair mining needs
     band_width ~ log2(n) + slack; 32-bit bands keep the same corpus at
-    ~10^6 random collisions.
+    ~10^6 random collisions — IF band values were uniform, which real
+    text's boilerplate breaks by orders of magnitude: census first with
+    :func:`simhash_band_stats` and size to measured entropy.
 
-    Band j hashes tokens with its OWN disjoint md5 hex slice (md5 is 128
-    bits = exactly 4 x 32 at the defaults), so bands are independent and
-    each stays a positive int64 — the bit-exact DuckDB oracle contract of
-    :func:`simhash` survives per band, and hamming over the full
-    concatenated signature is simply the SUM of per-band hammings.
-    Band 0 of the defaults == ``simhash(n_bits=32)`` exactly (same
-    leading hex slice) — locked by test.
+    Band j hashes tokens with its OWN disjoint hex slice of the token
+    hash, so bands are independent and each stays a positive int64 — the
+    bit-exact DuckDB oracle contract of :func:`simhash` survives per band,
+    and hamming over the full concatenated signature is simply the SUM of
+    per-band hammings.  The token hash is md5 while the bands fit its 32
+    hex chars (128 bits = exactly 4 x 32 at the defaults; band 0 of the
+    defaults == ``simhash(n_bits=32)`` exactly — locked by test) and
+    switches to sha2-256 (64 hex chars) beyond that, which is what lets
+    radius-3 mining use 60-bit bands (4 x 15 hex = 60 chars): see the
+    measured entropy-collapse note on
+    :func:`simhash_bands_near_dup_pairs`.
 
     Plan: one explode + ONE groupBy(id) carrying n_bands*band_bits
     decomposable +/-1 sums (map-side combined, skew-safe); the shuffle
@@ -336,14 +342,17 @@ def simhash_bands(df: DataFrame, text_col: str = "text",
     if not 1 <= band_bits <= 60:
         raise ValueError("band_bits must be in [1, 60] (int64-safe)")
     hex_per_band = (band_bits + 3) // 4
-    if n_bands * hex_per_band > 32:
+    if n_bands * hex_per_band > 64:
         raise ValueError(
-            f"{n_bands} bands x {hex_per_band} hex chars exceed md5's 32 "
-            f"hex chars — lower band_bits or n_bands")
+            f"{n_bands} bands x {hex_per_band} hex chars exceed sha2-256's "
+            f"64 hex chars — lower band_bits or n_bands")
     toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
-    toks = toks.withColumn("md5", F.md5("tok"))
+    if n_bands * hex_per_band <= 32:
+        toks = toks.withColumn("hx", F.md5("tok"))
+    else:
+        toks = toks.withColumn("hx", F.sha2("tok", 256))
     band_hash = [
-        F.conv(F.substring("md5", 1 + j * hex_per_band, hex_per_band), 16, 10)
+        F.conv(F.substring("hx", 1 + j * hex_per_band, hex_per_band), 16, 10)
         .cast("long").alias(f"h{j}")
         for j in range(n_bands)
     ]
@@ -366,11 +375,46 @@ def simhash_bands(df: DataFrame, text_col: str = "text",
     return agg.select(F.col(id_col), F.array(*sigs).alias("sig"))
 
 
+def simhash_band_stats(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-band candidate-pair census for a :func:`simhash_bands` relation
+    — the linear-cost pre-flight that sizes the banded join BEFORE running
+    it.
+
+    Returns one row per band: ``(band, n_groups, max_group,
+    candidate_pairs)`` where ``candidate_pairs = sum over band values of
+    C(group_size, 2)`` — exactly the number of join-output rows that band
+    will contribute (before the cross-band distinct).
+
+    WHY THIS EXISTS (measured, 2026-08-18): birthday math says 32-bit
+    bands at 50M docs yield ~10^6 random collisions per band.  On the
+    templated heavy-mix corpus the MEASURED census was ~1.7e10 pairs per
+    hot band at a 10% sample (max group 77k docs sharing one band value,
+    with 49,998,259 of 50M FULL signatures distinct) — uniform-hash math
+    underestimates real text by ~4 orders of magnitude, because
+    boilerplate collapses the entropy of a simhash band far below its
+    width.  The census is two hash aggregations over the signature
+    relation (linear, map-side combined); the join it sizes is
+    potentially quadratic.  Always run it at a new scale or on a new
+    corpus before :func:`simhash_bands_near_dup_pairs`, or pass
+    ``max_candidate_pairs`` there to have it enforced.
+    """
+    groups = (sig.select(F.posexplode("sig").alias("band", "band_val"))
+                 .groupBy("band", "band_val").count())
+    return (groups.groupBy("band").agg(
+        F.count("*").alias("n_groups"),
+        F.max("count").alias("max_group"),
+        F.sum(F.col("count") * (F.col("count") - 1) / 2)
+        .cast("long").alias("candidate_pairs"),
+    ).orderBy("band"))
+
+
 def simhash_bands_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
                                  text_col: str = "text",
                                  id_col: str = "doc_id",
                                  band_bits: int = 32, n_bands: int = 4,
-                                 sig: DataFrame | None = None) -> DataFrame:
+                                 sig: DataFrame | None = None,
+                                 max_candidate_pairs: int | None = None,
+                                 ) -> DataFrame:
     """ALL pairs within Hamming distance ``max_hamming`` over the
     ``n_bands * band_bits``-bit wide signature, exactly — the structure of
     :func:`simhash_near_dup_pairs` with the band boundaries already
@@ -384,6 +428,17 @@ def simhash_bands_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
     pair agrees exactly on some band.  Candidates come from ONE equi-join
     on (band_idx, band_val); the exact verify sums bit_count(xor) across
     the zipped arrays.
+
+    SIZE THE BANDS TO MEASURED ENTROPY, NOT log2(n): on low-entropy
+    (templated/boilerplate-heavy) text, band values cluster far more than
+    the uniform-hash birthday estimate — a measured 50M-doc census found
+    ~10^12 candidates at 32-bit bands where the math predicted ~10^6
+    (see :func:`simhash_band_stats`).  Pass ``max_candidate_pairs`` to
+    run that census first (one extra linear pass over the signatures;
+    the signature relation should be persisted/stored when you do) and
+    fail fast with the per-band numbers instead of launching a join that
+    can shuffle for days; widen ``band_bits`` (sha2-256 slicing allows
+    4 x 60 bits) or lower ``max_hamming`` until the census fits.
     """
     if n_bands < max_hamming + 1:
         raise ValueError(
@@ -391,6 +446,17 @@ def simhash_bands_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
             f"got n_bands={n_bands}, max_hamming={max_hamming}")
     s = (simhash_bands(df, text_col, id_col, band_bits, n_bands)
          if sig is None else sig)
+    if max_candidate_pairs is not None:
+        census = simhash_band_stats(s, id_col).collect()
+        total = sum(r["candidate_pairs"] for r in census)
+        if total > max_candidate_pairs:
+            detail = "; ".join(
+                f"band {r['band']}: {r['candidate_pairs']:,} pairs "
+                f"(max group {r['max_group']:,})" for r in census)
+            raise ValueError(
+                f"banded join would produce {total:,} candidate pairs "
+                f"(> budget {max_candidate_pairs:,}) — widen band_bits or "
+                f"lower max_hamming. Census: {detail}")
     exploded = s.select(
         F.col(id_col), F.col("sig"),
         F.posexplode("sig").alias("band", "band_val"),

@@ -9,6 +9,7 @@ from news_rss_spark.operators.text_dedup import (
     minhash_candidate_pairs,
     simhash,
     simhash16,
+    simhash_band_stats,
     simhash_bands,
     simhash_bands_near_dup_pairs,
     simhash_near_dup_pairs,
@@ -101,8 +102,64 @@ class TestSimhashBandsWide:
 
     def test_band_width_cap_rejected(self, spark):
         import pytest
-        with pytest.raises(ValueError, match="exceed md5"):
-            simhash_bands(_docs(spark), band_bits=60, n_bands=4)
+        with pytest.raises(ValueError, match="exceed sha2-256"):
+            simhash_bands(_docs(spark), band_bits=60, n_bands=5)
+
+    def test_sha2_wide_bands_match_brute_force(self, spark):
+        """Beyond md5's 32 hex chars the token hash switches to sha2-256:
+        4 x 60-bit bands (240-bit signature) must still satisfy the exact
+        all-pairs-in-radius contract."""
+        d = _docs(spark)
+        sigs = {r["doc_id"]: r["sig"]
+                for r in simhash_bands(d, band_bits=60, n_bands=4).collect()}
+        for max_hamming in (0, 3):
+            got = {
+                (r["a"], r["b"], r["hamming"])
+                for r in simhash_bands_near_dup_pairs(
+                    d, max_hamming=max_hamming, band_bits=60,
+                    n_bands=4).collect()
+            }
+            want = set()
+            for a, b in itertools.combinations(sorted(sigs), 2):
+                h = sum(bin(x ^ y).count("1")
+                        for x, y in zip(sigs[a], sigs[b]))
+                if h <= max_hamming:
+                    want.add((a, b, h))
+            assert got == want
+
+    def test_band_stats_census_is_exact(self, spark):
+        """simhash_band_stats must report, per band, exactly the
+        C(group,2) join contribution the banded self-join would emit."""
+        d = _docs(spark)
+        sig = simhash_bands(d)
+        sigs = [r["sig"] for r in sig.collect()]
+        got = {r["band"]: (r["n_groups"], r["max_group"],
+                           r["candidate_pairs"])
+               for r in simhash_band_stats(sig).collect()}
+        for band in range(4):
+            from collections import Counter
+            c = Counter(s[band] for s in sigs)
+            want = (len(c), max(c.values()),
+                    sum(v * (v - 1) // 2 for v in c.values()))
+            assert got[band] == want
+
+    def test_candidate_budget_guard_trips_with_census(self, spark):
+        import pytest
+        d = _docs(spark)
+        with pytest.raises(ValueError, match="candidate pairs"):
+            # 1-bit bands: every doc collides with every doc — any
+            # realistic budget trips, and the error carries the census
+            simhash_bands_near_dup_pairs(d, max_hamming=1, band_bits=1,
+                                         n_bands=2, max_candidate_pairs=10)
+
+    def test_candidate_budget_guard_passes_through(self, spark):
+        """A budget large enough for the census must not change results."""
+        d = _docs(spark)
+        unguarded = set(map(tuple, simhash_bands_near_dup_pairs(
+            d, max_hamming=3).collect()))
+        guarded = set(map(tuple, simhash_bands_near_dup_pairs(
+            d, max_hamming=3, max_candidate_pairs=10**9).collect()))
+        assert guarded == unguarded
 
     def test_no_nested_loop_join(self, spark):
         plan = simhash_bands_near_dup_pairs(_docs(spark), max_hamming=3) \
