@@ -297,13 +297,19 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
         a.join(b, on=["band", "band_val"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "sim_a", "sim_b")
-        .distinct()  # a pair may collide in several bands
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        # a pair may collide in several bands: dedup AFTER the verify, so
+        # the distinct's shuffle carries only true pairs (3 small cols),
+        # not every banded candidate with its signatures — re-verifying a
+        # multi-band pair costs one streamed bit_count per extra band,
+        # orders cheaper than shuffling the candidate set (measured at
+        # 50M: candidates outnumber true pairs ~10^4:1)
+        .distinct()
     )
 
 
@@ -469,7 +475,6 @@ def simhash_bands_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
         a.join(b, on=["band", "band_val"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "sig_a", "sig_b")
-        .distinct()  # a pair may collide in several bands
     )
     per_band = F.zip_with(
         "sig_a", "sig_b",
@@ -480,6 +485,10 @@ def simhash_bands_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        # dedup multi-band collisions AFTER the verify: the distinct then
+        # shuffles only true pairs (3 small cols) instead of every banded
+        # candidate with both signature arrays — see the int64 variant
+        .distinct()
     )
 
 
