@@ -414,8 +414,9 @@ def q_simhash128_near_dup(spark, sf_dir):
     return simhash_bands_near_dup_pairs(d, max_hamming=3)
 
 
-def _simhash_bands_sql(band_bits: int = 32, n_bands: int = 4,
-                       max_hamming: int = 3) -> str:
+def _simhash_bands_sig_cte(band_bits: int = 32, n_bands: int = 4) -> str:
+    """Shared DuckDB CTE chain ending in ``sig(doc_id, b0..b{n-1})`` —
+    the per-band signatures of operators/text_dedup.simhash_bands."""
     hex_per = (band_bits + 3) // 4
     hashes = ",\n    ".join(
         f"CAST('0x' || substr(md5(tok), {1 + j * hex_per}, {hex_per}) AS BIGINT) AS h{j}"
@@ -428,7 +429,6 @@ def _simhash_bands_sql(band_bits: int = 32, n_bands: int = 4,
             f"(CASE WHEN s{j}_{i} > 0 THEN {1 << i} ELSE 0 END)"
             for i in range(band_bits)) + f" AS BIGINT) AS b{j}"
         for j in range(n_bands))
-    ham = " + ".join(f"bit_count(xor(x.b{j}, y.b{j}))" for j in range(n_bands))
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -438,11 +438,49 @@ h AS (
   SELECT doc_id, {hashes} FROM toks
 ),
 bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
-sig AS (SELECT doc_id, {bands} FROM bits)
+sig AS (SELECT doc_id, {bands} FROM bits)"""
+
+
+def _simhash_bands_sql(band_bits: int = 32, n_bands: int = 4,
+                       max_hamming: int = 3) -> str:
+    ham = " + ".join(f"bit_count(xor(x.b{j}, y.b{j}))" for j in range(n_bands))
+    return f"""
+{_simhash_bands_sig_cte(band_bits, n_bands)}
 SELECT x.doc_id AS a, y.doc_id AS b,
        CAST({ham} AS INT) AS hamming
 FROM sig x JOIN sig y ON x.doc_id < y.doc_id
 WHERE {ham} <= {max_hamming}
+"""
+
+
+def q_simhash_band_census(spark, sf_dir):
+    """Band-entropy census: the linear-cost pre-flight that sizes a banded
+    near-dup join BEFORE it runs (per band: group count, hottest group,
+    exact C(group,2) candidate contribution).  Exists because the measured
+    50M-doc census beat uniform-hash birthday math by ~4 orders of
+    magnitude on templated text (BENCH/BASELINE.md §50M) — at 100 TB you
+    census first or you shuffle for days."""
+    from news_rss_spark.operators.text_dedup import (simhash_band_stats,
+                                                     simhash_bands)
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return simhash_band_stats(simhash_bands(d))
+
+
+def _simhash_band_census_sql(band_bits: int = 32, n_bands: int = 4) -> str:
+    unpivot = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS band, b{j} AS band_val FROM sig"
+        for j in range(n_bands))
+    return f"""
+{_simhash_bands_sig_cte(band_bits, n_bands)},
+b AS (
+{unpivot}
+),
+g AS (SELECT band, band_val, count(*) AS c FROM b GROUP BY 1, 2)
+SELECT CAST(band AS INT) AS band,
+       count(*) AS n_groups,
+       max(c) AS max_group,
+       CAST(sum(c * (c - 1) / 2) AS BIGINT) AS candidate_pairs
+FROM g GROUP BY band
 """
 
 
@@ -1388,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-3 additions (no prior driver row) ------------------
         "simhash128_near_dup": q_simhash128_near_dup,
+        "simhash_band_census": q_simhash_band_census,
         "c4_line_filter": q_c4_line_filter,
         "cms_token_counts": q_cms_token_counts,
         "streaming_hll_estimate": q_streaming_hll_estimate,
@@ -1529,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # --- round-3 additions ----------------------------------------
         "simhash128_near_dup": _simhash_bands_sql(),
+        "simhash_band_census": _simhash_band_census_sql(),
         "c4_line_filter": r"""
 WITH lined AS (
   SELECT doc_id,
