@@ -118,10 +118,46 @@ def minhash_band_keys(df: DataFrame, n_hashes: int = 8,
     )
 
 
+def band_census(banded: DataFrame, band_col: str = "band",
+                key_col: str = "band_key") -> DataFrame:
+    """Per-band candidate census for ANY (id, band, key) blocking relation
+    — MinHash bands, simhash bands, embedding LSH buckets alike.  One row
+    per band: ``(band, n_groups, max_group, candidate_pairs)`` with
+    ``candidate_pairs`` the exact number of rows the banded self-join
+    would emit for that band.  Two linear hash aggregations; run it (or
+    pass ``max_candidate_pairs`` to the pair miners) before any banded
+    join at a new scale — measured on a 50M-doc corpus, real text beat
+    the uniform-hash collision estimate by ~4 orders of magnitude."""
+    groups = banded.groupBy(band_col, key_col).count()
+    return (groups.groupBy(band_col).agg(
+        F.count("*").alias("n_groups"),
+        F.max("count").alias("max_group"),
+        F.sum(F.col("count") * (F.col("count") - 1) / 2)
+        .cast("long").alias("candidate_pairs"),
+    ).orderBy(band_col))
+
+
+def _enforce_candidate_budget(banded: DataFrame, budget: int,
+                              band_col: str = "band",
+                              key_col: str = "band_key") -> None:
+    census = band_census(banded, band_col, key_col).collect()
+    total = sum(r["candidate_pairs"] for r in census)
+    if total > budget:
+        detail = "; ".join(
+            f"band {r[band_col]}: {r['candidate_pairs']:,} pairs "
+            f"(max group {r['max_group']:,})" for r in census)
+        raise ValueError(
+            f"banded join would produce {total:,} candidate pairs "
+            f"(> budget {budget:,}) — widen the band key (band_bits / "
+            f"rows_per_band) or lower the radius. Census: {detail}")
+
+
 def minhash_candidate_pairs(df: DataFrame, n_hashes: int = 8,
                             text_col: str = "text", id_col: str = "doc_id",
                             shingle_n: int = 2,
-                            rows_per_band: int = 2) -> DataFrame:
+                            rows_per_band: int = 2,
+                            max_candidate_pairs: int | None = None,
+                            ) -> DataFrame:
     """LSH banding with b bands x r = ``rows_per_band`` hashes per band:
     docs are candidates iff they agree on ALL r minhashes of some band.
 
@@ -134,6 +170,8 @@ def minhash_candidate_pairs(df: DataFrame, n_hashes: int = 8,
     stays a plain equi-join on the compact (band, band_key)."""
     banded = minhash_band_keys(df, n_hashes, rows_per_band,
                                text_col, id_col, shingle_n)
+    if max_candidate_pairs is not None:
+        _enforce_candidate_budget(banded, max_candidate_pairs)
     a = banded.select(F.col(id_col).alias("a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("b"), "band", "band_key")
     return (
@@ -404,14 +442,9 @@ def simhash_band_stats(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     corpus before :func:`simhash_bands_near_dup_pairs`, or pass
     ``max_candidate_pairs`` there to have it enforced.
     """
-    groups = (sig.select(F.posexplode("sig").alias("band", "band_val"))
-                 .groupBy("band", "band_val").count())
-    return (groups.groupBy("band").agg(
-        F.count("*").alias("n_groups"),
-        F.max("count").alias("max_group"),
-        F.sum(F.col("count") * (F.col("count") - 1) / 2)
-        .cast("long").alias("candidate_pairs"),
-    ).orderBy("band"))
+    return band_census(
+        sig.select(F.posexplode("sig").alias("band", "band_val")),
+        band_col="band", key_col="band_val")
 
 
 def simhash_bands_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
@@ -453,16 +486,9 @@ def simhash_bands_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
     s = (simhash_bands(df, text_col, id_col, band_bits, n_bands)
          if sig is None else sig)
     if max_candidate_pairs is not None:
-        census = simhash_band_stats(s, id_col).collect()
-        total = sum(r["candidate_pairs"] for r in census)
-        if total > max_candidate_pairs:
-            detail = "; ".join(
-                f"band {r['band']}: {r['candidate_pairs']:,} pairs "
-                f"(max group {r['max_group']:,})" for r in census)
-            raise ValueError(
-                f"banded join would produce {total:,} candidate pairs "
-                f"(> budget {max_candidate_pairs:,}) — widen band_bits or "
-                f"lower max_hamming. Census: {detail}")
+        _enforce_candidate_budget(
+            s.select(F.posexplode("sig").alias("band", "band_val")),
+            max_candidate_pairs, band_col="band", key_col="band_val")
     exploded = s.select(
         F.col(id_col), F.col("sig"),
         F.posexplode("sig").alias("band", "band_val"),

@@ -185,6 +185,21 @@ class TestMinhashBanding:
             ._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
+    def test_candidate_budget_guard(self, spark):
+        """The generic band census guards the MinHash route too: an
+        impossible budget trips with the per-band numbers, a generous one
+        leaves results unchanged."""
+        import pytest
+        d = _docs(spark)
+        unguarded = set(map(tuple, minhash_candidate_pairs(
+            d, n_hashes=4).collect()))
+        assert unguarded  # the gradient corpus must produce candidates
+        guarded = set(map(tuple, minhash_candidate_pairs(
+            d, n_hashes=4, max_candidate_pairs=10**9).collect()))
+        assert guarded == unguarded
+        with pytest.raises(ValueError, match="candidate pairs"):
+            minhash_candidate_pairs(d, n_hashes=4, max_candidate_pairs=0)
+
 
 def test_simhash_banding_rejects_zero_width_bands(spark):
     import pytest
