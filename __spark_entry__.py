@@ -931,6 +931,43 @@ def q_chunk_dedup(spark, sf_dir):
         F.md5("clean_text").alias("clean_md5"))
 
 
+_C4_BOILER = [
+    "subscribe to our newsletter for daily updates",
+    "all rights reserved by the publisher",
+    "click here to read the full story",
+]
+
+
+def q_span_dedup(spark, sf_dir):
+    """C4 three-sentence-span dedup (operators/text_dedup.py
+    dedup_spans; Raffel et al. 2020 §2.2): the synth corpus has no
+    sentence structure and its 50M contents are all distinct, so a
+    deterministic layout is built JVM-side — 7-word sentences, with a
+    shared 3-sentence boilerplate header prepended to every doc_id%7==0
+    document.  The first such doc corpus-wide keeps the header; every
+    later one loses exactly those three sentences.  Returns per-doc
+    surviving char counts (clean_text hash-compared via length + md5,
+    same contract as chunk_dedup)."""
+    from news_rss_spark.operators.text_dedup import dedup_spans
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = F.split(F.trim("text"), r"\s+")
+    body = F.expr(
+        "transform(sequence(0, (size(w) - 1) div 7), "
+        "i -> array_join(slice(w, i * 7 + 1, 7), ' '))")
+    boiler = F.array(*[F.lit(x) for x in _C4_BOILER])
+    docs = (d.select("doc_id", w.alias("w"))
+             .filter(F.size("w") > 0)
+             .select("doc_id",
+                     F.when(F.col("doc_id") % 7 == 0,
+                            F.concat(boiler, body))
+                      .otherwise(body).alias("sentences")))
+    out = dedup_spans(docs, "sentences", "doc_id", span=3)
+    return out.select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"))
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: training docs (doc_id % 100 != 0)
     sharing any n-gram with the benchmark slice (doc_id % 100 == 0).
@@ -1433,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "pii_redact_extended": q_pii_redact_extended,
         "png_decode_stats": q_png_decode_stats,
+        "span_dedup": q_span_dedup,
         # --- round-2 queries with no CORRECTNESS_r02 row --------------
         "chunk_dedup": q_chunk_dedup,
         "contamination": q_contamination,
@@ -2272,6 +2310,55 @@ SELECT doc_id,
        CAST(length(string_agg(chunk, ' ' ORDER BY pos)) AS BIGINT) AS clean_len,
        md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_md5
 FROM firsts GROUP BY doc_id
+""",
+        "span_dedup": r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split_regex(trim(text), '\s+')) > 0
+),
+sl AS (
+  SELECT doc_id,
+         list_concat(
+           CASE WHEN doc_id % 7 = 0 THEN
+             ['subscribe to our newsletter for daily updates',
+              'all rights reserved by the publisher',
+              'click here to read the full story']
+           ELSE [] END,
+           list_transform(generate_series(0, (len(w) - 1) // 7),
+             i -> array_to_string(list_slice(w, i * 7 + 1, i * 7 + 7), ' '))
+         ) AS s
+  FROM base
+),
+occ AS (
+  SELECT doc_id, i AS pos,
+         CAST('0x' || substr(md5(array_to_string(
+             list_slice(s, i + 1, i + 3), chr(31))), 1, 15) AS BIGINT) AS span_h
+  FROM sl, UNNEST(generate_series(0, len(s) - 3)) AS u(i)
+  WHERE len(s) >= 3
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY span_h ORDER BY doc_id, pos) AS rn
+    FROM occ) WHERE rn > 1
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS sent_pos
+  FROM dup, UNNEST(generate_series(0, 2)) AS v(j)
+),
+sents AS (
+  SELECT doc_id, i AS sent_pos, s[i + 1] AS sentence
+  FROM sl, UNNEST(generate_series(0, len(s) - 1)) AS u(i)
+)
+SELECT sents.doc_id,
+       CAST(length(string_agg(sentence, chr(10) ORDER BY sent_pos)) AS BIGINT)
+         AS clean_len,
+       md5(string_agg(sentence, chr(10) ORDER BY sent_pos)) AS clean_md5
+FROM sents
+ANTI JOIN covered
+  ON sents.doc_id = covered.doc_id AND sents.sent_pos = covered.sent_pos
+GROUP BY sents.doc_id
 """,
         "contamination": r"""
 WITH w AS (

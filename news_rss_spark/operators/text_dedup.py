@@ -564,6 +564,75 @@ def dedup_chunks(df: DataFrame, text_col: str = "text",
                 " ").alias("clean_text")))
 
 
+def dedup_spans(df: DataFrame, sents_col: str = "sentences",
+                id_col: str = "doc_id", span: int = 3,
+                out_delim: str = "\n") -> DataFrame:
+    """C4-style cross-document span dedup (Raffel et al. 2020 §2.2:
+    "we discard all but one of any three-sentence span occurring more
+    than once in the data set").  Input is a document with a
+    ``sents_col`` array<string> column — the sentence-splitting policy
+    stays with the caller — and the unit of removal is the SENTENCE:
+    every overlapping ``span``-sentence window is keyed, the single
+    first occurrence corpus-wide (ordered by ``(doc_id, pos)``) keeps
+    its sentences, and every sentence covered by a LATER occurrence of
+    a repeated span is dropped from its document.  Documents whose
+    every sentence is covered vanish (same contract as
+    :func:`dedup_chunks`); documents with fewer than ``span`` sentences
+    emit no windows and survive whole.
+
+    Span keys are 63-bit integers (first 15 md5 hex chars of the
+    chr(31)-joined window) so the shuffle ships 8-byte keys — never the
+    sentence text — and DuckDB can reproduce the exact hash; at cluster
+    scale swap in xxhash64 unchanged.
+
+    Plan shape, chosen for 100 TB: first-occurrence is
+    ``groupBy(span_h).agg(min(struct), count)`` — hash agg with
+    map-side combine, so a boilerplate span repeated 10^8 times
+    collapses to one row per map task (never a window sort over the hot
+    key).  Only spans with ``count > 1`` re-join the occurrence
+    relation (an equi-join on the 8-byte key; in a mostly-unique corpus
+    the duplicated-span side is small enough for AQE to broadcast).
+    The covered-sentence explode is ≤ ``span`` rows per duplicate
+    occurrence, distinct on compact ``(id, pos)`` pairs, then a
+    left-anti join and one hash agg rebuilds each doc.  No step ships
+    sentence text except the final rebuild of surviving rows.
+    """
+    k = int(span)
+    s = F.col(sents_col)
+    span_h = F.when(
+        F.size(s) >= k,
+        F.expr(
+            f"transform(sequence(0, size({sents_col}) - {k}), "
+            f"i -> cast(conv(substring(md5(array_join("
+            f"slice({sents_col}, i + 1, {k}), char(31))), 1, 15), 16, 10) "
+            f"as long))"),
+    ).otherwise(F.expr("array()").cast("array<long>"))
+    occ = df.select(F.col(id_col), F.posexplode(span_h).alias("pos", "span_h"))
+    firsts = (occ.groupBy("span_h")
+                 .agg(F.min(F.struct(id_col, "pos")).alias("first_occ"),
+                      F.count("*").alias("cnt")))
+    dup_occ = (occ.join(firsts.filter(F.col("cnt") > 1)
+                        .select("span_h", "first_occ"), "span_h")
+                  .filter(~((F.col(id_col) == F.col(f"first_occ.{id_col}"))
+                            & (F.col("pos") == F.col("first_occ.pos")))))
+    covered = (dup_occ
+               .select(F.col(id_col),
+                       F.explode(F.sequence(F.col("pos"),
+                                            F.col("pos") + (k - 1)))
+                        .alias("sent_pos"))
+               .distinct())
+    sents = df.select(F.col(id_col),
+                      F.posexplode(s).alias("sent_pos", "sentence"))
+    kept = sents.join(covered, [id_col, "sent_pos"], "left_anti")
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sent_pos",
+                                                         "sentence"))),
+                    lambda x: x["sentence"]),
+                out_delim).alias("clean_text")))
+
+
 # ------------------------------------------------- benchmark decontamination
 
 def contamination_check(train_df: DataFrame, bench_df: DataFrame,

@@ -229,3 +229,44 @@ class TestDatasetSplit:
         s2 = {r["doc_id"]: r["split"]
               for r in assign_split(d, salt="split-v2").collect()}
         assert s2 != a
+
+
+class TestSpanDedup:
+    """C4 three-sentence-span dedup semantics (dedup_spans)."""
+
+    def _run(self, spark, rows):
+        from news_rss_spark.operators.text_dedup import dedup_spans
+        d = spark.createDataFrame(rows,
+                                  "doc_id long, sentences array<string>")
+        return {r["doc_id"]: r["clean_text"]
+                for r in dedup_spans(d, "sentences", "doc_id").collect()}
+
+    def test_first_occurrence_wins_later_docs_lose_span(self, spark):
+        b = ["b one", "b two", "b three"]
+        got = self._run(spark, [
+            (0, b + ["x only"]),      # first: keeps the boilerplate
+            (1, b + ["y only"]),      # later: loses sentences 0-2
+            (2, b),                   # fully covered: vanishes
+        ])
+        assert got[0] == "b one\nb two\nb three\nx only"
+        assert got[1] == "y only"
+        assert 2 not in got
+
+    def test_within_doc_repeat_keeps_first_window_only(self, spark):
+        # spans (s,s,s) at pos 0 and pos 1; the pos-1 duplicate covers
+        # sentences 1-3, so only sentence 0 survives
+        got = self._run(spark, [(3, ["s", "s", "s", "s"])])
+        assert got[3] == "s"
+
+    def test_short_docs_emit_no_windows_and_survive_whole(self, spark):
+        got = self._run(spark, [(4, ["a", "b"]), (5, ["a", "b"])])
+        assert got[4] == "a\nb" and got[5] == "a\nb"
+
+    def test_no_nested_loop_join(self, spark):
+        from news_rss_spark.operators.text_dedup import dedup_spans
+        d = spark.createDataFrame(
+            [(0, ["a", "b", "c", "d"])],
+            "doc_id long, sentences array<string>")
+        plan = dedup_spans(d)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
