@@ -350,6 +350,77 @@ def q_ann_ivf_topk(spark, sf_dir):
                     centroids=pinned_centroids(64, 16))
 
 
+def _pq_pinned():
+    """One source for the pq_topk query's pinned inputs: float64
+    codebooks (8 subspaces × 16 centroids × 8 dims, seed 13) and a
+    seeded query vector — both the Spark wrapper and the generated
+    DuckDB oracle read THESE arrays, so the literals can never drift."""
+    import numpy as np
+    from news_rss_spark.operators.similarity import pinned_pq_codebooks
+    cb = pinned_pq_codebooks(dim=64, m=8, k=16, seed=13)
+    qv = [float(x) for x in np.random.RandomState(14).randn(64)]
+    return cb, qv
+
+
+def q_pq_topk(spark, sf_dir):
+    """ANN scale path #3: product-quantization ADC top-k (similarity.
+    pq_encode / pq_adc_topk) with PINNED codebooks — encode (per-subspace
+    L2 argmin), the packed code_key, and the asymmetric-distance fold are
+    all JVM expressions whose float64 fold order matches DuckDB's
+    list_reduce, so the full plan has a DuckDB-oracle CORRECTNESS row.
+    Trained codebooks (per-subspace sampled k-means) stay recall-tested
+    in pytest."""
+    from news_rss_spark.operators.similarity import pq_adc_topk
+    cb, qv = _pq_pinned()
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(e, qv, cb, k=20)
+
+
+def _pq_oracle_sql() -> str:
+    from news_rss_spark.operators.similarity import adc_lut
+    cb, qv = _pq_pinned()
+    m, k, dsub = cb.shape
+    lut = adc_lut(qv, cb)
+
+    def dlist(xs):
+        return "[" + ", ".join(repr(float(x)) for x in xs) + "]"
+
+    cb_rows = ",\n    ".join(
+        f"({j}, [" + ", ".join(dlist(c) for c in cb[j]) + "]::DOUBLE[][])"
+        for j in range(m))
+    lut_lit = "[" + ", ".join(dlist(row) for row in lut) + "]::DOUBLE[][]"
+    adist = (f"list_reduce(list_transform(range(0, {m}), "
+             f"j -> lut[j + 1][codes[j + 1] + 1]), (a, b) -> a + b)")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb(j, cents) AS (VALUES
+    {cb_rows}),
+percell AS (
+  SELECT vec_id, j, list_position(d, list_min(d)) - 1 AS code
+  FROM (
+    SELECT e.vec_id, cb.j,
+           list_transform(cb.cents, c -> list_reduce(
+             list_transform(range(1, {dsub + 1}), i ->
+               (e.v[cb.j * {dsub} + i] - c[i])
+               * (e.v[cb.j * {dsub} + i] - c[i])),
+             (a, b) -> a + b)) AS d
+    FROM e, cb)
+),
+codes AS (
+  SELECT vec_id, list(code ORDER BY j) AS codes
+  FROM percell GROUP BY vec_id
+)
+SELECT vec_id,
+       CAST(list_reduce(list_transform(range(0, {m}),
+              j -> CAST(codes[j + 1] AS BIGINT) << (j * 4)),
+            (a, b) -> a + b) AS BIGINT) AS code_key,
+       round({adist}, 6) AS pq_dist
+FROM codes, (SELECT {lut_lit} AS lut)
+ORDER BY {adist}, vec_id
+LIMIT 20
+"""
+
+
 def q_simhash_near_dup(spark, sf_dir):
     """SimHash near-dup pairs: pigeonhole-banded equi-join (k = max_hamming+1
     bands; one must match exactly) + exact bit_count(XOR) verify.  Output is
@@ -1471,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_extended": q_pii_redact_extended,
         "png_decode_stats": q_png_decode_stats,
         "span_dedup": q_span_dedup,
+        "pq_topk": q_pq_topk,
         # --- round-2 queries with no CORRECTNESS_r02 row --------------
         "chunk_dedup": q_chunk_dedup,
         "contamination": q_contamination,
@@ -1607,6 +1679,7 @@ def oracle_sql() -> dict[str, str]:
         # --- round-3 additions ----------------------------------------
         "simhash128_near_dup": _simhash_bands_sql(),
         "simhash_band_census": _simhash_band_census_sql(),
+        "pq_topk": _pq_oracle_sql(),
         "c4_line_filter": r"""
 WITH lined AS (
   SELECT doc_id,

@@ -193,6 +193,138 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
     return cosine_topk(cand, query, k, vec_col, id_col)
 
 
+# ------------------------------------------------- product quantization
+
+def pinned_pq_codebooks(dim: int = 64, m: int = 8, k: int = 16,
+                        seed: int = 13) -> np.ndarray:
+    """Deterministic float64 PQ codebooks (``m`` subspaces × ``k``
+    centroids × ``dim//m`` dims) from a seeded RNG — no training, no data
+    dependence, so the whole encode + ADC plan is SQL-expressible and the
+    DuckDB oracle can check it exactly (same contract as
+    :func:`pinned_centroids`); quality-bearing TRAINED codebooks stay
+    recall-tested in pytest via :func:`train_pq_codebooks`."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(m, k, dim // m)
+
+
+def train_pq_codebooks(df: DataFrame, dim: int = 64, m: int = 8,
+                       k: int = 16, seed: int = 42, sample: int = 2048,
+                       iters: int = 10, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> np.ndarray:
+    """Per-subspace k-means codebooks trained driver-side on a
+    DETERMINISTIC sample (first ``sample`` rows by id) — the standard PQ
+    recipe (Jégou et al. 2011 "Product Quantization for Nearest Neighbor
+    Search"): train on a sample, encode distributed."""
+    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        s = x[:, j * dsub:(j + 1) * dsub]
+        cent = s[rng.choice(len(s), size=min(k, len(s)), replace=False)]
+        for _ in range(iters):
+            d = ((s[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cent)):
+                members = s[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def _sq_l2(sub, cent_lit):
+    """Left-fold Σ(x−y)² — the fold order is the cross-engine float64
+    contract (DuckDB's ``list_reduce`` is the same left fold)."""
+    return F.aggregate(F.zip_with(sub, cent_lit, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, t: acc + t)
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding", out: str = "codes") -> DataFrame:
+    """PQ encode: per subspace, the index of the L2-nearest codebook
+    centroid; ``out`` is an array<int> of length ``m``.
+
+    Built entirely from JVM expressions (slice / zip_with / aggregate /
+    array_position) — whole-stage codegen, no Python in the hot path.
+    At 100 TB the codes column is ``m`` small ints vs ``dim`` floats
+    (64-dim float32 → 8 codes = 16-32× smaller scan for every downstream
+    ADC query); ties break to the FIRST minimal centroid in both engines
+    (numpy argmin, Spark/DuckDB first array_position of the min)."""
+    m, _, dsub = codebooks.shape
+    v = F.col(vec_col).cast("array<double>")
+
+    def _dists_to(sub):
+        # a one-arg closure: a default-arg lambda would have arity 2 and
+        # PySpark would bind the second parameter to the ELEMENT INDEX
+        return lambda c: _sq_l2(sub, c)
+
+    codes = []
+    for j in range(m):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        cb_j = F.array(*[
+            F.array(*[F.lit(float(x)) for x in cent])
+            for cent in codebooks[j]])
+        d = F.transform(cb_j, _dists_to(sub))
+        codes.append((F.array_position(d, F.array_min(d)) - 1).cast("int"))
+    return df.withColumn(out, F.array(*codes))
+
+
+def adc_lut(query: list[float], codebooks: np.ndarray) -> list[list[float]]:
+    """The query's m×k squared-distance lookup table, computed in plain
+    Python float64 left-fold order.  The values are embedded as LITERALS
+    in both the Spark plan and the DuckDB oracle, so the cross-engine
+    contract is on these exact bits — shared here so the two sides can
+    never drift."""
+    m, _, dsub = codebooks.shape
+    lut = []
+    for j in range(m):
+        qs = [float(x) for x in query[j * dsub:(j + 1) * dsub]]
+        row = []
+        for cent in codebooks[j]:
+            acc = 0.0
+            for x, y in zip(qs, cent):
+                acc = acc + (x - float(y)) * (x - float(y))
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk(df: DataFrame, query: list[float], codebooks: np.ndarray,
+                k: int = 10, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): the query's per-subspace
+    lookup table (m × k squared distances to every centroid) is computed
+    ONCE driver-side and embedded as a literal, so scoring a vector is
+    ``m`` table lookups + a left-fold sum over its codes — never touches
+    the original embedding.  Returns ``(id, code_key, pq_dist)`` where
+    ``code_key`` packs the codes into one int64 (4 bits per code) so the
+    oracle pins the encode exactly even where distances tie.
+
+    Scale shape: one codegen'd projection over the codes column, then
+    TakeOrdered — no shuffle, no UDF, no join; at 100 TB the scan reads
+    the m-byte codes instead of the dim×4-byte vectors."""
+    m, n_cent, dsub = codebooks.shape
+    lut = adc_lut(query, codebooks)
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    enc = pq_encode(df, codebooks, vec_col)
+    per = F.zip_with(lut_lit, F.col("codes"),
+                     lambda l, c: F.element_at(l, c + 1))
+    adist = F.aggregate(per, F.lit(0.0), lambda acc, t: acc + t)
+    terms = [F.shiftleft(F.element_at(F.col("codes"), j + 1).cast("long"),
+                         j * 4) for j in range(m)]
+    code_key = terms[0]
+    for t in terms[1:]:
+        code_key = code_key + t
+    return (enc.select(F.col(id_col), code_key.alias("code_key"),
+                       adist.alias("_adist"))
+            .orderBy(F.col("_adist").asc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, "code_key",
+                    F.round(F.col("_adist"), 6).alias("pq_dist")))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              dim: int = 64, n_planes: int = 8,
                              seed: int = 42, vec_col: str = "embedding",

@@ -384,3 +384,60 @@ class TestPngCodec:
             assert (r["feature"][0] == 1.0) == want
         png = extract_features(synth_png_media(d)).collect()
         assert all(r["decoded"] for r in png)
+
+
+class TestPQ:
+    """Product quantization: encode shape, ADC recall, plan shape."""
+
+    def test_encode_codes_in_range_and_deterministic(self, spark):
+        from news_rss_spark.operators.similarity import (
+            pinned_pq_codebooks, pq_encode)
+        e = _emb(spark)
+        cb = pinned_pq_codebooks(dim=64, m=8, k=16, seed=13)
+        rows = pq_encode(e, cb).select("vec_id", "codes").collect()
+        assert len(rows) == e.count()
+        for r in rows:
+            assert len(r["codes"]) == 8
+            assert all(0 <= c < 16 for c in r["codes"])
+        again = {r["vec_id"]: r["codes"]
+                 for r in pq_encode(e, cb).select("vec_id", "codes").collect()}
+        assert all(again[r["vec_id"]] == r["codes"] for r in rows)
+
+    def test_trained_adc_recall_vs_exact_l2(self, spark):
+        """Trained (per-subspace k-means) codebooks must put the query
+        vector itself at ADC rank 1 and recover a useful fraction of the
+        exact L2 top-10 — the quality bar the pinned-codebook oracle
+        query does not measure."""
+        import numpy as np
+        from news_rss_spark.operators.similarity import (
+            pq_adc_topk, train_pq_codebooks)
+        e, q = _emb(spark), _query(spark)
+        cb = train_pq_codebooks(e, dim=64, m=8, k=16, sample=500)
+        approx = [r["vec_id"] for r in pq_adc_topk(e, q, cb, k=10).collect()]
+        assert approx[0] == 0  # its own codes minimize every subspace LUT
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                for r in e.collect()}
+        qv = np.asarray(q)
+        exact = sorted(vecs, key=lambda i: float(((vecs[i] - qv) ** 2).sum()))[:10]
+        assert len(set(exact) & set(approx)) >= 3
+
+    def test_trained_codebooks_deterministic(self, spark):
+        from news_rss_spark.operators.similarity import train_pq_codebooks
+        e = _emb(spark)
+        c1 = train_pq_codebooks(e, sample=300, seed=9)
+        c2 = train_pq_codebooks(e, sample=300, seed=9)
+        assert (c1 == c2).all()
+
+    def test_adc_plan_has_no_shuffle(self, spark):
+        """ADC top-k must compile to one codegen'd projection +
+        TakeOrderedAndProject — no Exchange, no join, no Python UDF."""
+        from news_rss_spark.operators.similarity import (
+            pinned_pq_codebooks, pq_adc_topk)
+        e = _emb(spark)
+        cb = pinned_pq_codebooks(dim=64, m=8, k=16, seed=13)
+        q = [0.1] * 64
+        plan = pq_adc_topk(e, q, cb, k=5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
