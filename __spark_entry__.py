@@ -421,6 +421,135 @@ LIMIT 20
 """
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023): cluster embeddings to the PINNED
+    float64 centroids, rank members by centroid-cosine, and flag every
+    vector whose cosine to a lower-ranked cluster-mate reaches eps —
+    the paper's greedy upper-triangle sweep as ONE join plan (no
+    iteration).  eps=0.25 is deliberately aggressive: the synthetic
+    embeddings have no high-cosine near-dups (max within-cell ~0.53),
+    and the oracle must exercise the drop branch, not just all-keep.
+    Engine-new; reference analog: the seen-article dedup intent of
+    src/cache/mod.rs, lifted to semantic space."""
+    from news_rss_spark.operators.semdedup import semdedup
+    from news_rss_spark.operators.similarity import pinned_centroids
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, pinned_centroids(64, 16), eps=0.25)
+
+
+def _semdedup_sql() -> str:
+    """Mirror of q_semdedup: argmax-dot cell assignment against the pinned
+    centroids (same CTE shape as _ann_ivf_sql), centroid-cosine rank with
+    vec_id tiebreak, EXISTS-vs-lower-rank sweep at eps=0.25."""
+    from news_rss_spark.operators.similarity import pinned_centroids
+    cents = pinned_centroids(64, 16)
+    rows = ",\n    ".join(f"({c}, {_dlist(cents[c])})" for c in range(16))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent(cell, cv) AS (VALUES
+    {rows}),
+scored AS (SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS d
+           FROM e CROSS JOIN cent c),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d DESC, cell) AS rn
+             FROM scored) WHERE rn = 1),
+m AS (SELECT e.vec_id, a.cell, e.v,
+             CASE WHEN sqrt(list_dot_product(e.v, e.v)) > 0
+                  THEN list_dot_product(e.v, c.cv)
+                       / sqrt(list_dot_product(e.v, e.v))
+                  ELSE 0.0 END AS cent_cos
+      FROM e JOIN assign a USING (vec_id) JOIN cent c ON a.cell = c.cell),
+r AS (SELECT vec_id, cell, v, cent_cos,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY cent_cos DESC, vec_id) AS rnk
+      FROM m),
+dups AS (SELECT DISTINCT x.vec_id FROM r x JOIN r y
+           ON x.cell = y.cell AND y.rnk < x.rnk
+         WHERE (CASE WHEN sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(y.v, y.v)) > 0
+                     THEN list_dot_product(x.v, y.v)
+                          / (sqrt(list_dot_product(x.v, x.v))
+                             * sqrt(list_dot_product(y.v, y.v)))
+                     ELSE 0.0 END) >= 0.25)
+SELECT r.vec_id, r.cell, round(r.cent_cos, 6) AS cent_cos,
+       (d.vec_id IS NULL) AS keep
+FROM r LEFT JOIN dups d ON r.vec_id = d.vec_id
+"""
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    bag models over 256 buckets, target = lang='en' documents, raw = the
+    whole corpus; per-doc log-likelihood-ratio weight folded in bucket
+    order (the lm_score cross-engine contract), Gumbel top-50 selection
+    with the content-stable md5 draw.  Engine-new training-data operator;
+    every stage is a decomposable hash agg or a broadcast join."""
+    from news_rss_spark.operators.dsir import (
+        bucket_log_ratio, dsir_select, dsir_weights, hashed_feature_counts,
+    )
+    d = _t(spark, sf_dir, "documents")
+    raw = hashed_feature_counts(d, n_buckets=256)
+    tgt = hashed_feature_counts(d.filter(F.col("lang") == "en"),
+                                n_buckets=256)
+    lr = bucket_log_ratio(tgt, raw, n_buckets=256, alpha=1.0)
+    return dsir_select(dsir_weights(raw, lr), k=50, salt="dsir-v1")
+
+
+_DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, g AS gram
+  FROM (SELECT doc_id, unnest(list_filter(w, t -> t != '')) AS g FROM toks)
+  UNION ALL
+  SELECT doc_id, w[i + 1] || ' ' || w[i + 2]
+  FROM toks, UNNEST(generate_series(0, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 2
+),
+counts AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 256
+              AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM grams GROUP BY 1, 2
+),
+tcounts AS (
+  SELECT c.bucket, CAST(sum(c.n) AS BIGINT) AS tc
+  FROM counts c JOIN documents d ON c.doc_id = d.doc_id
+  WHERE d.lang = 'en' GROUP BY 1
+),
+rcounts AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS rc
+            FROM counts GROUP BY 1),
+tot AS (SELECT (SELECT sum(tc) FROM tcounts) AS ttot,
+               (SELECT sum(rc) FROM rcounts) AS rtot),
+lr AS (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         ln((coalesce(t.tc, 0) + 1.0) / (tot.ttot + 256.0))
+         - ln((coalesce(r.rc, 0) + 1.0) / (tot.rtot + 256.0)) AS logratio
+  FROM tcounts t FULL JOIN rcounts r ON t.bucket = r.bucket, tot
+),
+w AS (
+  SELECT c.doc_id,
+         CAST(sum(c.n) AS BIGINT) AS n_features,
+         list_aggregate(list(c.n * lr.logratio ORDER BY c.bucket),
+                        'sum') AS weight
+  FROM counts c JOIN lr ON c.bucket = lr.bucket
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_features, round(weight, 6) AS weight
+FROM w
+ORDER BY weight + (-ln(-ln(
+    (CAST('0x' || substr(md5('dsir-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          AS BIGINT) + 0.5) / 4294967296.0))) DESC,
+  doc_id
+LIMIT 50
+"""
+
+
 def q_simhash_near_dup(spark, sf_dir):
     """SimHash near-dup pairs: pigeonhole-banded equi-join (k = max_hamming+1
     bands; one must match exactly) + exact bit_count(XOR) verify.  Output is
@@ -1533,6 +1662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "semdedup": q_semdedup,
+        "dsir_select": q_dsir_select,
         "simhash128_near_dup": q_simhash128_near_dup,
         "simhash_band_census": q_simhash_band_census,
         "c4_line_filter": q_c4_line_filter,
@@ -1677,6 +1808,8 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bits
 def oracle_sql() -> dict[str, str]:
     return {
         # --- round-3 additions ----------------------------------------
+        "semdedup": _semdedup_sql(),
+        "dsir_select": _DSIR_SQL,
         "simhash128_near_dup": _simhash_bands_sql(),
         "simhash_band_census": _simhash_band_census_sql(),
         "pq_topk": _pq_oracle_sql(),
