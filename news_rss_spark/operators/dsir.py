@@ -90,7 +90,12 @@ def bucket_log_ratio(target_counts: DataFrame, raw_counts: DataFrame,
          .agg(F.sum("n").cast("long").alias("rc")))
     tt = t.agg(F.sum("tc").cast("long").alias("ttot"))
     rt = r.agg(F.sum("rc").cast("long").alias("rtot"))
-    # full-outer on bucket: a bucket seen on one side only still scores
+    # full-outer on bucket: a bucket seen on one side only still scores.
+    # The two crossJoins attach ONE-ROW broadcast aggregates (corpus
+    # totals) — the documented broadcast-1-row pattern (see
+    # text_analysis.py PMI scalars); a literal join key would be
+    # FoldablePropagation'd into 1=1 anyway (the bm25 lesson), and a
+    # 1-row BNLJ is exactly as cheap as it looks.
     joined = (t.join(r, ["bucket"], "full")
               .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(rt)))
     a = F.lit(float(alpha))

@@ -268,6 +268,46 @@ def documents_df_distributed(spark, n_docs: int, seed: int = 42,
     return spec_df.mapInArrow(gen, schema=SPANS_DDL)
 
 
+def embeddings_df_distributed(spark, n_vecs: int, dim: int = 64,
+                              seed: int = 101, dup_every: int = 101,
+                              noise: float = 0.01,
+                              num_partitions: int | None = None):
+    """Distributed deterministic embedding corpus with PLANTED near
+    duplicates, for dedup/ANN scale probes: vector ``i`` is a pure
+    function of ``(seed, i)`` (per-row seeded standard normals —
+    partitioning-independent), and every ``dup_every``-th vector is the
+    PREVIOUS vector plus ``noise``-scaled perturbation (cosine ~0.9999 at
+    the default), so a semantic-dedup run has a known ground truth:
+    ~n/dup_every planted twins, no other near-dups (random 64-dim cosines
+    concentrate near 0)."""
+    import numpy as np
+    import pandas as pd
+
+    parts = num_partitions or max(
+        32, spark.sparkContext.defaultParallelism * 2)
+    base = spark.range(0, n_vecs, 1, parts)
+
+    def _raw(i: int) -> np.ndarray:
+        return np.random.RandomState(
+            (seed * 0x9E3779B1 + i) & 0x7FFFFFFF).randn(dim)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = np.empty((len(ids), dim), dtype=np.float32)
+            for r, i in enumerate(ids):
+                i = int(i)
+                if dup_every and i % dup_every == 0 and i > 0:
+                    pert = np.random.RandomState(
+                        (seed * 0x85EBCA6B + i) & 0x7FFFFFFF).randn(dim)
+                    out[r] = _raw(i - 1) + noise * pert
+                else:
+                    out[r] = _raw(i)
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(out)})
+
+    return base.mapInPandas(gen, "vec_id long, embedding array<float>")
+
+
 def documents_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = None):
     """Materialize the synthetic corpus as a Spark DataFrame.
 

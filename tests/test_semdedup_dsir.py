@@ -114,3 +114,46 @@ def test_dsir_salt_changes_the_draw_not_the_weights(spark):
     s1 = {r["doc_id"] for r in dsir_select(w, 10, salt="s1").collect()}
     s2 = {r["doc_id"] for r in dsir_select(w, 10, salt="s2").collect()}
     assert s1 != s2  # re-rolled selection
+
+
+def test_pandas_route_matches_fold_route(spark):
+    from news_rss_spark.operators.semdedup import semdedup_pandas
+    from news_rss_spark.sources.synth import embeddings_df_distributed
+
+    emb = embeddings_df_distributed(spark, 400, seed=7, dup_every=20,
+                                    num_partitions=4)
+    cents = pinned_centroids(64, 8)
+    slow = {r["vec_id"]: r for r in semdedup(emb, cents, eps=0.9).collect()}
+    fast = {r["vec_id"]: r for r in
+            semdedup_pandas(emb, cents, eps=0.9).collect()}
+    assert set(slow) == set(fast) and len(slow) == 400
+    for i in slow:
+        assert slow[i]["keep"] == fast[i]["keep"], i
+        assert slow[i]["cell"] == fast[i]["cell"], i
+        assert slow[i]["cent_cos"] == pytest.approx(fast[i]["cent_cos"],
+                                                    abs=1e-5)
+
+
+def test_planted_twins_are_flagged(spark):
+    from news_rss_spark.operators.semdedup import semdedup_pandas
+    from news_rss_spark.sources.synth import embeddings_df_distributed
+
+    emb = embeddings_df_distributed(spark, 500, seed=3, dup_every=50,
+                                    num_partitions=4)
+    out = semdedup_pandas(emb, pinned_centroids(64, 8), eps=0.99)
+    dropped = {r["vec_id"] for r in out.filter("NOT keep").collect()}
+    planted = {i for i in range(50, 500, 50)}
+    # exactly one of each (i-1, i) twin pair is dropped, nothing else
+    assert len(dropped) == len(planted)
+    for i in planted:
+        assert (i in dropped) != (i - 1 in dropped)
+
+
+def test_generator_is_partitioning_independent(spark):
+    from news_rss_spark.sources.synth import embeddings_df_distributed
+
+    a = embeddings_df_distributed(spark, 64, seed=5, num_partitions=2) \
+        .orderBy("vec_id").collect()
+    b = embeddings_df_distributed(spark, 64, seed=5, num_partitions=7) \
+        .orderBy("vec_id").collect()
+    assert [r["embedding"] for r in a] == [r["embedding"] for r in b]
