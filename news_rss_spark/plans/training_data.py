@@ -5,8 +5,10 @@ pipeline its output feeds at 100 TB).
 
     quality filter  ->  exact dedup  ->  fuzzy dedup (MinHash LSH +
     Jaccard verify + connected components)  ->  benchmark
-    decontamination  ->  deterministic split  ->  token-budget shard
-    packing  ->  partitioned parquet corpus + funnel stats
+    decontamination  ->  [optional DSIR target selection]  ->
+    [optional temperature mix]  ->  deterministic split  ->
+    token-budget shard packing  ->  partitioned parquet corpus +
+    funnel stats
 
 Every stage is the scale-shaped operator already proven individually
 (map-side-combined aggregations, banded LSH equi-joins, broadcast
@@ -64,6 +66,7 @@ class CorpusFunnel:
     split_docs: dict[str, int]
     split_tokens: dict[str, int]
     split_shards: dict[str, int]
+    n_dsir: int | None = None
 
 
 def build_training_corpus(docs: DataFrame, *,
@@ -72,6 +75,10 @@ def build_training_corpus(docs: DataFrame, *,
                           jaccard_threshold: float = 0.8,
                           val_frac: float = 0.1, test_frac: float = 0.1,
                           shard_token_budget: int = 20_000,
+                          dsir_target: DataFrame | None = None,
+                          dsir_keep: int | None = None,
+                          dsir_buckets: int = 4096,
+                          dsir_salt: str = "dsir-v1",
                           mix_alpha: float | None = None,
                           mix_group_col: str = "source",
                           text_col: str = "text",
@@ -82,6 +89,12 @@ def build_training_corpus(docs: DataFrame, *,
 
     ``bench`` (optional) is the held-out benchmark table for 8-gram
     decontamination; docs sharing any 8-gram with it are dropped.
+
+    ``dsir_target`` + ``dsir_keep`` (optional) apply DSIR importance
+    resampling AFTER decontamination: fit hashed n-gram bag models on
+    the target table vs the surviving corpus, keep the ``dsir_keep``
+    docs by Gumbel top-k over the log-likelihood-ratio weights
+    (operators/dsir; content-stable under ``dsir_salt``).
 
     ``mix_alpha`` (optional) applies temperature mixture rebalancing
     over ``mix_group_col`` AFTER dedup/decontamination and BEFORE the
@@ -126,6 +139,24 @@ def build_training_corpus(docs: DataFrame, *,
         clean = fuzzy.join(dirty.select(id_col), id_col, "left_anti")
     else:
         clean = fuzzy
+    n_dsir = None
+    if dsir_target is not None and dsir_keep is not None:
+        from news_rss_spark.operators.dsir import (
+            bucket_log_ratio, dsir_select, dsir_weights,
+            hashed_feature_counts,
+        )
+        raw_counts = hashed_feature_counts(clean, dsir_buckets,
+                                           text_col, id_col)
+        tgt_counts = hashed_feature_counts(dsir_target, dsir_buckets,
+                                           text_col, id_col)
+        lr = bucket_log_ratio(tgt_counts, raw_counts, dsir_buckets)
+        # the selection is <= dsir_keep rows: checkpoint it so the count
+        # and the semi-join don't each re-run the weights job
+        sel = dsir_select(dsir_weights(raw_counts, lr, id_col),
+                          dsir_keep, dsir_salt, id_col) \
+            .localCheckpoint(eager=True)
+        n_dsir = sel.count()
+        clean = clean.join(sel.select(id_col), id_col, "left_semi")
     if mix_alpha is not None and mix_alpha < 1.0:
         clean = temperature_sample(clean, mix_group_col, alpha=mix_alpha,
                                    id_col=id_col)
@@ -166,7 +197,8 @@ def build_training_corpus(docs: DataFrame, *,
         corpus = clean.limit(0).withColumn("shard_id",
                                            F.lit(0).cast("int"))
     funnel = CorpusFunnel(n_input, n_quality, n_exact, n_fuzzy, n_clean,
-                          split_docs, split_tokens, split_shards)
+                          split_docs, split_tokens, split_shards,
+                          n_dsir=n_dsir)
     return corpus, funnel
 
 

@@ -142,3 +142,32 @@ def test_job_writes_window_map(spark, tmp_path):
                                 "doc_start", "doc_end", "chunk_off"}
     total = win.agg(F.sum(F.col("doc_end") - F.col("doc_start"))).collect()[0][0]
     assert total == sum(f.split_tokens.values())
+
+
+def test_funnel_dsir_stage_selects_target_like_docs(spark):
+    # target = the corpus's src0 docs: DSIR should prefer src0-flavored
+    # text... but _text() is per-doc unique, so instead make the target
+    # share the docs' common frame and assert the stage keeps exactly k
+    target = spark.createDataFrame(
+        [(0, "the quick and that is the end of story")], ["doc_id", "text"])
+    corpus, f = build_training_corpus(
+        _docs(spark), bench=_bench(spark), jaccard_threshold=0.7,
+        shard_token_budget=200, dsir_target=target, dsir_keep=10)
+    assert f.n_dsir == 10
+    assert f.n_clean == 10
+    assert len({r["doc_id"] for r in corpus.collect()}) == 10
+    # content-stable: same salt -> identical selection
+    corpus2, f2 = build_training_corpus(
+        _docs(spark), bench=_bench(spark), jaccard_threshold=0.7,
+        shard_token_budget=200, dsir_target=target, dsir_keep=10)
+    assert ({r["doc_id"] for r in corpus.collect()}
+            == {r["doc_id"] for r in corpus2.collect()})
+
+
+def test_funnel_dsir_keep_larger_than_corpus_is_a_noop(spark):
+    target = spark.createDataFrame([(0, "the quick end")],
+                                   ["doc_id", "text"])
+    _, f = build_training_corpus(
+        _docs(spark), bench=_bench(spark), jaccard_threshold=0.7,
+        shard_token_budget=200, dsir_target=target, dsir_keep=1000)
+    assert f.n_dsir == f.n_clean == 40
