@@ -550,6 +550,43 @@ LIMIT 50
 """
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """The distributed core of BPE training (operators/bpe.py): adjacent
+    symbol-pair counts over the distinct-word vocabulary relation,
+    weighted by word frequency — the per-iteration aggregation whose
+    argmax picks each merge.  The iterative trainer and the rank-greedy
+    encoder stay pytest-locked against a pure-Python reference
+    (test_bpe.py); this exposes the corpus-facing aggregation to the
+    driver's correctness gate.  Columns aliased l_sym/r_sym (LEFT/RIGHT
+    are SQL keywords)."""
+    from news_rss_spark.operators.bpe import (
+        pair_counts, with_symbols, word_counts,
+    )
+    d = _t(spark, sf_dir, "documents")
+    pc = pair_counts(with_symbols(word_counts(d)))
+    return pc.select(F.col("left").alias("l_sym"),
+                     F.col("right").alias("r_sym"), "cnt")
+
+
+_BPE_PAIRS_SQL = r"""
+WITH wc AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents WHERE text IS NOT NULL)
+  WHERE w != '' GROUP BY w
+),
+pairs AS (
+  SELECT substr(word, i, 1) AS l_sym,
+         CASE WHEN i = length(word) THEN '</w>'
+              ELSE substr(word, i + 1, 1) END AS r_sym,
+         n
+  FROM wc, UNNEST(generate_series(1, length(word))) AS t(i)
+)
+SELECT l_sym, r_sym, CAST(sum(n) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1, 2
+"""
+
+
 def q_simhash_near_dup(spark, sf_dir):
     """SimHash near-dup pairs: pigeonhole-banded equi-join (k = max_hamming+1
     bands; one must match exactly) + exact bit_count(XOR) verify.  Output is
@@ -1664,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-3 additions (no prior driver row) ------------------
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "simhash128_near_dup": q_simhash128_near_dup,
         "simhash_band_census": q_simhash_band_census,
         "c4_line_filter": q_c4_line_filter,
@@ -1810,6 +1848,7 @@ def oracle_sql() -> dict[str, str]:
         # --- round-3 additions ----------------------------------------
         "semdedup": _semdedup_sql(),
         "dsir_select": _DSIR_SQL,
+        "bpe_pair_counts": _BPE_PAIRS_SQL,
         "simhash128_near_dup": _simhash_bands_sql(),
         "simhash_band_census": _simhash_band_census_sql(),
         "pq_topk": _pq_oracle_sql(),
