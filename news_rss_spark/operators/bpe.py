@@ -83,40 +83,54 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
-    """One merge pass over the vocab symbols.
+    """One merge pass over the vocab symbols: a left-to-right JVM
+    ``aggregate`` fold joining (left, right) occurrences.
 
-    Greedy-scan subtlety: a plain "tail == left and next == right →
-    join" fold RE-MERGES through its own output ("a a a" would become
-    ["aa", then see a with tail aa — fine], but "a a a a" must yield
-    [aa, aa], not [aa, aaa→wrong]).  The reference scan never treats a
-    JUST-MERGED token as the left side of the same merge in the same
-    pass, so when left == right == the merged spelling could chain, we
-    guard: a tail equal to ``left+right`` produced by THIS pass never
-    re-merges (only relevant when left+right itself ends with ``left``
-    — handled by comparing against the merged spelling before the pair
-    test)."""
+    Greedy-scan note: the reference scan never treats a JUST-MERGED
+    token as the left side of the same merge in the same pass ("a a a a"
+    must yield [aa, aa], never chain into [aaa, ...]).  The plain
+    tail-equality test already guarantees this: a freshly merged tail
+    equals ``left+right``, and ``left+right == left`` would require an
+    empty right symbol — impossible — so the fresh tail can never match
+    as a new ``left``.  No extra state needed."""
     merged = left + right
     fold = F.aggregate(
         F.col("syms"),
-        # accumulator: (out array, pending flag) — pending=True means the
-        # tail element was produced by THIS pass and must not act as a
-        # new `left`
-        F.struct(F.array().cast("array<string>").alias("out"),
-                 F.lit(False).alias("fresh")),
+        F.array().cast("array<string>"),
         lambda acc, s: F.when(
-            (F.size(acc["out"]) > 0) & (~acc["fresh"])
-            & (F.element_at(acc["out"], -1) == F.lit(left))
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
             & (s == F.lit(right)),
-            F.struct(
-                F.concat(F.slice(acc["out"], 1, F.size(acc["out"]) - 1),
-                         F.array(F.lit(merged))).alias("out"),
-                F.lit(True).alias("fresh")),
-        ).otherwise(
-            F.struct(F.concat(acc["out"], F.array(s)).alias("out"),
-                     F.lit(False).alias("fresh"))),
-        lambda acc: acc["out"],
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(s))),
     )
     return vocab.withColumn("syms", fold)
+
+
+def _checkpoint_replacing(df: DataFrame, prev_ids: list[int]
+                          ) -> tuple[DataFrame, list[int]]:
+    """Eagerly localCheckpoint ``df`` and EXPLICITLY unpersist the
+    previous iteration's checkpoint blocks.
+
+    The repo's other iterative operators (components, pagerank) run
+    O(log n) / ~10 bounded rounds, so leaking one checkpoint per round
+    until the ContextCleaner's periodic GC is harmless; BPE runs
+    thousands of merges over a vocabulary that can be GBs — without an
+    explicit release the superseded copies pin executor storage
+    linearly in n_merges.  getPersistentRDDs is how we find the block
+    owner: localCheckpoint registers its RDD as persisted, so the id
+    delta across the call IS the new checkpoint."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    after = sc._jsc.getPersistentRDDs()
+    new_ids = [i for i in after.keySet().toArray() if i not in before]
+    for rid in prev_ids:
+        j = after.get(rid)
+        if j is not None:
+            j.unpersist()
+    return out, new_ids
 
 
 def bpe_train(docs: DataFrame, n_merges: int,
@@ -125,8 +139,8 @@ def bpe_train(docs: DataFrame, n_merges: int,
     list only (k 2-string rows — the PageRank/k-means scalar-collect
     pattern); per iteration: one vocab-sized hash agg + one 1-row
     collect + one checkpointed merge pass."""
-    vocab = with_symbols(word_counts(docs, text_col)) \
-        .localCheckpoint(eager=True)
+    vocab, ids = _checkpoint_replacing(
+        with_symbols(word_counts(docs, text_col)), [])
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (pair_counts(vocab)
@@ -137,9 +151,11 @@ def bpe_train(docs: DataFrame, n_merges: int,
             break
         left, right = top[0]["left"], top[0]["right"]
         merges.append((left, right))
-        # checkpoint per round: k small plans, not a k-deep lazy tower
-        # (the CC-fixpoint lesson, operators/components.py)
-        vocab = apply_merge(vocab, left, right).localCheckpoint(eager=True)
+        # checkpoint per round (k small plans, not a k-deep lazy tower —
+        # the CC-fixpoint lesson) and RELEASE the superseded copy: at
+        # most 2 vocab copies alive regardless of n_merges
+        vocab, ids = _checkpoint_replacing(
+            apply_merge(vocab, left, right), ids)
     return merges
 
 

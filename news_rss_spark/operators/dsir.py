@@ -137,6 +137,11 @@ def dsir_select(weights: DataFrame, k: int, salt: str = "dsir-v1",
     u = (md5_draw32(id_col, salt).cast("double") + F.lit(0.5)) \
         / F.lit(float(1 << 32))
     key = F.col("weight") + (-F.log(-F.log(u)))
+    # a NULL weight means the importance model was undefined for this doc
+    # (an EMPTY target or raw corpus nulls the totals and with them every
+    # weight) — without this filter the orderBy would quietly emit the k
+    # lowest-id docs as if they had been importance-selected
+    weights = weights.filter(F.col("weight").isNotNull())
     return (weights.withColumn("_key", key)
             .orderBy(F.col("_key").desc(), F.col(id_col).asc())
             .limit(k)

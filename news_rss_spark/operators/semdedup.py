@@ -155,10 +155,14 @@ def semdedup_pandas(df: DataFrame, centroids: np.ndarray, eps: float = 0.9,
                              "cent_cos": np.round(cent_cos, 6),
                              "keep": keep})
 
+    # the output id field follows the INPUT id type (string doc ids are
+    # as legal here as the fold route's)
+    id_type = df.schema[id_col].dataType.simpleString()
     return (assigned
             .select(id_col, "cell",
                     F.col(vec_col).cast("array<double>").alias(vec_col))
             .groupBy("cell")
             .applyInPandas(
                 sweep,
-                f"{id_col} long, cell int, cent_cos double, keep boolean"))
+                f"{id_col} {id_type}, cell int, cent_cos double, "
+                f"keep boolean"))

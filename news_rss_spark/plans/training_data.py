@@ -139,12 +139,21 @@ def build_training_corpus(docs: DataFrame, *,
         clean = fuzzy.join(dirty.select(id_col), id_col, "left_anti")
     else:
         clean = fuzzy
+    if (dsir_target is None) != (dsir_keep is None):
+        raise ValueError(
+            "dsir_target and dsir_keep must be passed together "
+            "(one without the other would silently skip DSIR selection)")
     n_dsir = None
     if dsir_target is not None and dsir_keep is not None:
         from news_rss_spark.operators.dsir import (
             bucket_log_ratio, dsir_select, dsir_weights,
             hashed_feature_counts,
         )
+        # the DSIR stage reads `clean` twice inside the selection job
+        # (raw model + weight probe) and once more for the semi-join —
+        # checkpoint the decontaminated survivors first, same rationale
+        # as the exact/fuzzy checkpoints above
+        clean = clean.localCheckpoint(eager=True)
         raw_counts = hashed_feature_counts(clean, dsir_buckets,
                                            text_col, id_col)
         tgt_counts = hashed_feature_counts(dsir_target, dsir_buckets,
@@ -156,6 +165,14 @@ def build_training_corpus(docs: DataFrame, *,
                           dsir_keep, dsir_salt, id_col) \
             .localCheckpoint(eager=True)
         n_dsir = sel.count()
+        if n_dsir == 0 and dsir_keep > 0:
+            # an empty selection on a requested k>0 means the importance
+            # model was undefined (empty/feature-less target, or the
+            # corpus itself emptied upstream) — proceeding would ship an
+            # empty corpus as if DSIR had sampled it
+            raise ValueError(
+                "DSIR selected 0 documents: dsir_target (or the "
+                "surviving corpus) has no hashed n-gram features")
         clean = clean.join(sel.select(id_col), id_col, "left_semi")
     if mix_alpha is not None and mix_alpha < 1.0:
         clean = temperature_sample(clean, mix_group_col, alpha=mix_alpha,

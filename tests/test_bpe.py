@@ -116,3 +116,12 @@ def test_apply_dictionary_join_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trainer_releases_superseded_checkpoints(spark):
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    bpe_train(_docs(spark), 10)
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    # at most the final vocab copy survives the run, never one per merge
+    assert len(after - before) <= 1

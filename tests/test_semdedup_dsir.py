@@ -157,3 +157,23 @@ def test_generator_is_partitioning_independent(spark):
     b = embeddings_df_distributed(spark, 64, seed=5, num_partitions=7) \
         .orderBy("vec_id").collect()
     assert [r["embedding"] for r in a] == [r["embedding"] for r in b]
+
+
+def test_dsir_select_empty_target_yields_no_rows_not_arbitrary_ids(spark):
+    d = _docs_df(spark, ["alpha beta", "gamma delta"])
+    rc = hashed_feature_counts(d, n_buckets=64)
+    empty = hashed_feature_counts(_docs_df(spark, []), n_buckets=64)
+    lr = bucket_log_ratio(empty, rc, n_buckets=64)
+    w = dsir_weights(rc, lr)
+    assert dsir_select(w, k=5).count() == 0
+
+
+def test_pandas_route_supports_string_ids(spark):
+    from news_rss_spark.operators.semdedup import semdedup_pandas
+
+    df = spark.createDataFrame(
+        [(f"doc-{i}", [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id string, embedding array<double>")
+    out = semdedup_pandas(df, pinned_centroids(4, 2), eps=0.9,
+                          id_col="vec_id").collect()
+    assert {r["vec_id"] for r in out} == {f"doc-{i}" for i in range(4)}

@@ -171,3 +171,17 @@ def test_funnel_dsir_keep_larger_than_corpus_is_a_noop(spark):
         _docs(spark), bench=_bench(spark), jaccard_threshold=0.7,
         shard_token_budget=200, dsir_target=target, dsir_keep=1000)
     assert f.n_dsir == f.n_clean == 40
+
+
+def test_funnel_dsir_half_configured_raises(spark):
+    import pytest
+    with pytest.raises(ValueError, match="dsir_target and dsir_keep"):
+        build_training_corpus(_docs(spark), dsir_keep=10)
+
+
+def test_funnel_dsir_featureless_target_raises(spark):
+    import pytest
+    empty_target = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="DSIR selected 0"):
+        build_training_corpus(_docs(spark), dsir_target=empty_target,
+                              dsir_keep=10)
