@@ -134,13 +134,19 @@ def _checkpoint_replacing(df: DataFrame, prev_ids: list[int]
 
 
 def bpe_train(docs: DataFrame, n_merges: int,
-              text_col: str = "text") -> list[tuple[str, str]]:
+              text_col: str = "text",
+              words: DataFrame | None = None) -> list[tuple[str, str]]:
     """Train ``n_merges`` BPE merges.  Driver-side state is the merge
     list only (k 2-string rows — the PageRank/k-means scalar-collect
     pattern); per iteration: one vocab-sized hash agg + one 1-row
-    collect + one checkpointed merge pass."""
+    collect + one checkpointed merge pass.
+
+    ``words`` (optional): a precomputed :func:`word_counts` relation —
+    pass it when the caller already paid the corpus-sized pass (the
+    word-count table is a reusable artifact, like the LM model tables)."""
     vocab, ids = _checkpoint_replacing(
-        with_symbols(word_counts(docs, text_col)), [])
+        with_symbols(words if words is not None
+                     else word_counts(docs, text_col)), [])
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (pair_counts(vocab)

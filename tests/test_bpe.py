@@ -125,3 +125,9 @@ def test_trainer_releases_superseded_checkpoints(spark):
     after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     # at most the final vocab copy survives the run, never one per merge
     assert len(after - before) <= 1
+
+
+def test_precomputed_word_counts_give_identical_merges(spark):
+    docs = _docs(spark)
+    wc = word_counts(docs)
+    assert bpe_train(docs, 8, words=wc) == bpe_train(docs, 8)
