@@ -1205,6 +1205,64 @@ def q_span_dedup(spark, sf_dir):
         F.md5("clean_text").alias("clean_md5"))
 
 
+_PARA_BOILER = "follow us on social media for breaking news and updates"
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Dolma/RedPajama-v2-style exact paragraph dedup
+    (operators/text_dedup.py dedup_paragraphs): deterministic paragraph
+    layout built JVM-side — 5-word paragraphs, a shared boilerplate
+    footer appended to every doc_id%5==0 document (the cross-document
+    path: the first occurrence corpus-wide keeps it, every later one
+    loses it) and the first body paragraph repeated at the end of every
+    doc_id%11==0 document (the within-document repeat path).  Returns
+    per-doc surviving char counts (clean_text compared via length + md5,
+    same contract as span_dedup/chunk_dedup)."""
+    from news_rss_spark.operators.text_dedup import dedup_paragraphs
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = F.split(F.trim("text"), r"\s+")
+    body = F.expr(
+        "transform(sequence(0, (size(w) - 1) div 5), "
+        "i -> array_join(slice(w, i * 5 + 1, 5), ' '))")
+    docs = (d.select("doc_id", w.alias("w"))
+             .filter(F.size("w") > 0)
+             .select("doc_id", body.alias("body"))
+             .select("doc_id",
+                     F.when(F.col("doc_id") % 5 == 0,
+                            F.concat("body",
+                                     F.array(F.lit(_PARA_BOILER))))
+                      .otherwise(F.col("body")).alias("p0"),
+                     F.element_at("body", 1).alias("first_para"))
+             .select("doc_id",
+                     F.when(F.col("doc_id") % 11 == 0,
+                            F.concat("p0", F.array(F.col("first_para"))))
+                      .otherwise(F.col("p0")).alias("paragraphs")))
+    out = dedup_paragraphs(docs, "paragraphs", "doc_id")
+    return out.select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"))
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-ranked survivor selection (operators/components.py
+    dedup_clusters_ranked): connected components over the 60-bit SimHash
+    hamming<=4 pair graph (signatures shared with dedup_clusters /
+    simhash_wide_near_dup via the _sig60 memo), keeper = the LONGEST
+    member per cluster, ties broken by min doc_id — the
+    BigCode/SantaCoder keep-longest policy — instead of dedup_clusters'
+    min-id convention.  The per-cluster argmax is a hash agg
+    (max(struct(rank, -id))), never a window sort over a hot cluster.
+    Oracle: DuckDB recursive CTE + per-component row_number window."""
+    from news_rss_spark.operators.components import dedup_clusters_ranked
+    from news_rss_spark.operators.text_dedup import simhash_near_dup_pairs
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    pairs = simhash_near_dup_pairs(d, max_hamming=4, n_bits=60,
+                                   sig=_sig60(spark, sf_dir)).select("a", "b")
+    ranked = d.withColumn("rank_len", F.length("text").cast("long"))
+    return dedup_clusters_ranked(ranked, pairs, "rank_len", "doc_id")
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: training docs (doc_id % 100 != 0)
     sharing any n-gram with the benchmark slice (doc_id % 100 == 0).
@@ -1699,6 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "paragraph_dedup": q_paragraph_dedup,
+        "dedup_keep_best": q_dedup_keep_best,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -1846,6 +1906,72 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bits
 def oracle_sql() -> dict[str, str]:
     return {
         # --- round-3 additions ----------------------------------------
+        "paragraph_dedup": r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split_regex(trim(text), '\s+')) > 0
+),
+pb AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, (len(w) - 1) // 5),
+           i -> array_to_string(list_slice(w, i * 5 + 1, i * 5 + 5), ' ')) AS body
+  FROM base
+),
+pl AS (
+  SELECT doc_id,
+         list_concat(
+           list_concat(body,
+             CASE WHEN doc_id % 5 = 0
+               THEN ['follow us on social media for breaking news and updates']
+               ELSE [] END),
+           CASE WHEN doc_id % 11 = 0 THEN [body[1]] ELSE [] END) AS p
+  FROM pb
+),
+occ AS (
+  SELECT doc_id, i AS pos, p[i + 1] AS para,
+         CAST('0x' || substr(md5(p[i + 1]), 1, 15) AS BIGINT) AS para_h
+  FROM pl, UNNEST(generate_series(0, len(p) - 1)) AS u(i)
+),
+firsts AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY para_h ORDER BY doc_id, pos) AS rn
+    FROM occ) WHERE rn = 1
+)
+SELECT occ.doc_id,
+       CAST(length(string_agg(para, chr(10) ORDER BY pos)) AS BIGINT)
+         AS clean_len,
+       md5(string_agg(para, chr(10) ORDER BY pos)) AS clean_md5
+FROM occ SEMI JOIN firsts
+  ON occ.doc_id = firsts.doc_id AND occ.pos = firsts.pos
+GROUP BY occ.doc_id
+""",
+        "dedup_keep_best": f"""
+WITH RECURSIVE sim AS ({_simhash_sql(60)}),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION SELECT b, a FROM pairs
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM sim
+  UNION
+  SELECT e.src, w.comp FROM walk w JOIN edges e ON e.dst = w.node
+),
+comp AS (SELECT node AS doc_id, min(comp) AS component FROM walk GROUP BY node),
+ranked AS (
+  SELECT c.doc_id, c.component,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY length(d.text) DESC, c.doc_id) AS rn
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, component, (rn = 1) AS is_keeper FROM ranked
+""",
         "semdedup": _semdedup_sql(),
         "dsir_select": _DSIR_SQL,
         "bpe_pair_counts": _BPE_PAIRS_SQL,

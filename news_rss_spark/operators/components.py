@@ -186,6 +186,45 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
     )
 
 
+def dedup_clusters_ranked(df: DataFrame, pairs: DataFrame,
+                          rank_col: str,
+                          id_col: str = "doc_id",
+                          max_iter: int = 20,
+                          algorithm: str = "propagation") -> DataFrame:
+    """Quality-ranked survivor selection: (doc_id, component, is_keeper)
+    where the keeper is the cluster member with the HIGHEST ``rank_col``
+    (ties broken by min id) instead of :func:`dedup_clusters`' min-id
+    convention.  Production near-dup pipelines keep the "best" member —
+    longest file (BigCode/SantaCoder), highest quality score (RefinedWeb)
+    — not an arbitrary one, so the ranking column is the caller's policy.
+
+    Plan shape, chosen for 100 TB: the per-cluster argmax is
+    ``groupBy(component).agg(max(struct(rank, -id)))`` — a hash
+    aggregation with map-side partial combine, so even a pathological
+    million-member boilerplate cluster collapses to one row per map task
+    before the shuffle (a ``row_number() over (partition by component
+    order by rank desc)`` window would instead sort and ship every
+    member of the hot cluster to one reducer).  Struct comparison is
+    lexicographic, so ``max(struct(rank, -id))`` = highest rank, then
+    smallest id.  ``rank_col`` must be numeric and non-null; ``id_col``
+    must be numeric (the tiebreak negates it).
+    """
+    cc = (connected_components_star if algorithm == "star"
+          else connected_components)
+    comp = cc(df.select(id_col), pairs, id_col, max_iter)
+    labeled = (comp.select(F.col("node").alias(id_col),
+                           F.col("comp").alias("component"))
+               .join(df.select(id_col, rank_col), on=id_col))
+    winners = (labeled.groupBy("component")
+               .agg(F.max(F.struct(F.col(rank_col).alias("r"),
+                                   (-F.col(id_col)).alias("neg_id")))
+                    .alias("w"))
+               .select("component", (-F.col("w.neg_id")).alias("_keeper_id")))
+    return (labeled.join(winners, on="component")
+            .select(F.col(id_col), F.col("component"),
+                    (F.col(id_col) == F.col("_keeper_id")).alias("is_keeper")))
+
+
 def keep_only_keepers(df: DataFrame, pairs: DataFrame,
                       id_col: str = "doc_id") -> DataFrame:
     """Drop every non-keeper row (the actual dedup): left-semi join on the

@@ -633,6 +633,52 @@ def dedup_spans(df: DataFrame, sents_col: str = "sentences",
                 out_delim).alias("clean_text")))
 
 
+def dedup_paragraphs(df: DataFrame, paras_col: str = "paragraphs",
+                     id_col: str = "doc_id",
+                     out_delim: str = "\n") -> DataFrame:
+    """Corpus-level exact paragraph dedup (the Dolma / RedPajama-v2
+    recipe: drop every later occurrence of any paragraph seen anywhere
+    in the corpus, keeping the single first occurrence ordered by
+    ``(doc_id, pos)`` — boilerplate like subscription footers vanishes
+    from all but one document, and within-document repeats collapse
+    too).  Input is a ``paras_col`` array<string> column — the
+    paragraph-splitting policy stays with the caller, same contract as
+    :func:`dedup_spans`.  Documents whose every paragraph is a later
+    duplicate vanish from the output.
+
+    Differs from :func:`dedup_chunks` (fixed word windows — catches
+    near-boundary-shifted repeats) and :func:`dedup_spans` (overlapping
+    sentence windows, C4): the unit here is the NATURAL paragraph, so
+    surviving documents keep their original paragraph boundaries intact.
+
+    Plan shape, chosen for 100 TB: occurrences are keyed by a 63-bit
+    md5 slice so the first-occurrence step —
+    ``groupBy(para_h).agg(min(struct(id, pos)))``, a hash agg with
+    map-side partial combine — shuffles 8-byte keys, never paragraph
+    text; a footer repeated 10^8 times collapses to one row per map
+    task.  Paragraph text is shipped exactly once, in the left-semi
+    join that selects surviving ``(id, pos)`` rows for the final
+    per-document rebuild.  Two shuffles + one equi-join, all on compact
+    keys.
+    """
+    p = F.col(paras_col)
+    occ = df.select(F.col(id_col), F.posexplode(p).alias("pos", "para")) \
+            .withColumn("para_h",
+                        F.conv(F.substring(F.md5("para"), 1, 15), 16, 10)
+                         .cast("long"))
+    firsts = (occ.groupBy("para_h")
+                 .agg(F.min(F.struct(id_col, "pos")).alias("first_occ"))
+                 .select(F.col(f"first_occ.{id_col}").alias(id_col),
+                         F.col("first_occ.pos").alias("pos")))
+    kept = occ.join(firsts, [id_col, "pos"], "left_semi")
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda x: x["para"]),
+                out_delim).alias("clean_text")))
+
+
 # ------------------------------------------------- benchmark decontamination
 
 def contamination_check(train_df: DataFrame, bench_df: DataFrame,

@@ -50,6 +50,43 @@ def test_converges_well_under_max_iter(spark):
     assert {r["comp"] for r in comp.collect()} == {0}
 
 
+class TestRankedKeeper:
+    """dedup_clusters_ranked: keeper = highest rank, ties -> min id;
+    clustering identical to dedup_clusters."""
+
+    def _ranked(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, rank_len long")
+
+    def test_keeper_is_highest_rank(self, spark):
+        from news_rss_spark.operators.components import dedup_clusters_ranked
+        # cluster {1,2,3}: 2 is longest -> keeper; singleton 9 keeps itself
+        df = self._ranked(spark, [(1, 5), (2, 50), (3, 10), (9, 1)])
+        out = dedup_clusters_ranked(
+            df, _pairs(spark, [(1, 2), (2, 3)]), "rank_len")
+        got = {r["doc_id"]: (r["component"], r["is_keeper"])
+               for r in out.collect()}
+        assert got == {1: (1, False), 2: (1, True), 3: (1, False),
+                       9: (9, True)}
+
+    def test_rank_tie_breaks_to_min_id(self, spark):
+        from news_rss_spark.operators.components import dedup_clusters_ranked
+        df = self._ranked(spark, [(4, 7), (5, 7), (6, 3)])
+        out = dedup_clusters_ranked(
+            df, _pairs(spark, [(4, 5), (5, 6)]), "rank_len")
+        got = {r["doc_id"]: r["is_keeper"] for r in out.collect()}
+        assert got == {4: True, 5: False, 6: False}
+
+    def test_star_algorithm_same_output(self, spark):
+        from news_rss_spark.operators.components import dedup_clusters_ranked
+        df = self._ranked(spark, [(1, 5), (2, 50), (3, 10), (9, 1)])
+        prs = _pairs(spark, [(1, 2), (2, 3)])
+        want = {tuple(r) for r in dedup_clusters_ranked(
+            df, prs, "rank_len").collect()}
+        got = {tuple(r) for r in dedup_clusters_ranked(
+            df, prs, "rank_len", algorithm="star").collect()}
+        assert got == want
+
+
 class TestStarVariant:
     """Large-star/small-star must produce IDENTICAL labels to min-label
     propagation on every graph shape, and converge on long chains in far

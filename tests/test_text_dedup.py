@@ -270,3 +270,44 @@ class TestSpanDedup:
         plan = dedup_spans(d)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestParagraphDedup:
+    """Dolma-style exact paragraph dedup semantics (dedup_paragraphs)."""
+
+    def _run(self, spark, rows):
+        from news_rss_spark.operators.text_dedup import dedup_paragraphs
+        d = spark.createDataFrame(rows,
+                                  "doc_id long, paragraphs array<string>")
+        return {r["doc_id"]: r["clean_text"]
+                for r in dedup_paragraphs(d, "paragraphs", "doc_id")
+                .collect()}
+
+    def test_first_occurrence_survives_corpus_wide(self, spark):
+        got = self._run(spark, [
+            (0, ["footer", "alpha"]),   # first footer: kept
+            (1, ["beta", "footer"]),    # later footer: dropped
+            (2, ["footer"]),            # fully duplicated: vanishes
+        ])
+        assert got[0] == "footer\nalpha"
+        assert got[1] == "beta"
+        assert 2 not in got
+
+    def test_within_doc_repeat_collapses(self, spark):
+        got = self._run(spark, [(3, ["p", "q", "p", "p"])])
+        assert got[3] == "p\nq"
+
+    def test_order_preserved_after_removal(self, spark):
+        got = self._run(spark, [
+            (0, ["x"]),
+            (1, ["a", "x", "b", "x", "c"]),
+        ])
+        assert got[1] == "a\nb\nc"
+
+    def test_no_nested_loop_join(self, spark):
+        from news_rss_spark.operators.text_dedup import dedup_paragraphs
+        d = spark.createDataFrame(
+            [(0, ["a", "b"])], "doc_id long, paragraphs array<string>")
+        plan = dedup_paragraphs(d)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
