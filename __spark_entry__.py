@@ -1749,6 +1749,24 @@ def q_png_decode_stats(spark, sf_dir):
                         "px_sum")
 
 
+def q_gif_decode_stats(spark, sf_dir):
+    """From-scratch GIF decode, oracle-checked: synth_gif_media emits
+    real 256-color GIF87a frames (operators/multimodal.py decode_gif
+    does the descriptor walk + from-scratch LZW with variable code
+    widths + palette mapping), and the DuckDB oracle re-derives width/
+    height and the exact decoded RGB byte sum from the synthesis rule —
+    one wrong LZW code width, dictionary entry, or palette lookup
+    anywhere breaks the hash."""
+    from news_rss_spark.operators.multimodal import (
+        decode_stats,
+        synth_gif_media,
+    )
+    d = _t(spark, sf_dir, "documents")
+    stats = decode_stats(synth_gif_media(d))
+    return stats.select("media_id", "kind", "decoded", "width", "height",
+                        "px_sum")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -1757,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "gif_decode_stats": q_gif_decode_stats,
         "paragraph_dedup": q_paragraph_dedup,
         "dedup_keep_best": q_dedup_keep_best,
         "semdedup": q_semdedup,
@@ -1906,6 +1925,21 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bits
 def oracle_sql() -> dict[str, str]:
     return {
         # --- round-3 additions ----------------------------------------
+        "gif_decode_stats": """
+WITH m AS (
+  SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS media_id,
+         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents
+)
+SELECT m.media_id, 'image' AS kind, true AS decoded,
+       CAST(m.w AS INTEGER) AS width, CAST(m.h AS INTEGER) AS height,
+       CAST(SUM((t.k * 11 + m.i) % 256
+                + ((t.k * 11 + m.i) % 256 * 3) % 256
+                + ((t.k * 11 + m.i) % 256 * 7) % 256) AS BIGINT) AS px_sum
+FROM m, generate_series(0, 47) AS t(k)
+WHERE t.k < m.w * m.h
+GROUP BY m.media_id, m.w, m.h
+""",
         "paragraph_dedup": r"""
 WITH base AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -6,10 +6,13 @@ batched functions over ``mapInPandas``.
 
 Decode is REAL for the formats a pure-Python codec can handle — binary
 PPM (P6) images, PNG (8-bit RGB/RGBA, all five scanline filters, CRC
-checked — ``decode_png``/``encode_png`` from scratch over stdlib zlib)
-and 16-bit PCM WAV audio (``decode_ppm`` / ``decode_wav`` below;
-``synth_media`` / ``synth_png_media`` generate decodable payloads
-deterministically) — including an actual nearest-neighbour image resize.
+checked — ``decode_png``/``encode_png`` from scratch over stdlib zlib),
+GIF (87a/89a still frames: from-scratch LZW with variable code widths
+and CLEAR/EOI/"cScSc" handling, global/local color tables —
+``decode_gif``/``encode_gif``) and 16-bit PCM WAV audio (``decode_ppm``
+/ ``decode_wav`` below; ``synth_media`` / ``synth_png_media`` /
+``synth_gif_media`` generate decodable payloads deterministically) —
+including an actual nearest-neighbour image resize.
 The remaining compressed codecs (JPEG/MP3/H.264) would need
 PIL/librosa/av, which are not in this container: those payloads fall
 back to a deterministic sha1 stand-in feature at a clearly-marked call
@@ -250,6 +253,209 @@ def zlib_crc32(data: bytes) -> int:
     return _z.crc32(data) & 0xFFFFFFFF
 
 
+# --------------------------------------------------------------- GIF (LZW)
+
+GIF_MAX_CODE_WIDTH = 12  # GIF89a spec appendix F: codes never exceed 12 bits
+
+
+def _lzw_encode_gif(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW compression of an index stream, from scratch.
+
+    Emits CLEAR first, grows the code width exactly when the largest
+    code the decoder might next receive needs another bit (width = bit
+    length of next_code-1, the encoder/decoder-symmetric rule — the
+    decoder's table lags the encoder's by one entry and may receive
+    code == its own next slot, the "cScSc" case, so both sides need
+    width for the same value), and resets the dictionary with CLEAR
+    when the 12-bit code space fills."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def width_for(next_code: int) -> int:
+        return min(GIF_MAX_CODE_WIDTH,
+                   max(min_code_size + 1, (next_code - 1).bit_length()))
+
+    table = {bytes([i]): i for i in range(1 << min_code_size)}
+    next_code = eoi + 1
+    emit(clear, min_code_size + 1)
+    prefix = b""
+    for b in indices:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width_for(next_code))
+        if next_code < (1 << GIF_MAX_CODE_WIDTH):
+            table[cand] = next_code
+            next_code += 1
+        else:
+            emit(clear, GIF_MAX_CODE_WIDTH)
+            table = {bytes([i]): i for i in range(1 << min_code_size)}
+            next_code = eoi + 1
+        prefix = bytes([b])
+    if prefix:
+        emit(table[prefix], width_for(next_code))
+        next_code += 1  # the decoder will add an entry after this code
+    emit(eoi, width_for(next_code))
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int,
+                    max_out: int) -> bytes:
+    """GIF-variant LZW decompression, from scratch: LSB-first bit
+    reader, CLEAR/EOI handling, the code==next ("cScSc") special case,
+    and a hard ``max_out`` cap — image data can never expand past the
+    pixel count the image descriptor promised (the same bomb contract
+    as decode_png's capped inflate)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = {i: bytes([i]) for i in range(1 << min_code_size)}
+    table = dict(base)
+    next_code = eoi + 1
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        # width must fit the largest code we might receive: up to and
+        # including our own next free slot (the cScSc case)
+        width = min(GIF_MAX_CODE_WIDTH,
+                    max(min_code_size + 1, next_code.bit_length()))
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = dict(base)
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("GIF pixel data exceeds descriptor dimensions")
+        if prev is not None and next_code < (1 << GIF_MAX_CODE_WIDTH):
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        prev = entry
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Real GIF87a encode from scratch: (h, w) uint8 palette indices +
+    (256, 3) uint8 global color table -> header + logical screen
+    descriptor + GCT + image descriptor + LZW-compressed data in
+    <=255-byte sub-blocks + trailer."""
+    import struct
+    if indices.ndim != 2:
+        raise ValueError("encode_gif wants (h, w) uint8 indices")
+    if palette.shape != (256, 3):
+        raise ValueError("encode_gif wants a (256, 3) palette")
+    h, w = indices.shape
+    lsd = struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # GCT, 256 entries
+    desc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    lzw = _lzw_encode_gif(indices.astype(np.uint8).tobytes())
+    blocks = bytearray([8])  # LZW minimum code size
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (b"GIF87a" + lsd + palette.astype(np.uint8).tobytes()
+            + desc + bytes(blocks) + b"\x3B")
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Real GIF decode, from scratch: header + logical screen descriptor,
+    global/local color table, extension-block skip (GIF89a), first image
+    descriptor, LZW decompression (capped at the descriptor's pixel
+    count), palette mapping -> (h, w, 3) uint8.  Still-image profile:
+    interlaced images and frames without any color table raise
+    ValueError so the skip-row / fallback contracts absorb them."""
+    import struct
+    if not payload or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    _, _, packed, _, _ = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=n * 3,
+                            offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            _, _, w, h, ipacked = struct.unpack("<HHHHB",
+                                                payload[pos + 1:pos + 10])
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, dtype=np.uint8, count=n * 3,
+                                   offset=pos).reshape(n, 3)
+                pos += n * 3
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            if w <= 0 or h <= 0:
+                raise ValueError(f"invalid GIF dimensions {w}x{h}")
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                chunk = payload[pos + 1:pos + 1 + ln]
+                if len(chunk) < ln:
+                    raise ValueError("truncated GIF data sub-block")
+                data += chunk
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _lzw_decode_gif(bytes(data), min_code_size, w * h),
+                dtype=np.uint8)
+            if idx.size != w * h:
+                raise ValueError("GIF pixel count mismatch")
+            if int(idx.max(initial=0)) >= ct.shape[0]:
+                raise ValueError("GIF index outside color table")
+            return ct[idx.reshape(h, w)]
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF has no image descriptor")
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Real audio decode for PCM WAV via the stdlib wave module ->
     (int16 sample array [n_frames, n_channels] flattened, sample_rate).
@@ -293,6 +499,8 @@ def decode_real(payload: bytes, kind: str):
     - image + P6 magic   -> decode_ppm -> (h, w, 3) uint8 array
     - image + PNG magic  -> decode_png -> (h, w, 3|4) uint8 array (REAL
       compressed-format decode: zlib inflate + filters 0-4, from scratch)
+    - image + GIF magic  -> decode_gif -> (h, w, 3) uint8 array (REAL
+      compressed-format decode: from-scratch LZW + palette mapping)
     - audio + RIFF magic -> decode_wav -> (int16 samples, rate)
     - anything else      -> NotImplementedError (library call goes here,
       e.g. PIL.Image.open(io.BytesIO(payload)) for JPEG, librosa for MP3)
@@ -301,6 +509,8 @@ def decode_real(payload: bytes, kind: str):
         return decode_ppm(payload)
     if kind == "image" and payload and payload.startswith(PNG_SIG):
         return decode_png(payload)
+    if kind == "image" and payload and payload[:4] == b"GIF8":
+        return decode_gif(payload)
     if kind == "audio" and payload and payload.startswith(b"RIFF"):
         return decode_wav(payload)
     raise NotImplementedError(
@@ -529,6 +739,38 @@ def synth_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 arr = (grid % 256).astype(np.uint8).reshape(h, w, c)
                 rows.append((str(i), "image", encode_png(arr),
                              "image/png", w, h, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "mime", "width", "height",
+                "duration_ms",
+            ]).astype({"width": "Int32", "height": "Int32",
+                       "duration_ms": "Int32"})
+
+    return df.select(id_col).mapInPandas(fn, MEDIA_DDL)
+
+
+def synth_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL GIF payloads, distributed (mapInPandas): every
+    id becomes a 256-color GIF87a still frame with closed-form content —
+    w = 4+i%5, h = 3+i%4, index of pixel k = (11k+i)%256, palette entry
+    j = (j, 3j%256, 7j%256) — so a SQL oracle re-derives the decoded RGB
+    byte sum from the rule alone; one wrong LZW code width, dictionary
+    entry, or palette lookup anywhere in the codec breaks the hash."""
+    palette = np.stack([
+        np.arange(256, dtype=np.int64) % 256,
+        (np.arange(256, dtype=np.int64) * 3) % 256,
+        (np.arange(256, dtype=np.int64) * 7) % 256,
+    ], axis=1).astype(np.uint8)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                w, h = 4 + i % 5, 3 + i % 4
+                idx = ((np.arange(h * w, dtype=np.int64) * 11 + i) % 256) \
+                    .astype(np.uint8).reshape(h, w)
+                rows.append((str(i), "image", encode_gif(idx, palette),
+                             "image/gif", w, h, None))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "payload", "mime", "width", "height",
                 "duration_ms",

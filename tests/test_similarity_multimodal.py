@@ -386,6 +386,133 @@ class TestPngCodec:
         assert all(r["decoded"] for r in png)
 
 
+class TestGifCodec:
+    """From-scratch GIF/LZW: round-trips through code-width growth, the
+    4096-entry dictionary reset and the cScSc special case; structural
+    rejection; the pixel-count decompression cap; 89a extension skip."""
+
+    def _pal(self):
+        import numpy as np
+        return np.stack([np.arange(256) % 256, (np.arange(256) * 3) % 256,
+                         (np.arange(256) * 7) % 256], axis=1) \
+            .astype(np.uint8)
+
+    def test_roundtrip_shapes_and_dictionary_regimes(self):
+        import numpy as np
+
+        from news_rss_spark.operators.multimodal import (
+            decode_gif, encode_gif,
+        )
+
+        pal = self._pal()
+        rng = np.random.RandomState(3)
+        cases = [
+            ((np.arange(4 * 7) * 11 % 256).astype(np.uint8)
+             .reshape(4, 7),                              # synth rule
+            ),
+            (rng.randint(0, 256, (120, 120), dtype=np.uint8),),  # width
+            # growth 9->12 bits AND the 4096-entry CLEAR/reset
+            (np.full((64, 64), 9, dtype=np.uint8),),      # pure cScSc run
+            (np.tile(rng.randint(0, 4, (2, 4)).astype(np.uint8),
+                     (40, 40)),),                         # long dict chains
+            (np.zeros((1, 1), dtype=np.uint8),),          # single pixel
+        ]
+        for (idx,) in cases:
+            got = decode_gif(encode_gif(idx, pal))
+            assert got.shape == (*idx.shape, 3)
+            assert (got == pal[idx]).all()
+
+    def test_rejects_garbage_truncation_and_interlace(self):
+        import numpy as np
+        import pytest
+
+        from news_rss_spark.operators.multimodal import (
+            decode_gif, encode_gif,
+        )
+
+        idx = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        good = encode_gif(idx, self._pal())
+        with pytest.raises(ValueError, match="not a GIF"):
+            decode_gif(b"NOTGIF" + good[6:])
+        with pytest.raises(ValueError, match="truncated GIF header"):
+            decode_gif(good[:10])
+        # cut inside the LZW sub-blocks
+        with pytest.raises(ValueError, match="truncated|no EOI"):
+            decode_gif(good[:13 + 768 + 12])
+        # flip the interlace bit in the image descriptor's packed byte
+        bad = bytearray(good)
+        bad[13 + 768 + 9] |= 0x40
+        with pytest.raises(ValueError, match="interlaced"):
+            decode_gif(bytes(bad))
+
+    def test_lzw_output_capped_by_descriptor_dimensions(self):
+        """Image data decompressing past the descriptor's w*h must
+        ValueError (skip row), never balloon executor memory."""
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from news_rss_spark.operators.multimodal import (
+            _lzw_encode_gif, decode_gif,
+        )
+
+        pal = self._pal()
+        # LZW stream for 10_000 pixels behind a descriptor claiming 2x2
+        lzw = _lzw_encode_gif(bytes(10_000))
+        lsd = struct.pack("<HHBBB", 2, 2, 0x80 | 0x07, 0, 0)
+        desc = struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+        blocks = bytearray([8])
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off:off + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+        payload = (b"GIF87a" + lsd + pal.tobytes() + desc + bytes(blocks)
+                   + b"\x3B")
+        with pytest.raises(ValueError, match="exceeds descriptor"):
+            decode_gif(payload)
+
+    def test_gif89a_extension_blocks_are_skipped(self):
+        import numpy as np
+
+        from news_rss_spark.operators.multimodal import (
+            decode_gif, encode_gif,
+        )
+
+        idx = (np.arange(20, dtype=np.uint8) * 11 % 256).reshape(4, 5)
+        pal = self._pal()
+        good = encode_gif(idx, pal)
+        # rewrite as 89a with a graphic-control extension before the
+        # image descriptor (label 0xF9, one 4-byte sub-block, terminator)
+        gce = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+        hdr_end = 13 + 768
+        patched = (b"GIF89a" + good[6:hdr_end] + gce + good[hdr_end:])
+        assert (decode_gif(patched) == pal[idx]).all()
+
+    def test_decode_stats_and_features_real_for_gif(self, spark):
+        from pyspark.sql import functions as F
+
+        from news_rss_spark.operators.multimodal import (
+            decode_stats, extract_features, synth_gif_media,
+        )
+
+        d = spark.range(6).withColumnRenamed("id", "doc_id")
+        stats = decode_stats(synth_gif_media(d)).collect()
+        assert all(r["decoded"] for r in stats)
+        # hand-check one row: doc_id=2 -> w=6,h=5, pixel k index (11k+2)%256
+        import numpy as np
+        i = 2
+        w, h = 4 + i % 5, 3 + i % 4
+        v = (np.arange(w * h) * 11 + i) % 256
+        want = int((v + v * 3 % 256 + v * 7 % 256).sum())
+        row = {r["media_id"]: r for r in stats}[str(i)]
+        assert (row["width"], row["height"], row["px_sum"]) == (w, h, want)
+        feats = extract_features(synth_gif_media(d)) \
+            .filter(F.col("decoded")).count()
+        assert feats == 6
+
+
 class TestPQ:
     """Product quantization: encode shape, ADC recall, plan shape."""
 
