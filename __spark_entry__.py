@@ -755,6 +755,18 @@ def q_shard_packing(spark, sf_dir):
     return out.select("doc_id", F.col("prefix_sum"), "shard_id")
 
 
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle into 16 training shards
+    (operators/packing.py shuffle_into_shards): content-stable salted
+    md5 permutation, shard = hash mod 16, within-shard position = hash
+    rank.  The physical plan is exactly the shuffled-shard writer's
+    work — one hash shuffle + per-shard sort, no global sort."""
+    from news_rss_spark.operators.packing import shuffle_into_shards
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_into_shards(d, n_shards=16, salt="shuffle-v1")
+    return out.select("doc_id", "shard", "pos")
+
+
 def q_concat_chunk(spark, sf_dir):
     """Concat-and-split sequence packing: documents laid out on one
     global token axis (distributed two-phase prefix sum, no global
@@ -1776,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-3 additions (no prior driver row) ------------------
         "gif_decode_stats": q_gif_decode_stats,
+        "corpus_shuffle": q_corpus_shuffle,
         "paragraph_dedup": q_paragraph_dedup,
         "dedup_keep_best": q_dedup_keep_best,
         "semdedup": q_semdedup,
@@ -1939,6 +1952,18 @@ SELECT m.media_id, 'image' AS kind, true AS decoded,
 FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
+""",
+        "corpus_shuffle": """
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)),
+                             1, 15) AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 16 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
 """,
         "paragraph_dedup": r"""
 WITH base AS (

@@ -162,3 +162,38 @@ def concat_and_chunk(df: DataFrame, chunk_tokens: int,
         F.least(n, (cid + 1) * c - p).cast("long").alias("doc_end"),
         F.greatest(p - cid * c, F.lit(0)).cast("long").alias("chunk_off"),
     )
+
+
+def shuffle_into_shards(df: DataFrame, n_shards: int,
+                        salt: str = "shuffle-v1",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global corpus shuffle into ``n_shards`` output
+    shards — the shuffled-shard writer every pretraining pipeline runs
+    last, so that a sequential reader of shard files sees documents in
+    content-independent random order (adjacent crawl/source documents
+    must not land adjacent in training batches).
+
+    The permutation is a content-stable salted hash (same draw idiom as
+    ``stratified_sample``): ``h = md5(salt ':' id)`` 63-bit slice,
+    ``shard = h mod n_shards``, within-shard position = rank of ``h``
+    inside the shard.  Re-running with the same salt reproduces the
+    exact layout (resumable writes); changing the salt is a fresh
+    epoch-level reshuffle.
+
+    Plan shape, chosen for 100 TB: one hash shuffle on ``shard`` and a
+    per-shard sort — ``row_number() over (partition by shard order by
+    h, id)`` — which is EXACTLY the physical work a shuffled writer
+    must do anyway (``repartition(shard).sortWithinPartitions(h)``);
+    shards are uniform by construction (hash-balanced), so the window
+    never sees a skewed partition.  No global sort, no driver state.
+    """
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"),
+                       F.col(id_col).cast("string"))), 1, 15), 16, 10) \
+        .cast("long")
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (df.withColumn("h", h)
+            .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards))
+                        .cast("int"))
+            .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+            .drop("h"))

@@ -137,3 +137,66 @@ def test_duplicate_order_col_rejected(spark):
         [(1, 10), (2, 20), (2, 30), (3, 40)], "k int, v int")
     with pytest.raises(ValueError, match="duplicate"):
         with_global_prefix_sum(df, "k", "v").collect()
+
+
+class TestShuffleIntoShards:
+    """Deterministic corpus shuffle: stable under re-run, re-rolled by
+    salt, positions contiguous per shard, hash-balanced shards."""
+
+    def _df(self, spark, n=400):
+        return spark.range(n).withColumnRenamed("id", "doc_id")
+
+    def test_deterministic_and_salt_rerolls(self, spark):
+        from news_rss_spark.operators.packing import shuffle_into_shards
+
+        d = self._df(spark)
+        a = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in shuffle_into_shards(d, 16).collect()}
+        b = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in shuffle_into_shards(d, 16).collect()}
+        assert a == b
+        c = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in shuffle_into_shards(d, 16, salt="epoch-2").collect()}
+        assert c != a
+
+    def test_positions_contiguous_and_shards_balanced(self, spark):
+        from collections import Counter
+
+        from news_rss_spark.operators.packing import shuffle_into_shards
+
+        rows = shuffle_into_shards(self._df(spark), 8).collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert set(by_shard) <= set(range(8))
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(len(poss))), shard
+        sizes = Counter(r["shard"] for r in rows)
+        # 400 docs over 8 hash-balanced shards: no shard empty or huge
+        assert all(20 <= sizes[s] <= 90 for s in sizes)
+
+    def test_shuffle_breaks_input_adjacency(self, spark):
+        """Consecutive doc_ids must not stay consecutive within a shard
+        (the whole point of the epoch shuffle)."""
+        from news_rss_spark.operators.packing import shuffle_into_shards
+
+        rows = shuffle_into_shards(self._df(spark, 1000), 4).collect()
+        order = {}
+        for r in rows:
+            order.setdefault(r["shard"], {})[r["pos"]] = r["doc_id"]
+        adjacent = 0
+        total = 0
+        for shard, m in order.items():
+            for p in range(len(m) - 1):
+                total += 1
+                if abs(m[p + 1] - m[p]) == 1:
+                    adjacent += 1
+        assert total > 0 and adjacent / total < 0.05
+
+    def test_single_hash_shuffle_in_plan(self, spark):
+        from news_rss_spark.operators.packing import shuffle_into_shards
+
+        plan = shuffle_into_shards(self._df(spark), 16) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SinglePartition" not in plan
