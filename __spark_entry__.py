@@ -1761,6 +1761,25 @@ def q_png_decode_stats(spark, sf_dir):
                         "px_sum")
 
 
+def q_jpeg_decode_stats(spark, sf_dir):
+    """From-scratch baseline-JPEG decode, oracle-checked:
+    synth_jpeg_media emits real JPEGs whose 8x8 blocks are flat (DC-only
+    under a unit quant table, so baseline JPEG is bit-exact on them;
+    kernel/jpegx.py decode_jpeg does the full marker walk + DHT-driven
+    Huffman entropy decode + dezigzag + dequantize + exact IDCT), and
+    the DuckDB oracle re-derives width/height and the exact decoded
+    pixel-byte sum from the synthesis rule — one wrong Huffman bit, DC
+    predictor update, zigzag slot, or IDCT scale anywhere breaks it."""
+    from news_rss_spark.operators.multimodal import (
+        decode_stats,
+        synth_jpeg_media,
+    )
+    d = _t(spark, sf_dir, "documents")
+    stats = decode_stats(synth_jpeg_media(d))
+    return stats.select("media_id", "kind", "decoded", "width", "height",
+                        "px_sum")
+
+
 def q_gif_decode_stats(spark, sf_dir):
     """From-scratch GIF decode, oracle-checked: synth_gif_media emits
     real 256-color GIF87a frames (operators/multimodal.py decode_gif
@@ -1787,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "jpeg_decode_stats": q_jpeg_decode_stats,
         "gif_decode_stats": q_gif_decode_stats,
         "corpus_shuffle": q_corpus_shuffle,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1938,6 +1958,22 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bits
 def oracle_sql() -> dict[str, str]:
     return {
         # --- round-3 additions ----------------------------------------
+        "jpeg_decode_stats": """
+WITH m AS (
+  SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS media_id,
+         8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
+         (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+  FROM documents
+)
+SELECT m.media_id, 'image' AS kind, true AS decoded,
+       CAST(m.w AS INTEGER) AS width, CAST(m.h AS INTEGER) AS height,
+       CAST(64 * SUM(CASE WHEN m.i % 2 = 0 THEN (t.k * 37 + m.i) % 256
+            ELSE (t.k * 37 + m.i) % 256 + (t.k * 53 + m.i) % 256
+                 + (t.k * 89 + m.i) % 256 END) AS BIGINT) AS px_sum
+FROM m, generate_series(0, 5) AS t(k)
+WHERE t.k < m.nb
+GROUP BY m.media_id, m.w, m.h
+""",
         "gif_decode_stats": """
 WITH m AS (
   SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS media_id,

@@ -9,12 +9,15 @@ PPM (P6) images, PNG (8-bit RGB/RGBA, all five scanline filters, CRC
 checked — ``decode_png``/``encode_png`` from scratch over stdlib zlib),
 GIF (87a/89a still frames: from-scratch LZW with variable code widths
 and CLEAR/EOI/"cScSc" handling, global/local color tables —
-``decode_gif``/``encode_gif``) and 16-bit PCM WAV audio (``decode_ppm``
-/ ``decode_wav`` below; ``synth_media`` / ``synth_png_media`` /
-``synth_gif_media`` generate decodable payloads deterministically) —
+``decode_gif``/``encode_gif``), baseline JPEG (``kernel.jpegx``:
+from-scratch Huffman entropy decode off the file's own DHT tables,
+zigzag, dequantize, exact orthonormal IDCT — grayscale + 4:4:4) and
+16-bit PCM WAV audio (``decode_ppm`` / ``decode_wav`` below;
+``synth_media`` / ``synth_png_media`` / ``synth_gif_media`` /
+``synth_jpeg_media`` generate decodable payloads deterministically) —
 including an actual nearest-neighbour image resize.
-The remaining compressed codecs (JPEG/MP3/H.264) would need
-PIL/librosa/av, which are not in this container: those payloads fall
+The remaining compressed codecs (MP3/H.264) would need
+librosa/av, which are not in this container: those payloads fall
 back to a deterministic sha1 stand-in feature at a clearly-marked call
 site, and every feature row carries an explicit ``decoded`` status
 column so real and stand-in features are never silently mixed.  The
@@ -494,16 +497,19 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 def decode_real(payload: bytes, kind: str):
     """Real decode where a pure-Python codec exists; the compressed-codec
-    paths (JPEG/PNG/MP3/H.264) still require PIL/librosa/av and raise.
+    paths (MP3/H.264) still require librosa/av and raise.
 
     - image + P6 magic   -> decode_ppm -> (h, w, 3) uint8 array
     - image + PNG magic  -> decode_png -> (h, w, 3|4) uint8 array (REAL
       compressed-format decode: zlib inflate + filters 0-4, from scratch)
     - image + GIF magic  -> decode_gif -> (h, w, 3) uint8 array (REAL
       compressed-format decode: from-scratch LZW + palette mapping)
+    - image + SOI magic  -> kernel.jpegx.decode_jpeg -> (h, w) or
+      (h, w, 3) uint8 (REAL baseline-JPEG decode: Huffman + zigzag +
+      dequant + IDCT, from scratch)
     - audio + RIFF magic -> decode_wav -> (int16 samples, rate)
     - anything else      -> NotImplementedError (library call goes here,
-      e.g. PIL.Image.open(io.BytesIO(payload)) for JPEG, librosa for MP3)
+      e.g. librosa for MP3, av for H.264)
     """
     if kind == "image" and payload and payload.startswith(b"P6"):
         return decode_ppm(payload)
@@ -511,11 +517,14 @@ def decode_real(payload: bytes, kind: str):
         return decode_png(payload)
     if kind == "image" and payload and payload[:4] == b"GIF8":
         return decode_gif(payload)
+    if kind == "image" and payload and payload[:2] == b"\xff\xd8":
+        from news_rss_spark.kernel.jpegx import decode_jpeg
+        return decode_jpeg(payload)
     if kind == "audio" and payload and payload.startswith(b"RIFF"):
         return decode_wav(payload)
     raise NotImplementedError(
         f"no pure-Python codec for kind={kind} with this payload; "
-        "wire PIL/librosa/av here for JPEG/MP3/H.264"
+        "wire librosa/av here for MP3/H.264"
     )
 
 
@@ -538,6 +547,8 @@ def _feature_of(payload: bytes, kind: str) -> tuple[np.ndarray, bool]:
     except (NotImplementedError, ValueError):
         return _fake_feature(payload), False
     if kind == "image":
+        if decoded.ndim == 2:  # grayscale (baseline JPEG): equal channels
+            decoded = np.repeat(decoded[:, :, None], 3, axis=2)
         arr = decoded.astype(np.float32)
         h, w = arr.shape[:2]
         mean = arr.mean(axis=(0, 1)) / 255.0
@@ -651,24 +662,35 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             out = pdf.copy()
             new_payloads = []
             for payload, kind in zip(out["payload"], out["kind"]):
+                is_jpeg = bool(payload) and payload[:2] == b"\xff\xd8"
                 if kind == "image" and payload and (
                         payload.startswith(b"P6")
-                        or payload.startswith(PNG_SIG)):
+                        or payload.startswith(PNG_SIG) or is_jpeg):
                     try:
-                        is_png = payload.startswith(PNG_SIG)
-                        arr = _resize_nn(
-                            decode_png(payload) if is_png
-                            else decode_ppm(payload), target_w, target_h)
-                        new_payloads.append(
-                            encode_png(arr) if is_png else encode_ppm(arr))
+                        if is_jpeg:
+                            from news_rss_spark.kernel.jpegx import (
+                                decode_jpeg, encode_jpeg,
+                            )
+                            arr = _resize_nn(decode_jpeg(payload),
+                                             target_w, target_h)
+                            new_payloads.append(encode_jpeg(arr))
+                        else:
+                            is_png = payload.startswith(PNG_SIG)
+                            arr = _resize_nn(
+                                decode_png(payload) if is_png
+                                else decode_ppm(payload),
+                                target_w, target_h)
+                            new_payloads.append(
+                                encode_png(arr) if is_png
+                                else encode_ppm(arr))
                     except ValueError:
                         # truncated/garbage image: pass through like any
                         # other undecodable payload — one bad image never
                         # aborts the stage
                         new_payloads.append(payload)
                 else:
-                    # PIL.Image.open(...).resize(...) re-encode goes here
-                    # for the remaining compressed formats (JPEG)
+                    # GIF re-encode (palette re-quantization) would go
+                    # here; GIF payloads pass through with metadata only
                     new_payloads.append(payload)
             out["payload"] = new_payloads
             is_img = out["kind"] == "image"
@@ -771,6 +793,46 @@ def synth_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     .astype(np.uint8).reshape(h, w)
                 rows.append((str(i), "image", encode_gif(idx, palette),
                              "image/gif", w, h, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "mime", "width", "height",
+                "duration_ms",
+            ]).astype({"width": "Int32", "height": "Int32",
+                       "duration_ms": "Int32"})
+
+    return df.select(id_col).mapInPandas(fn, MEDIA_DDL)
+
+
+def synth_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL baseline-JPEG payloads, distributed
+    (mapInPandas): every id becomes a flat-8x8-block image — block b
+    (row-major, 1+i%3 wide by 1+i%2 tall) holds value (37b+i)%256, with
+    even ids grayscale and odd ids 3-channel where the extra channels
+    use (53b+i)%256 / (89b+i)%256.  Flat blocks have energy only in the
+    DC coefficient, which baseline JPEG with a unit quant table encodes
+    EXACTLY, so the decode is bit-exact and a SQL oracle re-derives the
+    decoded pixel sum from the rule alone — one wrong Huffman bit,
+    zigzag slot, predictor update, or IDCT scale anywhere breaks it."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from news_rss_spark.kernel.jpegx import encode_jpeg
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                wb, hb = 1 + i % 3, 1 + i % 2
+                b = np.arange(hb * wb, dtype=np.int64).reshape(hb, wb)
+                if i % 2 == 0:
+                    blocks = (b * 37 + i) % 256
+                    arr = np.kron(blocks, np.ones((8, 8), dtype=np.int64)) \
+                        .astype(np.uint8)
+                else:
+                    chans = [(b * 37 + i) % 256, (b * 53 + i) % 256,
+                             (b * 89 + i) % 256]
+                    arr = np.stack(
+                        [np.kron(c, np.ones((8, 8), dtype=np.int64))
+                         for c in chans], axis=2).astype(np.uint8)
+                rows.append((str(i), "image", encode_jpeg(arr),
+                             "image/jpeg", wb * 8, hb * 8, None))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "payload", "mime", "width", "height",
                 "duration_ms",

@@ -513,6 +513,126 @@ class TestGifCodec:
         assert feats == 6
 
 
+class TestJpegCodec:
+    """From-scratch baseline JPEG: bit-exact on flat blocks, bounded
+    error elsewhere, profile rejection, real resize, real features."""
+
+    def test_flat_blocks_roundtrip_bit_exact(self):
+        import numpy as np
+
+        from news_rss_spark.kernel.jpegx import decode_jpeg, encode_jpeg
+
+        for i in range(10):
+            wb, hb = 1 + i % 4, 1 + i % 3
+            blocks = ((np.arange(hb * wb) * 37 + i) % 256).reshape(hb, wb)
+            img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)) \
+                .astype(np.uint8)
+            got = decode_jpeg(encode_jpeg(img))
+            assert got.dtype == np.uint8 and (got == img).all(), i
+        # colour: three flat planes per block
+        img = np.zeros((16, 24, 3), dtype=np.uint8)
+        for by in range(2):
+            for bx in range(3):
+                img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                    [(by * 3 + bx) * 17 % 256, (by + bx) * 43 % 256,
+                     bx * 91 % 256]
+        assert (decode_jpeg(encode_jpeg(img)) == img).all()
+
+    def test_arbitrary_images_near_lossless_at_unit_quant(self):
+        import numpy as np
+
+        from news_rss_spark.kernel.jpegx import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(5)
+        gray = rng.randint(0, 256, (21, 29), dtype=np.uint8)  # pads 8x
+        got = decode_jpeg(encode_jpeg(gray))
+        assert got.shape == gray.shape
+        assert np.abs(got.astype(int) - gray.astype(int)).max() <= 2
+        col = rng.randint(0, 256, (13, 10, 3), dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg(col))
+        assert np.abs(got.astype(int) - col.astype(int)).max() <= 2
+
+    def test_lossy_quant_table_decodes_with_bounded_error(self):
+        import numpy as np
+
+        from news_rss_spark.kernel.jpegx import decode_jpeg, encode_jpeg
+
+        q = np.full((8, 8), 16, dtype=np.int64)
+        q[0, 0] = 8
+        img = (np.outer(np.arange(32), np.ones(40)) * 5 % 256) \
+            .astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img, qtable=q))
+        assert np.abs(got.astype(int) - img.astype(int)).mean() < 20
+
+    def test_rejects_garbage_truncation_and_out_of_profile(self):
+        import numpy as np
+        import pytest
+
+        from news_rss_spark.kernel.jpegx import decode_jpeg, encode_jpeg
+
+        img = np.full((8, 8), 100, dtype=np.uint8)
+        good = encode_jpeg(img)
+        with pytest.raises(ValueError, match="not a JPEG"):
+            decode_jpeg(b"\x00\x00" + good[2:])
+        with pytest.raises(ValueError):
+            decode_jpeg(good[:30])          # truncated mid-segment
+        with pytest.raises(ValueError):
+            decode_jpeg(good[:-20] if len(good) > 40 else good[:-4])
+        # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+        prog = bytearray(good)
+        sof_at = good.find(b"\xFF\xC0")
+        prog[sof_at + 1] = 0xC2
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bytes(prog))
+        # 4:2:0 subsampling: set the first component's h/v factors to 2x2
+        sub = bytearray(good)
+        sub[sof_at + 11] = 0x22
+        with pytest.raises(ValueError, match="subsampled"):
+            decode_jpeg(bytes(sub))
+
+    def test_resize_really_resamples_jpeg(self, spark):
+        import numpy as np
+
+        from news_rss_spark.kernel.jpegx import decode_jpeg, encode_jpeg
+        from news_rss_spark.operators.multimodal import resize_images
+
+        img = np.full((16, 16), 77, dtype=np.uint8)
+        rows = [("j1", "image", encode_jpeg(img), "image/jpeg",
+                 16, 16, None)]
+        media = spark.createDataFrame(
+            rows, "media_id string, kind string, payload binary, "
+                  "mime string, width int, height int, duration_ms int")
+        out = resize_images(media, 4, 4).collect()[0]
+        arr = decode_jpeg(bytes(out["payload"]))
+        assert arr.shape == (4, 4) and (arr == 77).all()
+        assert (out["width"], out["height"]) == (4, 4)
+
+    def test_decode_stats_and_features_real_for_jpeg(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from news_rss_spark.operators.multimodal import (
+            decode_stats, extract_features, synth_jpeg_media,
+        )
+
+        d = spark.range(8).withColumnRenamed("id", "doc_id")
+        stats = {r["media_id"]: r
+                 for r in decode_stats(synth_jpeg_media(d)).collect()}
+        assert all(r["decoded"] for r in stats.values())
+        # hand-check one colour row: i=3 -> 1x2 blocks of flat colour
+        i = 3
+        wb, hb = 1 + i % 3, 1 + i % 2
+        b = np.arange(hb * wb)
+        want = int(64 * (((b * 37 + i) % 256) + ((b * 53 + i) % 256)
+                         + ((b * 89 + i) % 256)).sum())
+        row = stats[str(i)]
+        assert (row["width"], row["height"], row["px_sum"]) == \
+            (wb * 8, hb * 8, want)
+        n_real = extract_features(synth_jpeg_media(d)) \
+            .filter(F.col("decoded")).count()
+        assert n_real == 8
+
+
 class TestPQ:
     """Product quantization: encode shape, ADC recall, plan shape."""
 
