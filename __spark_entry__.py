@@ -1761,6 +1761,24 @@ def q_png_decode_stats(spark, sf_dir):
                         "px_sum")
 
 
+def q_adpcm_decode_stats(spark, sf_dir):
+    """From-scratch compressed-audio decode, oracle-checked:
+    synth_adpcm_media emits real IMA-ADPCM WAVs (format 0x0011, 4
+    bits/sample; operators/multimodal.py decode_adpcm_wav does the RIFF
+    chunk walk + per-block predictor/index headers + step-table nibble
+    expansion) of constant-amplitude signals, which round-trip
+    bit-exactly — the DuckDB oracle re-derives the decoded sample count
+    AND the exact decoded sample sum from the synthesis rule."""
+    from news_rss_spark.operators.multimodal import (
+        decode_stats,
+        synth_adpcm_media,
+    )
+    d = _t(spark, sf_dir, "documents")
+    stats = decode_stats(synth_adpcm_media(d))
+    return stats.select("media_id", "kind", "decoded", "n_samples",
+                        "sample_rate", "sample_sum")
+
+
 def q_jpeg_decode_stats(spark, sf_dir):
     """From-scratch baseline-JPEG decode, oracle-checked:
     synth_jpeg_media emits real JPEGs whose 8x8 blocks are flat (DC-only
@@ -1806,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "adpcm_decode_stats": q_adpcm_decode_stats,
         "jpeg_decode_stats": q_jpeg_decode_stats,
         "gif_decode_stats": q_gif_decode_stats,
         "corpus_shuffle": q_corpus_shuffle,
@@ -1958,6 +1977,15 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bits
 def oracle_sql() -> dict[str, str]:
     return {
         # --- round-3 additions ----------------------------------------
+        "adpcm_decode_stats": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id, 'audio' AS kind,
+       true AS decoded,
+       CAST(64 + doc_id % 64 AS INTEGER) AS n_samples,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST((64 + doc_id % 64) * ((doc_id * 97) % 4096 - 2048) AS BIGINT)
+         AS sample_sum
+FROM documents
+""",
         "jpeg_decode_stats": """
 WITH m AS (
   SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS media_id,

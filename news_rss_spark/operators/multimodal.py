@@ -11,11 +11,14 @@ GIF (87a/89a still frames: from-scratch LZW with variable code widths
 and CLEAR/EOI/"cScSc" handling, global/local color tables —
 ``decode_gif``/``encode_gif``), baseline JPEG (``kernel.jpegx``:
 from-scratch Huffman entropy decode off the file's own DHT tables,
-zigzag, dequantize, exact orthonormal IDCT — grayscale + 4:4:4) and
-16-bit PCM WAV audio (``decode_ppm`` / ``decode_wav`` below;
+zigzag, dequantize, exact orthonormal IDCT — grayscale + 4:4:4),
+16-bit PCM WAV audio (``decode_ppm`` / ``decode_wav`` below) and
+compressed IMA-ADPCM WAV audio (format 0x0011, from-scratch step-table
+nibble expansion — ``decode_adpcm_wav``/``encode_adpcm_wav``;
 ``synth_media`` / ``synth_png_media`` / ``synth_gif_media`` /
-``synth_jpeg_media`` generate decodable payloads deterministically) —
-including an actual nearest-neighbour image resize.
+``synth_jpeg_media`` / ``synth_adpcm_media`` generate decodable
+payloads deterministically) — including an actual nearest-neighbour
+image resize.
 The remaining compressed codecs (MP3/H.264) would need
 librosa/av, which are not in this container: those payloads fall
 back to a deterministic sha1 stand-in feature at a clearly-marked call
@@ -495,6 +498,170 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return buf.getvalue()
 
 
+# ------------------------------------------------- IMA ADPCM (format 0x11)
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(pred: int, index: int, code: int) -> tuple[int, int]:
+    """One IMA ADPCM decoder step: (pred, index) -> updated, for a 4-bit
+    code.  The encoder runs the IDENTICAL update so both sides track the
+    same predictor state (the property that makes the codec work)."""
+    step = _ADPCM_STEPS[index]
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _ADPCM_INDEX_ADJ[code & 7]))
+    return pred, index
+
+
+def encode_adpcm_wav(samples: np.ndarray, rate: int,
+                     block_align: int = 256) -> bytes:
+    """Real compressed-audio encode: 16-bit mono PCM -> IMA ADPCM
+    (WAVE format 0x0011, 4 bits/sample), from scratch.  Each block
+    carries a 4-byte header (int16 predictor seed = the block's first
+    sample + step index), so a constant-amplitude signal round-trips
+    BIT-EXACTLY (all diffs quantize to zero at step 7) — the property
+    the SQL oracle exploits."""
+    import struct
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim != 1 or s.size == 0:
+        raise ValueError("encode_adpcm_wav wants a non-empty mono signal")
+    if (s < -32768).any() or (s > 32767).any():
+        raise ValueError("samples out of int16 range")
+    spb = (block_align - 4) * 2 + 1  # samples per block, mono
+    data = bytearray()
+    index = 0
+    for b0 in range(0, s.size, spb):
+        block = s[b0:b0 + spb]
+        pred = int(block[0])
+        data += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for v in block[1:]:
+            step = _ADPCM_STEPS[index]
+            diff = int(v) - pred
+            code = 0
+            if diff < 0:
+                code = 8
+                diff = -diff
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                code |= 1
+            pred, index = _adpcm_step(pred, index, code)
+            nibbles.append(code)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            data.append(lo | (hi << 4))
+        # pad the final block to block_align (decoder stops at n_samples)
+        pad = block_align - 4 - len(nibbles) // 2
+        data += b"\x00" * pad
+    n = s.size
+    byte_rate = rate * block_align // spb
+    fmt = struct.pack("<HHIIHHHH", 0x0011, 1, rate, byte_rate,
+                      block_align, 4, 2, spb)
+    fact = struct.pack("<I", n)
+    riff = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_adpcm_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real compressed-audio decode: IMA ADPCM WAV (format 0x0011, mono)
+    -> (int16 samples, rate), from scratch — RIFF chunk walk, per-block
+    predictor/index header, 4-bit nibble expansion through the step
+    table.  Malformed/out-of-profile payloads raise ValueError
+    (skip-row contract, same as every other codec here)."""
+    import struct
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    n_samples = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if ln < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+            if fmt[0] != 0x0011:
+                raise ValueError("not an IMA ADPCM WAV (format "
+                                 f"0x{fmt[0]:04x})")
+            if fmt[1] != 1:
+                raise ValueError("only mono IMA ADPCM supported")
+        elif cid == b"fact":
+            (n_samples,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    _, _, rate, _, block_align, _ = fmt
+    if block_align < 5:
+        raise ValueError("invalid ADPCM block align")
+    spb = (block_align - 4) * 2 + 1
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0:b0 + block_align]
+        if len(block) < 4:
+            raise ValueError("truncated ADPCM block header")
+        pred, index, _ = struct.unpack("<hBB", block[:4])
+        if index > 88:
+            raise ValueError("ADPCM step index out of range")
+        out.append(pred)
+        for byte in block[4:]:
+            for code in (byte & 0x0F, byte >> 4):
+                pred, index = _adpcm_step(pred, index, code)
+                out.append(pred)
+    if n_samples is not None:
+        if n_samples > len(out):
+            raise ValueError("ADPCM data shorter than fact sample count")
+        out = out[:n_samples]
+    return np.asarray(out, dtype=np.int16), rate
+
+
+def _wav_format_tag(payload: bytes) -> int:
+    """Walk the RIFF chunks for the fmt tag (1 = PCM, 0x11 = IMA ADPCM);
+    0 when malformed — the PCM decoder then raises its usual error."""
+    import struct
+    if len(payload) < 12 or payload[8:12] != b"WAVE":
+        return 0
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if cid == b"fmt " and ln >= 2 and pos + 10 <= len(payload):
+            return struct.unpack("<H", payload[pos + 8:pos + 10])[0]
+        pos += 8 + ln + (ln & 1)
+    return 0
+
+
 def decode_real(payload: bytes, kind: str):
     """Real decode where a pure-Python codec exists; the compressed-codec
     paths (MP3/H.264) still require librosa/av and raise.
@@ -521,6 +688,8 @@ def decode_real(payload: bytes, kind: str):
         from news_rss_spark.kernel.jpegx import decode_jpeg
         return decode_jpeg(payload)
     if kind == "audio" and payload and payload.startswith(b"RIFF"):
+        if _wav_format_tag(payload) == 0x0011:
+            return decode_adpcm_wav(payload)
         return decode_wav(payload)
     raise NotImplementedError(
         f"no pure-Python codec for kind={kind} with this payload; "
@@ -593,7 +762,8 @@ def extract_features(media: DataFrame, batch_kind: str | None = None) -> DataFra
 
 DECODE_STATS_DDL = (
     "media_id string, kind string, n_bytes bigint, decoded boolean, "
-    "width int, height int, px_sum bigint, n_samples int, sample_rate int"
+    "width int, height int, px_sum bigint, n_samples int, sample_rate int, "
+    "sample_sum bigint"
 )
 
 
@@ -619,23 +789,25 @@ def decode_stats(media: DataFrame) -> DataFrame:
                     decoded = decode_real(payload, kind)
                 except (NotImplementedError, ValueError):
                     rows.append((mid, kind, n_bytes, False,
-                                 None, None, None, None, None))
+                                 None, None, None, None, None, None))
                     continue
                 if kind == "image":
                     h, w = decoded.shape[:2]
                     rows.append((mid, kind, n_bytes, True, w, h,
                                  int(decoded.astype(np.int64).sum()),
-                                 None, None))
+                                 None, None, None))
                 else:
                     samples, rate = decoded
                     rows.append((mid, kind, n_bytes, True, None, None,
-                                 None, int(samples.size), int(rate)))
+                                 None, int(samples.size), int(rate),
+                                 int(samples.astype(np.int64).sum())))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "n_bytes", "decoded", "width", "height",
-                "px_sum", "n_samples", "sample_rate",
+                "px_sum", "n_samples", "sample_rate", "sample_sum",
             ]).astype({"n_bytes": "int64", "width": "Int32",
                        "height": "Int32", "px_sum": "Int64",
-                       "n_samples": "Int32", "sample_rate": "Int32"})
+                       "n_samples": "Int32", "sample_rate": "Int32",
+                       "sample_sum": "Int64"})
 
     return (media.select("media_id", "kind", "payload")
             .mapInPandas(fn, DECODE_STATS_DDL))
@@ -793,6 +965,38 @@ def synth_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     .astype(np.uint8).reshape(h, w)
                 rows.append((str(i), "image", encode_gif(idx, palette),
                              "image/gif", w, h, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "mime", "width", "height",
+                "duration_ms",
+            ]).astype({"width": "Int32", "height": "Int32",
+                       "duration_ms": "Int32"})
+
+    return df.select(id_col).mapInPandas(fn, MEDIA_DDL)
+
+
+def synth_adpcm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL IMA-ADPCM payloads, distributed (mapInPandas):
+    every id becomes a compressed mono WAV of n = 64 + i%64 samples at
+    8 kHz, all equal to a = (97i)%4096 - 2048.  A constant signal
+    round-trips BIT-EXACTLY through IMA ADPCM (the block header seeds
+    the predictor with the first sample; every later diff quantizes to
+    zero at step 7), so the SQL oracle re-derives the decoded sample
+    count AND the exact decoded sample sum n*a from the rule — one
+    wrong nibble, step-table entry, predictor clamp, or index
+    adjustment anywhere breaks it."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                n = 64 + i % 64
+                a = (i * 97) % 4096 - 2048
+                payload = encode_adpcm_wav(
+                    np.full(n, a, dtype=np.int64), 8000)
+                rows.append((str(i), "audio", payload,
+                             "audio/x-adpcm", None, None,
+                             int(n * 1000 / 8000)))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "payload", "mime", "width", "height",
                 "duration_ms",

@@ -513,6 +513,84 @@ class TestGifCodec:
         assert feats == 6
 
 
+class TestAdpcmCodec:
+    """From-scratch IMA ADPCM: bit-exact constants, bounded tracking on
+    real signals, multi-block, RIFF dispatch, rejection contract."""
+
+    def test_constant_signals_roundtrip_bit_exact(self):
+        import numpy as np
+
+        from news_rss_spark.operators.multimodal import (
+            decode_adpcm_wav, encode_adpcm_wav,
+        )
+
+        for i in range(12):
+            n = 64 + i % 64
+            a = (i * 97) % 4096 - 2048
+            got, rate = decode_adpcm_wav(
+                encode_adpcm_wav(np.full(n, a, dtype=np.int64), 8000))
+            assert rate == 8000 and got.size == n and (got == a).all()
+
+    def test_sine_tracks_across_blocks(self):
+        import numpy as np
+
+        from news_rss_spark.operators.multimodal import (
+            decode_adpcm_wav, encode_adpcm_wav,
+        )
+
+        t = np.arange(2000)  # > samples-per-block: exercises block resets
+        s = (np.sin(t * 0.05) * 9000).astype(np.int64)
+        got, _ = decode_adpcm_wav(encode_adpcm_wav(s, 16000))
+        assert got.size == s.size
+        assert np.abs(got.astype(np.int64) - s).mean() < 200
+
+    def test_decode_real_dispatches_on_format_tag(self):
+        import numpy as np
+
+        from news_rss_spark.operators.multimodal import (
+            decode_real, encode_adpcm_wav, encode_wav,
+        )
+
+        s = np.full(100, 777, dtype=np.int64)
+        pcm, _ = decode_real(encode_wav(s.astype(np.int16), 8000), "audio")
+        adp, _ = decode_real(encode_adpcm_wav(s, 8000), "audio")
+        assert (pcm == 777).all() and (adp == 777).all()
+
+    def test_rejections(self):
+        import numpy as np
+        import pytest
+
+        from news_rss_spark.operators.multimodal import (
+            decode_adpcm_wav, encode_adpcm_wav, encode_wav,
+        )
+
+        s = np.full(300, 5, dtype=np.int64)
+        good = encode_adpcm_wav(s, 8000)
+        with pytest.raises(ValueError):
+            decode_adpcm_wav(good[:20])
+        with pytest.raises(ValueError, match="truncated"):
+            decode_adpcm_wav(good[:-40])
+        with pytest.raises(ValueError, match="not an IMA ADPCM"):
+            decode_adpcm_wav(encode_wav(s.astype(np.int16), 8000))
+        with pytest.raises(ValueError, match="not a RIFF"):
+            decode_adpcm_wav(b"GARBAGE")
+
+    def test_decode_stats_sample_sum_end_to_end(self, spark):
+        from news_rss_spark.operators.multimodal import (
+            decode_stats, synth_adpcm_media,
+        )
+
+        d = spark.range(9).withColumnRenamed("id", "doc_id")
+        rows = {r["media_id"]: r
+                for r in decode_stats(synth_adpcm_media(d)).collect()}
+        for i in range(9):
+            n = 64 + i % 64
+            a = (i * 97) % 4096 - 2048
+            r = rows[str(i)]
+            assert r["decoded"] and r["n_samples"] == n
+            assert r["sample_rate"] == 8000 and r["sample_sum"] == n * a
+
+
 class TestJpegCodec:
     """From-scratch baseline JPEG: bit-exact on flat blocks, bounded
     error elsewhere, profile rejection, real resize, real features."""
