@@ -1761,6 +1761,24 @@ def q_png_decode_stats(spark, sf_dir):
                         "px_sum")
 
 
+def q_nb_classifier(spark, sf_dir):
+    """Trainable multinomial Naive Bayes classifier
+    (operators/nb_classifier.py): trained ON the corpus with label =
+    (lang == 'en') — the CCNet-style learn-a-quality/language-filter-
+    from-your-own-data recipe — then every document scored with the
+    fitted model.  Training is two hash aggs (the model IS count
+    tables); scoring folds per-token log-odds in position order (the
+    lm_score float-parity contract) so the DuckDB oracle replays
+    train + score exactly."""
+    from news_rss_spark.operators.nb_classifier import nb_score, nb_train
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .filter(F.length(F.trim("text")) > 0)
+         .withColumn("y", F.coalesce(F.col("lang") == "en", F.lit(False))))
+    model = nb_train(d, "y")
+    return nb_score(d, model)
+
+
 def q_adpcm_decode_stats(spark, sf_dir):
     """From-scratch compressed-audio decode, oracle-checked:
     synth_adpcm_media emits real IMA-ADPCM WAVs (format 0x0011, 4
@@ -1824,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "nb_classifier": q_nb_classifier,
         "adpcm_decode_stats": q_adpcm_decode_stats,
         "jpeg_decode_stats": q_jpeg_decode_stats,
         "gif_decode_stats": q_gif_decode_stats,
@@ -1977,6 +1996,46 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bits
 def oracle_sql() -> dict[str, str]:
     return {
         # --- round-3 additions ----------------------------------------
+        "nb_classifier": r"""
+WITH docs AS (
+  SELECT doc_id, COALESCE(lang = 'en', false) AS y,
+         string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+tok AS (
+  SELECT doc_id, y, i AS pos, w[i + 1] AS token
+  FROM docs, UNNEST(generate_series(0, len(w) - 1)) AS u(i)
+  WHERE w[i + 1] <> ''
+),
+stats AS (
+  SELECT token,
+         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+         SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS c_neg
+  FROM tok GROUP BY token
+),
+scal AS (
+  SELECT SUM(c_pos) + COUNT(*) AS dp, SUM(c_neg) + COUNT(*) AS dn
+  FROM stats
+),
+pri AS (
+  SELECT ln(SUM(CASE WHEN y THEN 1 ELSE 0 END) + 1.0)
+       - ln(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) + 1.0) AS p0
+  FROM docs
+),
+contrib AS (
+  SELECT t.doc_id, t.pos,
+         ln((COALESCE(s.c_pos, 0) + 1.0) / (SELECT dp FROM scal))
+       - ln((COALESCE(s.c_neg, 0) + 1.0) / (SELECT dn FROM scal)) AS lo
+  FROM tok t LEFT JOIN stats s USING (token)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(list_aggregate(list(lo ORDER BY pos), 'sum')
+             + (SELECT p0 FROM pri), 6) AS log_odds,
+       round(list_aggregate(list(lo ORDER BY pos), 'sum')
+             + (SELECT p0 FROM pri), 6) > 0 AS predicted
+FROM contrib GROUP BY doc_id
+""",
         "adpcm_decode_stats": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id, 'audio' AS kind,
        true AS decoded,
