@@ -273,6 +273,20 @@ def encode_jpeg(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
 # ------------------------------------------------------------------ decode
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Skip-row boundary for :func:`_decode_jpeg_impl`: segments whose
+    declared lengths lie about their contents surface as IndexError /
+    struct.error from the slicing — exactly the errors malformed bytes
+    produce and nothing a correct file can raise — translated here to
+    the one contracted ValueError (same rationale as decode_wav's
+    wave.Error translation; found by the mutated-bytes hypothesis
+    fuzz)."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG: {exc}") from exc
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     """Baseline sequential JPEG decode, from scratch: marker walk, DQT /
     SOF0 / DHT / SOS parse, Huffman + differential-DC + run/size-AC
     entropy decode with byte unstuffing, dezigzag, dequantize, exact

@@ -1,0 +1,107 @@
+"""Property-based robustness tests for the from-scratch codecs
+(hypothesis): GIF round-trips losslessly on ANY index grid, baseline
+JPEG reconstructs within the rounding bound at unit quantization, IMA
+ADPCM preserves length/rate and decodes deterministically, and every
+codec's decoder either returns or raises ValueError on mutated bytes —
+never any other exception (the skip-row contract)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from news_rss_spark.kernel.jpegx import decode_jpeg, encode_jpeg
+from news_rss_spark.operators.multimodal import (
+    decode_adpcm_wav,
+    decode_gif,
+    encode_adpcm_wav,
+    encode_gif,
+)
+
+_PAL = np.stack([np.arange(256) % 256, (np.arange(256) * 3) % 256,
+                 (np.arange(256) * 7) % 256], axis=1).astype(np.uint8)
+
+dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+class TestGifProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(dims, st.integers(0, 2**32 - 1))
+    def test_lossless_on_any_index_grid(self, wh, seed):
+        w, h = wh
+        idx = np.random.RandomState(seed).randint(
+            0, 256, (h, w)).astype(np.uint8)
+        got = decode_gif(encode_gif(idx, _PAL))
+        assert (got == _PAL[idx]).all()
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(0, 899),
+           st.integers(0, 255))
+    def test_mutated_bytes_return_or_valueerror(self, seed, pos, val):
+        idx = np.random.RandomState(seed).randint(
+            0, 256, (6, 8)).astype(np.uint8)
+        raw = bytearray(encode_gif(idx, _PAL))
+        raw[pos % len(raw)] = val
+        try:
+            out = decode_gif(bytes(raw))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except ValueError:
+            pass
+
+
+class TestJpegProperties:
+    @settings(max_examples=40, deadline=None)
+    @given(dims, st.integers(0, 2**32 - 1), st.booleans())
+    def test_unit_quant_reconstruction_bound(self, wh, seed, color):
+        w, h = wh
+        rng = np.random.RandomState(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img))
+        assert got.shape == img.shape
+        # unit quant table: only coefficient rounding error survives;
+        # worst-case per-pixel bound is a few levels
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 6
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(0, 10_000),
+           st.integers(0, 255))
+    def test_mutated_bytes_return_or_valueerror(self, seed, pos, val):
+        img = np.random.RandomState(seed).randint(
+            0, 256, (9, 11)).astype(np.uint8)
+        raw = bytearray(encode_jpeg(img))
+        raw[pos % len(raw)] = val
+        try:
+            out = decode_jpeg(bytes(raw))
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass
+
+
+class TestAdpcmProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 3000), st.integers(0, 2**32 - 1),
+           st.sampled_from([8000, 16000, 44100]))
+    def test_length_rate_preserved_and_deterministic(self, n, seed, rate):
+        s = np.random.RandomState(seed).randint(
+            -32768, 32768, n).astype(np.int64)
+        payload = encode_adpcm_wav(s, rate)
+        a, ra = decode_adpcm_wav(payload)
+        b, rb = decode_adpcm_wav(payload)
+        assert a.size == n and ra == rate == rb
+        assert (a == b).all()
+        # the first sample rides the block header verbatim
+        assert int(a[0]) == int(s[0])
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(0, 5000),
+           st.integers(0, 255))
+    def test_mutated_bytes_return_or_valueerror(self, seed, pos, val):
+        s = np.random.RandomState(seed).randint(
+            -32768, 32768, 400).astype(np.int64)
+        raw = bytearray(encode_adpcm_wav(s, 8000))
+        raw[pos % len(raw)] = val
+        try:
+            out, _ = decode_adpcm_wav(bytes(raw))
+            assert out.dtype == np.int16
+        except ValueError:
+            pass
