@@ -1816,6 +1816,38 @@ def q_jpeg_decode_stats(spark, sf_dir):
                         "px_sum")
 
 
+def q_mjpeg_decode_stats(spark, sf_dir):
+    """From-scratch motion-JPEG video decode, oracle-checked:
+    synth_mjpeg_media emits real raw MJPEG streams (concatenated
+    baseline JPEGs, 2-4 flat-block grayscale frames each; kernel/jpegx
+    decode_mjpeg walks frame boundaries via the marker walk + required
+    EOI, never a byte scan), and the DuckDB oracle re-derives frame
+    count, dims, and the exact total decoded pixel sum from the
+    synthesis rule — a wrong frame boundary or any single-frame decode
+    bug breaks the hash."""
+    from news_rss_spark.operators.multimodal import (
+        decode_stats,
+        synth_mjpeg_media,
+    )
+    d = _t(spark, sf_dir, "documents")
+    stats = decode_stats(synth_mjpeg_media(d))
+    return stats.select("media_id", "kind", "decoded", "width", "height",
+                        "px_sum", "n_frames")
+
+
+def q_mjpeg_frame_sample(spark, sf_dir):
+    """REAL video frame sampling (every 2nd frame of each MJPEG stream)
+    with integer-exact per-frame stats; the DuckDB oracle re-derives
+    each sampled frame's pixel sum from the synthesis rule, so both the
+    sampling stride and the per-frame decode are checked."""
+    from news_rss_spark.operators.multimodal import (
+        sample_frames,
+        synth_mjpeg_media,
+    )
+    d = _t(spark, sf_dir, "documents")
+    return sample_frames(synth_mjpeg_media(d), every_n=2)
+
+
 def q_gif_decode_stats(spark, sf_dir):
     """From-scratch GIF decode, oracle-checked: synth_gif_media emits
     real 256-color GIF87a frames (operators/multimodal.py decode_gif
@@ -1842,6 +1874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "mjpeg_decode_stats": q_mjpeg_decode_stats,
+        "mjpeg_frame_sample": q_mjpeg_frame_sample,
         "nb_classifier": q_nb_classifier,
         "adpcm_decode_stats": q_adpcm_decode_stats,
         "jpeg_decode_stats": q_jpeg_decode_stats,
@@ -2044,6 +2078,37 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id, 'audio' AS kind,
        CAST((64 + doc_id % 64) * ((doc_id * 97) % 4096 - 2048) AS BIGINT)
          AS sample_sum
 FROM documents
+""",
+        "mjpeg_decode_stats": """
+WITH m AS (
+  SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS media_id,
+         8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
+         (1 + doc_id % 3) * (1 + doc_id % 2) AS nb,
+         2 + doc_id % 3 AS nf
+  FROM documents
+)
+SELECT m.media_id, 'video' AS kind, true AS decoded,
+       CAST(m.w AS INTEGER) AS width, CAST(m.h AS INTEGER) AS height,
+       CAST(64 * SUM((t.k * 37 + m.i + 19 * f.j) % 256) AS BIGINT) AS px_sum,
+       CAST(m.nf AS INTEGER) AS n_frames
+FROM m, generate_series(0, 5) AS t(k), generate_series(0, 3) AS f(j)
+WHERE t.k < m.nb AND f.j < m.nf
+GROUP BY m.media_id, m.w, m.h, m.nf
+""",
+        "mjpeg_frame_sample": """
+WITH m AS (
+  SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS media_id,
+         8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
+         (1 + doc_id % 3) * (1 + doc_id % 2) AS nb,
+         2 + doc_id % 3 AS nf
+  FROM documents
+)
+SELECT m.media_id, CAST(f.j AS INTEGER) AS frame_idx,
+       CAST(m.w AS INTEGER) AS width, CAST(m.h AS INTEGER) AS height,
+       CAST(64 * SUM((t.k * 37 + m.i + 19 * f.j) % 256) AS BIGINT) AS px_sum
+FROM m, generate_series(0, 5) AS t(k), generate_series(0, 3) AS f(j)
+WHERE t.k < m.nb AND f.j < m.nf AND f.j % 2 = 0
+GROUP BY m.media_id, f.j, m.w, m.h
 """,
         "jpeg_decode_stats": """
 WITH m AS (

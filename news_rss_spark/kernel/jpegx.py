@@ -281,12 +281,44 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     wave.Error translation; found by the mutated-bytes hypothesis
     fuzz)."""
     try:
-        return _decode_jpeg_impl(payload)
+        return _decode_jpeg_impl(payload)[0]
     except (IndexError, struct.error) as exc:
         raise ValueError(f"malformed JPEG: {exc}") from exc
 
 
-def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
+def encode_mjpeg(frames: list[np.ndarray],
+                 qtable: np.ndarray | None = None) -> bytes:
+    """Raw MJPEG stream: the concatenation of independently-coded
+    baseline JPEG frames (the payload shape of multipart MJPEG HTTP
+    streams and AVI ``MJPG`` chunks, minus the container framing)."""
+    if not frames:
+        raise ValueError("MJPEG stream needs at least one frame")
+    return b"".join(encode_jpeg(f, qtable) for f in frames)
+
+
+def decode_mjpeg(payload: bytes) -> list[np.ndarray]:
+    """Decode a raw MJPEG stream into its frames.
+
+    Frame boundaries are NOT found by scanning for 0xFFD9 (an APPn/COM
+    segment may legally contain those bytes): each frame is decoded by
+    the real marker walk + entropy decode, which knows exactly where its
+    scan data ends, and the EOI marker is then required at that position
+    before the next SOI.  Same skip-row error translation as
+    :func:`decode_jpeg`."""
+    frames: list[np.ndarray] = []
+    pos = 0
+    try:
+        while pos < len(payload):
+            arr, pos = _decode_jpeg_impl(payload, pos)
+            frames.append(arr)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed MJPEG: {exc}") from exc
+    if not frames:
+        raise ValueError("empty MJPEG payload")
+    return frames
+
+
+def _decode_jpeg_impl(payload: bytes, start: int = 0) -> tuple[np.ndarray, int]:
     """Baseline sequential JPEG decode, from scratch: marker walk, DQT /
     SOF0 / DHT / SOS parse, Huffman + differential-DC + run/size-AC
     entropy decode with byte unstuffing, dezigzag, dequantize, exact
@@ -294,10 +326,14 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
 
     Profile: 8-bit baseline (SOF0), 1 or 3 components, no subsampling
     (all sampling factors 1x1), no restart intervals.  Anything else
-    raises ValueError (skip-row contract)."""
-    if len(payload) < 4 or payload[:2] != b"\xFF\xD8":
+    raises ValueError (skip-row contract).
+
+    Returns ``(array, end)`` where ``end`` is the offset just past this
+    frame's EOI marker — what lets :func:`decode_mjpeg` walk a
+    concatenated-frame stream without guessing at boundaries."""
+    if len(payload) < start + 4 or payload[start:start + 2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
-    pos = 2
+    pos = start + 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
@@ -412,4 +448,12 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
     out = [np.clip(np.round(p[:h, :w] + 128.0), 0, 255).astype(np.uint8)
            for p in planes]
-    return out[0] if len(out) == 1 else np.stack(out, axis=2)
+    arr = out[0] if len(out) == 1 else np.stack(out, axis=2)
+    # the entropy reader stops exactly past the last scan byte (pad bits
+    # live inside a byte it already consumed), so EOI must sit at
+    # reader.pos; require it so a concatenated stream can't silently
+    # resync mid-garbage
+    end = reader.pos
+    if payload[end:end + 2] != b"\xFF\xD9":
+        raise ValueError("JPEG missing EOI after scan data")
+    return arr, end + 2

@@ -12,13 +12,16 @@ and CLEAR/EOI/"cScSc" handling, global/local color tables —
 ``decode_gif``/``encode_gif``), baseline JPEG (``kernel.jpegx``:
 from-scratch Huffman entropy decode off the file's own DHT tables,
 zigzag, dequantize, exact orthonormal IDCT — grayscale + 4:4:4),
-16-bit PCM WAV audio (``decode_ppm`` / ``decode_wav`` below) and
+16-bit PCM WAV audio (``decode_ppm`` / ``decode_wav`` below),
 compressed IMA-ADPCM WAV audio (format 0x0011, from-scratch step-table
-nibble expansion — ``decode_adpcm_wav``/``encode_adpcm_wav``;
+nibble expansion — ``decode_adpcm_wav``/``encode_adpcm_wav``), and
+motion-JPEG video (raw MJPEG streams = concatenated baseline-JPEG
+frames, each frame through the full from-scratch ``kernel.jpegx``
+codec, with REAL frame sampling in ``sample_frames``;
 ``synth_media`` / ``synth_png_media`` / ``synth_gif_media`` /
-``synth_jpeg_media`` / ``synth_adpcm_media`` generate decodable
-payloads deterministically) — including an actual nearest-neighbour
-image resize.
+``synth_jpeg_media`` / ``synth_adpcm_media`` / ``synth_mjpeg_media``
+generate decodable payloads deterministically) — including an actual
+nearest-neighbour image resize.
 The remaining compressed codecs (MP3/H.264) would need
 librosa/av, which are not in this container: those payloads fall
 back to a deterministic sha1 stand-in feature at a clearly-marked call
@@ -675,6 +678,11 @@ def decode_real(payload: bytes, kind: str):
       (h, w, 3) uint8 (REAL baseline-JPEG decode: Huffman + zigzag +
       dequant + IDCT, from scratch)
     - audio + RIFF magic -> decode_wav -> (int16 samples, rate)
+    - video + SOI magic  -> kernel.jpegx.decode_mjpeg -> list of frame
+      arrays (REAL motion-JPEG decode: a raw MJPEG stream is
+      concatenated baseline-JPEG frames, each decoded by the full
+      from-scratch codec; boundaries come from the marker walk, never
+      a byte scan)
     - anything else      -> NotImplementedError (library call goes here,
       e.g. librosa for MP3, av for H.264)
     """
@@ -691,6 +699,9 @@ def decode_real(payload: bytes, kind: str):
         if _wav_format_tag(payload) == 0x0011:
             return decode_adpcm_wav(payload)
         return decode_wav(payload)
+    if kind == "video" and payload and payload[:2] == b"\xff\xd8":
+        from news_rss_spark.kernel.jpegx import decode_mjpeg
+        return decode_mjpeg(payload)
     raise NotImplementedError(
         f"no pure-Python codec for kind={kind} with this payload; "
         "wire librosa/av here for MP3/H.264"
@@ -723,6 +734,14 @@ def _feature_of(payload: bytes, kind: str) -> tuple[np.ndarray, bool]:
         mean = arr.mean(axis=(0, 1)) / 255.0
         return np.array([1.0, w / 4096.0, h / 4096.0, mean[0], mean[1],
                          mean[2], arr.std() / 255.0, 0.0],
+                        dtype=np.float32), True
+    if kind == "video":  # list of frame arrays (MJPEG)
+        h, w = decoded[0].shape[:2]
+        # frames may legally change dimensions mid-stream: flatten, don't stack
+        flat = np.concatenate([f.astype(np.float32).ravel() for f in decoded])
+        return np.array([1.0, w / 4096.0, h / 4096.0,
+                         len(decoded) / 1000.0, flat.mean() / 255.0,
+                         flat.std() / 255.0, 0.0, 0.0],
                         dtype=np.float32), True
     samples, rate = decoded
     x = samples.astype(np.float32) / 32768.0
@@ -763,7 +782,7 @@ def extract_features(media: DataFrame, batch_kind: str | None = None) -> DataFra
 DECODE_STATS_DDL = (
     "media_id string, kind string, n_bytes bigint, decoded boolean, "
     "width int, height int, px_sum bigint, n_samples int, sample_rate int, "
-    "sample_sum bigint"
+    "sample_sum bigint, n_frames int"
 )
 
 
@@ -789,25 +808,31 @@ def decode_stats(media: DataFrame) -> DataFrame:
                     decoded = decode_real(payload, kind)
                 except (NotImplementedError, ValueError):
                     rows.append((mid, kind, n_bytes, False,
-                                 None, None, None, None, None, None))
+                                 None, None, None, None, None, None, None))
                     continue
                 if kind == "image":
                     h, w = decoded.shape[:2]
                     rows.append((mid, kind, n_bytes, True, w, h,
                                  int(decoded.astype(np.int64).sum()),
-                                 None, None, None))
+                                 None, None, None, None))
+                elif kind == "video":
+                    h, w = decoded[0].shape[:2]
+                    px = sum(int(f.astype(np.int64).sum()) for f in decoded)
+                    rows.append((mid, kind, n_bytes, True, w, h, px,
+                                 None, None, None, len(decoded)))
                 else:
                     samples, rate = decoded
                     rows.append((mid, kind, n_bytes, True, None, None,
                                  None, int(samples.size), int(rate),
-                                 int(samples.astype(np.int64).sum())))
+                                 int(samples.astype(np.int64).sum()), None))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "n_bytes", "decoded", "width", "height",
                 "px_sum", "n_samples", "sample_rate", "sample_sum",
+                "n_frames",
             ]).astype({"n_bytes": "int64", "width": "Int32",
                        "height": "Int32", "px_sum": "Int64",
                        "n_samples": "Int32", "sample_rate": "Int32",
-                       "sample_sum": "Int64"})
+                       "sample_sum": "Int64", "n_frames": "Int32"})
 
     return (media.select("media_id", "kind", "payload")
             .mapInPandas(fn, DECODE_STATS_DDL))
@@ -1046,11 +1071,87 @@ def synth_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(fn, MEDIA_DDL)
 
 
+def synth_mjpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL motion-JPEG payloads, distributed
+    (mapInPandas): every id becomes a 2-to-4-frame raw MJPEG stream
+    (concatenated baseline JPEGs) of flat-8x8-block grayscale frames —
+    frame f's block b (row-major, 1+i%3 wide by 1+i%2 tall) holds value
+    (37b + i + 19f) % 256.  Flat blocks are DC-only under the unit quant
+    table, so every frame decodes bit-exactly and a SQL oracle re-derives
+    the total decoded pixel sum and frame count from the rule alone —
+    a wrong frame boundary, EOI check, or any single-frame decode bug
+    breaks it."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from news_rss_spark.kernel.jpegx import encode_mjpeg
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                wb, hb = 1 + i % 3, 1 + i % 2
+                nf = 2 + i % 3
+                b = np.arange(hb * wb, dtype=np.int64).reshape(hb, wb)
+                frames = [
+                    np.kron((b * 37 + i + 19 * f) % 256,
+                            np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                rows.append((str(i), "video", encode_mjpeg(frames),
+                             "video/x-motion-jpeg", wb * 8, hb * 8,
+                             nf * 40))  # 25 fps
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "mime", "width", "height",
+                "duration_ms",
+            ]).astype({"width": "Int32", "height": "Int32",
+                       "duration_ms": "Int32"})
+
+    return df.select(id_col).mapInPandas(fn, MEDIA_DDL)
+
+
+FRAME_STATS_DDL = (
+    "media_id string, frame_idx int, width int, height int, px_sum bigint"
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame sampling over ``mapInPandas``: decode the MJPEG
+    stream, keep frames 0, every_n, 2*every_n, …, and emit integer-exact
+    per-frame stats (dims + decoded pixel-byte sum).  Undecodable video
+    rows are skipped (the skip-row contract); non-video rows are pruned
+    in-plan before any Python runs."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from news_rss_spark.kernel.jpegx import decode_mjpeg
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_mjpeg(payload or b"")
+                except ValueError:
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    fr = frames[idx]
+                    h, w = fr.shape[:2]
+                    rows.append((mid, idx, w, h,
+                                 int(fr.astype(np.int64).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "width", "height", "px_sum",
+            ]).astype({"frame_idx": "Int32", "width": "Int32",
+                       "height": "Int32", "px_sum": "Int64"})
+
+    return (media.filter(F.col("kind") == "video")
+            .select("media_id", "payload").mapInPandas(fn, FRAME_STATS_DDL))
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one output row per (media, frame_ts).
 
-    The decode is stubbed, but the fan-out shape (explode on a JVM-generated
-    sequence — no Python in the row-multiplication step) is the real one.
+    Metadata-only variant of :func:`sample_frames` — the fan-out shape
+    (explode on a JVM-generated sequence — no Python in the
+    row-multiplication step) without touching payload bytes, for when
+    only timestamps are needed.
     """
     video = media.filter(F.col("kind") == "video")
     n_frames = F.greatest(

@@ -9,7 +9,12 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from news_rss_spark.kernel.jpegx import decode_jpeg, encode_jpeg
+from news_rss_spark.kernel.jpegx import (
+    decode_jpeg,
+    decode_mjpeg,
+    encode_jpeg,
+    encode_mjpeg,
+)
 from news_rss_spark.operators.multimodal import (
     decode_adpcm_wav,
     decode_gif,
@@ -73,6 +78,36 @@ class TestJpegProperties:
         try:
             out = decode_jpeg(bytes(raw))
             assert out.dtype == np.uint8
+        except ValueError:
+            pass
+
+
+class TestMjpegProperties:
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 5), dims, st.integers(0, 2**32 - 1))
+    def test_frame_count_and_reconstruction_bound(self, nf, wh, seed):
+        w, h = wh
+        rng = np.random.RandomState(seed)
+        frames = [rng.randint(0, 256, (h, w)).astype(np.uint8)
+                  for _ in range(nf)]
+        got = decode_mjpeg(encode_mjpeg(frames))
+        assert len(got) == nf
+        for g, f in zip(got, frames):
+            assert g.shape == f.shape
+            assert np.abs(g.astype(int) - f.astype(int)).max() <= 6
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(0, 20_000),
+           st.integers(0, 255))
+    def test_mutated_bytes_return_or_valueerror(self, seed, pos, val):
+        rng = np.random.RandomState(seed)
+        frames = [rng.randint(0, 256, (9, 11)).astype(np.uint8)
+                  for _ in range(3)]
+        raw = bytearray(encode_mjpeg(frames))
+        raw[pos % len(raw)] = val
+        try:
+            out = decode_mjpeg(bytes(raw))
+            assert all(f.dtype == np.uint8 for f in out)
         except ValueError:
             pass
 

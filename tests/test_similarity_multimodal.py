@@ -711,6 +711,66 @@ class TestJpegCodec:
         assert n_real == 8
 
 
+class TestMjpeg:
+    """Motion-JPEG: real multi-frame decode stats + frame sampling."""
+
+    def test_decode_stats_video_matches_hand_computation(self, spark):
+        import numpy as np
+
+        from news_rss_spark.operators.multimodal import (
+            decode_stats, synth_mjpeg_media,
+        )
+
+        d = spark.range(8).withColumnRenamed("id", "doc_id")
+        stats = {r["media_id"]: r
+                 for r in decode_stats(synth_mjpeg_media(d)).collect()}
+        assert all(r["decoded"] and r["kind"] == "video"
+                   for r in stats.values())
+        for i in range(8):
+            wb, hb, nf = 1 + i % 3, 1 + i % 2, 2 + i % 3
+            b = np.arange(hb * wb)
+            want = int(64 * sum(((b * 37 + i + 19 * f) % 256).sum()
+                                for f in range(nf)))
+            row = stats[str(i)]
+            assert (row["width"], row["height"], row["n_frames"],
+                    row["px_sum"]) == (wb * 8, hb * 8, nf, want)
+
+    def test_sample_frames_stride_and_per_frame_sums(self, spark):
+        import numpy as np
+
+        from news_rss_spark.operators.multimodal import (
+            sample_frames, synth_mjpeg_media,
+        )
+
+        d = spark.range(8).withColumnRenamed("id", "doc_id")
+        rows = sample_frames(synth_mjpeg_media(d), every_n=2).collect()
+        got = {(r["media_id"], r["frame_idx"]): r["px_sum"] for r in rows}
+        want = {}
+        for i in range(8):
+            wb, hb, nf = 1 + i % 3, 1 + i % 2, 2 + i % 3
+            b = np.arange(hb * wb)
+            for f in range(0, nf, 2):
+                want[(str(i), f)] = int(64 * ((b * 37 + i + 19 * f) % 256).sum())
+        assert got == want
+
+    def test_video_features_real_and_fallback_split(self, spark):
+        """synth_mjpeg_media rows decode for real (marker 1.0 +
+        decoded=True); the old sha1*40 'video/mp4' stand-in payloads
+        still take the labeled fallback with decoded=False."""
+        from pyspark.sql import functions as F
+
+        from news_rss_spark.operators.multimodal import (
+            extract_features, synth_media, synth_mjpeg_media,
+        )
+
+        d = spark.range(9).withColumnRenamed("id", "doc_id")
+        real = extract_features(synth_mjpeg_media(d))
+        assert real.filter(F.col("decoded")).count() == 9
+        stub = extract_features(synth_media(d), batch_kind="video")
+        assert stub.count() > 0
+        assert stub.filter(F.col("decoded")).count() == 0
+
+
 class TestPQ:
     """Product quantization: encode shape, ADC recall, plan shape."""
 
