@@ -1816,6 +1816,43 @@ def q_jpeg_decode_stats(spark, sf_dir):
                         "px_sum")
 
 
+def q_interleaved_pack(spark, sf_dir):
+    """MMC4/OBELICS interleaved multimodal sequence packing: deterministic
+    spans (7-word text spans, an image ref after every 3 text spans, a
+    trailing video ref on every 4th doc — built from pure JVM
+    expressions), costed (text = token count, image = 16, video = 32
+    placeholder tokens), laid on one global token axis by the two-phase
+    distributed prefix sum (NO global window), and cut into 128-token
+    sequences with spans atomic.  The DuckDB oracle re-derives every
+    span's interleaved position, cost, global start offset, and
+    (seq_id, seq_pos) from the rule alone."""
+    from news_rss_spark.operators.interleaved import (
+        pack_interleaved_sequences,
+        synth_interleaved_spans,
+    )
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_interleaved_sequences(synth_interleaved_spans(d),
+                                        seq_len=128)
+    return packed.select("doc_id", "span_idx", "kind", "media_ref",
+                         "tok_cost", "start_tok", "seq_id", "seq_pos")
+
+
+def q_interleaved_seq_stats(spark, sf_dir):
+    """Per-sequence composition report over the packed interleaved
+    spans: span/image/video counts, text-vs-placeholder token split,
+    docs per sequence — one map-side-combinable aggregation on top of
+    q_interleaved_pack's plan."""
+    from news_rss_spark.operators.interleaved import (
+        interleaved_sequence_stats,
+        pack_interleaved_sequences,
+        synth_interleaved_spans,
+    )
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_interleaved_sequences(synth_interleaved_spans(d),
+                                        seq_len=128)
+    return interleaved_sequence_stats(packed)
+
+
 def q_mjpeg_decode_stats(spark, sf_dir):
     """From-scratch motion-JPEG video decode, oracle-checked:
     synth_mjpeg_media emits real raw MJPEG streams (concatenated
@@ -1874,6 +1911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "interleaved_pack": q_interleaved_pack,
+        "interleaved_seq_stats": q_interleaved_seq_stats,
         "mjpeg_decode_stats": q_mjpeg_decode_stats,
         "mjpeg_frame_sample": q_mjpeg_frame_sample,
         "nb_classifier": q_nb_classifier,
@@ -2078,6 +2117,79 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id, 'audio' AS kind,
        CAST((64 + doc_id % 64) * ((doc_id * 97) % 4096 - 2048) AS BIGINT)
          AS sample_sum
 FROM documents
+""",
+        "interleaved_pack": r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+), d AS (
+  SELECT doc_id, w, CAST(ceil(len(w) / 7.0) AS BIGINT) AS nt
+  FROM base WHERE len(w) > 0
+), spans AS (
+  SELECT doc_id, j + j // 3 AS span_idx, 'text' AS kind,
+         CAST(NULL AS VARCHAR) AS media_ref,
+         len(list_slice(w, j * 7 + 1, j * 7 + 7)) AS tok_cost
+  FROM d, generate_series(0, 9999) AS t(j) WHERE j < nt
+  UNION ALL
+  SELECT doc_id, k * 4 - 1, 'image',
+         'img:' || doc_id || ':' || (k - 1), 16
+  FROM d, generate_series(1, 9999) AS t(k) WHERE k <= nt // 3
+  UNION ALL
+  SELECT doc_id, nt + nt // 3, 'video', 'vid:' || doc_id, 32
+  FROM d WHERE doc_id % 4 = 0
+), pref AS (
+  SELECT *, COALESCE(SUM(tok_cost) OVER (
+      ORDER BY doc_id, span_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM spans
+)
+SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, kind, media_ref,
+       CAST(tok_cost AS BIGINT) AS tok_cost,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // 128 AS BIGINT) AS seq_id,
+       CAST(start_tok % 128 AS BIGINT) AS seq_pos
+FROM pref
+""",
+        "interleaved_seq_stats": r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+), d AS (
+  SELECT doc_id, w, CAST(ceil(len(w) / 7.0) AS BIGINT) AS nt
+  FROM base WHERE len(w) > 0
+), spans AS (
+  SELECT doc_id, j + j // 3 AS span_idx, 'text' AS kind,
+         len(list_slice(w, j * 7 + 1, j * 7 + 7)) AS tok_cost
+  FROM d, generate_series(0, 9999) AS t(j) WHERE j < nt
+  UNION ALL
+  SELECT doc_id, k * 4 - 1, 'image', 16
+  FROM d, generate_series(1, 9999) AS t(k) WHERE k <= nt // 3
+  UNION ALL
+  SELECT doc_id, nt + nt // 3, 'video', 32
+  FROM d WHERE doc_id % 4 = 0
+), pref AS (
+  SELECT *, COALESCE(SUM(tok_cost) OVER (
+      ORDER BY doc_id, span_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM spans
+)
+SELECT CAST(start_tok // 128 AS BIGINT) AS seq_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_images,
+       CAST(SUM(CASE WHEN kind = 'video' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_videos,
+       CAST(SUM(CASE WHEN kind = 'text' THEN tok_cost ELSE 0 END)
+            AS BIGINT) AS text_tokens,
+       CAST(SUM(CASE WHEN kind <> 'text' THEN tok_cost ELSE 0 END)
+            AS BIGINT) AS media_tokens,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM pref
+GROUP BY 1
 """,
         "mjpeg_decode_stats": """
 WITH m AS (

@@ -1,0 +1,119 @@
+"""Interleaved multimodal sequence packing (MMC4/OBELICS recipe):
+span layout, cost model, packing arithmetic, atomicity, and
+partitioning-independence of the distributed prefix sum."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_rss_spark.operators.interleaved import (
+    interleaved_sequence_stats,
+    pack_interleaved_sequences,
+    synth_interleaved_spans,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestSynthSpans:
+    def test_hand_layout_with_image_and_video(self, spark):
+        # 8 words -> 2 text spans (7 + 1 words); nt=2 -> no image;
+        # doc_id 4 -> trailing video at position nt + ni = 2
+        rows = _docs(spark, [(4, "a b c d e f g h")]) \
+            .transform(synth_interleaved_spans).collect()
+        spans = rows[0]["spans"]
+        assert [(s["kind"], s["offset"]) for s in spans] == \
+            [("text", 0), ("text", 1), ("video", 2)]
+        assert spans[0]["text"] == "a b c d e f g"
+        assert spans[1]["text"] == "h"
+        assert spans[2]["media_ref"] == "vid:4"
+
+    def test_image_every_three_text_spans(self, spark):
+        # 22 words -> 4 text spans -> 1 image after span 2, no video (id 1)
+        words = " ".join(f"w{i}" for i in range(22))
+        spans = _docs(spark, [(1, words)]) \
+            .transform(synth_interleaved_spans).collect()[0]["spans"]
+        kinds = [s["kind"] for s in spans]
+        assert kinds == ["text", "text", "text", "image", "text"]
+        assert spans[3]["media_ref"] == "img:1:0"
+        assert [s["offset"] for s in spans] == [0, 1, 2, 3, 4]
+
+    def test_empty_and_null_text_dropped(self, spark):
+        out = _docs(spark, [(1, None), (2, "   "), (3, "ok")]) \
+            .transform(synth_interleaved_spans).collect()
+        assert [r["doc_id"] for r in out] == [3]
+
+
+class TestPacking:
+    def test_matches_sequential_reference(self, spark):
+        rows = [(i, " ".join(f"t{i}w{j}" for j in range(5 + (i * 7) % 40)))
+                for i in range(30)]
+        spans = synth_interleaved_spans(_docs(spark, rows))
+        packed = pack_interleaved_sequences(spans, seq_len=64).collect()
+        got = {(r["doc_id"], r["span_idx"]):
+               (r["tok_cost"], r["start_tok"], r["seq_id"], r["seq_pos"])
+               for r in packed}
+        # sequential reference: walk docs in id order, spans in position
+        # order, accumulate costs
+        acc = 0
+        flat = sorted(
+            ((r["doc_id"], s["offset"], s["kind"], s["text"])
+             for r in spans.collect() for s in r["spans"]))
+        for did, idx, kind, text in flat:
+            cost = (len(text.split()) if kind == "text"
+                    else 16 if kind == "image" else 32)
+            assert got[(did, idx)] == (cost, acc, acc // 64, acc % 64)
+            acc += cost
+
+    def test_partitioning_independent(self, spark):
+        rows = [(i, " ".join(f"d{i}x{j}" for j in range(3 + i % 25)))
+                for i in range(50)]
+        spans = synth_interleaved_spans(_docs(spark, rows))
+        a = pack_interleaved_sequences(spans.repartition(1), seq_len=32)
+        b = pack_interleaved_sequences(spans.repartition(13, "doc_id"),
+                                       seq_len=32)
+        ka = sorted(map(tuple, a.collect()))
+        kb = sorted(map(tuple, b.collect()))
+        assert ka == kb
+
+    def test_media_spans_atomic_never_torn(self, spark):
+        rows = [(i, " ".join(f"m{i}q{j}" for j in range(30)))
+                for i in range(40)]
+        packed = pack_interleaved_sequences(
+            synth_interleaved_spans(_docs(spark, rows)), seq_len=16,
+            image_tokens=10, video_tokens=10)
+        # every span occupies one (seq_id, seq_pos) start; media spans
+        # keep their full budget attributed to that one sequence
+        media = packed.filter(F.col("kind") != "text")
+        assert media.count() > 0
+        assert media.filter(F.col("tok_cost") != 10).count() == 0
+        # starts are unique on the global token axis
+        n = packed.count()
+        assert packed.select("start_tok").distinct().count() == n
+
+    def test_sequence_stats_consistent(self, spark):
+        rows = [(i, " ".join(f"s{i}y{j}" for j in range(12)))
+                for i in range(20)]
+        packed = pack_interleaved_sequences(
+            synth_interleaved_spans(_docs(spark, rows)), seq_len=48)
+        stats = interleaved_sequence_stats(packed)
+        tot = stats.agg(
+            F.sum("n_spans").alias("s"),
+            F.sum("text_tokens").alias("t"),
+            F.sum("media_tokens").alias("m")).collect()[0]
+        assert tot["s"] == packed.count()
+        assert tot["t"] + tot["m"] == \
+            packed.agg(F.sum("tok_cost")).collect()[0][0]
+
+    def test_duplicate_doc_id_rejected(self, spark):
+        # span_idx comes from array position, so the only way to collide
+        # on the order key is a duplicated doc_id -> the prefix sum's
+        # uniqueness probe must raise, not silently mis-order
+        bad = spark.createDataFrame(
+            [(1, [("text", "a b", None, 0)]),
+             (1, [("text", "c", None, 0)])],
+            "doc_id long, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>")
+        with pytest.raises(ValueError, match="duplicate"):
+            pack_interleaved_sequences(bad, seq_len=8).collect()
