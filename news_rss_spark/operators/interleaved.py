@@ -126,17 +126,29 @@ def pack_interleaved_sequences(docs_spans: DataFrame, *, seq_len: int,
     flat = docs_spans.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.posexplode(spans_col).alias("span_idx", "s"))
-    cost = (F.when(F.col("s.kind") == "text",
-                   F.size(F.filter(F.split(F.col("s.text"), r"\s+"),
-                                   lambda x: x != "")))
-            .when(F.col("s.kind") == "image", F.lit(image_tokens))
-            .otherwise(F.lit(video_tokens)))
+    # a span is media iff it carries a media_ref — the real extraction
+    # emits text-bearing kinds (meta/page/html/desc) alongside img/video,
+    # so classifying by kind NAME would misprice every span; video gets
+    # its own (larger) placeholder budget, any other media the image one
+    is_text = F.col("s.media_ref").isNull()
+    cost = (F.when(is_text,
+                   F.coalesce(
+                       F.size(F.filter(F.split(F.col("s.text"), r"\s+"),
+                                       lambda x: x != "")),
+                       F.lit(0)))
+            .when(F.col("s.kind") == "video", F.lit(video_tokens))
+            .otherwise(F.lit(image_tokens)))
     flat = flat.select(
         "doc_id", "span_idx",
         F.col("s.kind").alias("kind"),
         F.col("s.media_ref").alias("media_ref"),
         cost.cast("long").alias("tok_cost"),
-        (F.col("doc_id") * 65536 + F.col("span_idx")).alias("_okey"))
+        # decimal, not long: doc_id may be a full-range 64-bit hash
+        # (xxhash64 of a URL id), and doc_id * 65536 overflows int64 —
+        # ANSI mode fails the job rather than mis-ordering (caught by
+        # the 1.2M-doc scale run)
+        (F.col("doc_id").cast("decimal(38,0)") * 65536
+         + F.col("span_idx")).alias("_okey"))
     packed = with_global_prefix_sum(flat, "_okey", "tok_cost",
                                     out="start_tok")
     return (packed
@@ -152,15 +164,16 @@ def interleaved_sequence_stats(packed: DataFrame) -> DataFrame:
     map-side-combinable aggregation): span/image/video counts and the
     text-vs-placeholder token split — the mixture report a training run
     reads before consuming the shards."""
+    is_text = F.col("media_ref").isNull()
     return (packed.groupBy("seq_id").agg(
         F.count("*").alias("n_spans"),
-        F.sum(F.when(F.col("kind") == "image", 1).otherwise(0))
-         .alias("n_images"),
-        F.sum(F.when(F.col("kind") == "video", 1).otherwise(0))
-         .alias("n_videos"),
-        F.sum(F.when(F.col("kind") == "text", F.col("tok_cost"))
+        F.sum(F.when(~is_text & (F.col("kind") != "video"), 1)
+               .otherwise(0)).alias("n_images"),
+        F.sum(F.when(~is_text & (F.col("kind") == "video"), 1)
+               .otherwise(0)).alias("n_videos"),
+        F.sum(F.when(is_text, F.col("tok_cost"))
                .otherwise(0)).alias("text_tokens"),
-        F.sum(F.when(F.col("kind") != "text", F.col("tok_cost"))
+        F.sum(F.when(~is_text, F.col("tok_cost"))
                .otherwise(0)).alias("media_tokens"),
         F.count_distinct("doc_id").alias("n_docs"),
     ))

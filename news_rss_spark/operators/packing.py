@@ -57,7 +57,8 @@ def with_global_prefix_sum(df: DataFrame, order_col: str, value_col: str,
     spark = df.sparkSession
     dtype = dict(df.dtypes).get(order_col)
     if dtype not in ("tinyint", "smallint", "int", "bigint",
-                     "float", "double", "decimal"):
+                     "float", "double") and not (
+            dtype or "").startswith("decimal"):
         raise TypeError(
             f"with_global_prefix_sum: order_col {order_col!r} has type "
             f"{dtype!r}; only numeric order keys are supported (bounds "
