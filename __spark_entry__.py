@@ -1853,6 +1853,24 @@ def q_interleaved_seq_stats(spark, sf_dir):
     return interleaved_sequence_stats(packed)
 
 
+def q_interleaved_assembly(spark, sf_dir):
+    """End-to-end interleaved sequence materialization: the packed spans
+    re-joined per sequence into the model-ready body string (text
+    verbatim, media refs as alignment-preserving <kind:REF> sentinels).
+    The DuckDB oracle rebuilds every body with string_agg ordered by the
+    same within-sequence offset — one span out of order, mis-packed, or
+    mis-sentineled anywhere breaks the hash."""
+    from news_rss_spark.operators.interleaved import (
+        assemble_sequences,
+        pack_interleaved_sequences,
+        synth_interleaved_spans,
+    )
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_interleaved_sequences(synth_interleaved_spans(d),
+                                        seq_len=128)
+    return assemble_sequences(packed)
+
+
 def q_mjpeg_decode_stats(spark, sf_dir):
     """From-scratch motion-JPEG video decode, oracle-checked:
     synth_mjpeg_media emits real raw MJPEG streams (concatenated
@@ -1913,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-3 additions (no prior driver row) ------------------
         "interleaved_pack": q_interleaved_pack,
         "interleaved_seq_stats": q_interleaved_seq_stats,
+        "interleaved_assembly": q_interleaved_assembly,
         "mjpeg_decode_stats": q_mjpeg_decode_stats,
         "mjpeg_frame_sample": q_mjpeg_frame_sample,
         "nb_classifier": q_nb_classifier,
@@ -2188,6 +2207,40 @@ SELECT CAST(start_tok // 128 AS BIGINT) AS seq_id,
        CAST(SUM(CASE WHEN kind <> 'text' THEN tok_cost ELSE 0 END)
             AS BIGINT) AS media_tokens,
        COUNT(DISTINCT doc_id) AS n_docs
+FROM pref
+GROUP BY 1
+""",
+        "interleaved_assembly": r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+), d AS (
+  SELECT doc_id, w, CAST(ceil(len(w) / 7.0) AS BIGINT) AS nt
+  FROM base WHERE len(w) > 0
+), spans AS (
+  SELECT doc_id, j + j // 3 AS span_idx,
+         len(list_slice(w, j * 7 + 1, j * 7 + 7)) AS tok_cost,
+         array_to_string(list_slice(w, j * 7 + 1, j * 7 + 7), ' ')
+           AS piece
+  FROM d, generate_series(0, 9999) AS t(j) WHERE j < nt
+  UNION ALL
+  SELECT doc_id, k * 4 - 1, 16,
+         '<image:img:' || doc_id || ':' || (k - 1) || '>'
+  FROM d, generate_series(1, 9999) AS t(k) WHERE k <= nt // 3
+  UNION ALL
+  SELECT doc_id, nt + nt // 3, 32, '<video:vid:' || doc_id || '>'
+  FROM d WHERE doc_id % 4 = 0
+), pref AS (
+  SELECT *, COALESCE(SUM(tok_cost) OVER (
+      ORDER BY doc_id, span_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM spans
+)
+SELECT CAST(start_tok // 128 AS BIGINT) AS seq_id,
+       COUNT(*) AS n_spans,
+       string_agg(piece, ' ' ORDER BY start_tok % 128) AS body
 FROM pref
 GROUP BY 1
 """,

@@ -141,6 +141,7 @@ def pack_interleaved_sequences(docs_spans: DataFrame, *, seq_len: int,
     flat = flat.select(
         "doc_id", "span_idx",
         F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         cost.cast("long").alias("tok_cost"),
         # decimal, not long: doc_id may be a full-range 64-bit hash
@@ -157,6 +158,32 @@ def pack_interleaved_sequences(docs_spans: DataFrame, *, seq_len: int,
             .withColumn("seq_pos",
                         F.col("start_tok") - F.col("seq_id") * seq_len)
             .drop("_okey"))
+
+
+def assemble_sequences(packed: DataFrame) -> DataFrame:
+    """Materialize the model-ready sequences: per ``seq_id``, the spans
+    in packed order joined into one body string — text spans verbatim,
+    media spans as alignment-preserving sentinels
+    (``<img:REF>`` / ``<video:REF>``), which is the interleaved
+    image-text format MMC4/OBELICS-style training consumes.
+
+    One aggregation; ``collect_list`` order is non-deterministic, so the
+    (seq_pos, piece) structs are ``array_sort``-ed before joining —
+    seq_pos is unique within a sequence (it is a global-offset residue),
+    making the body deterministic."""
+    piece = F.when(F.col("media_ref").isNull(),
+                   F.coalesce(F.col("text"), F.lit(""))) \
+             .otherwise(F.concat(F.lit("<"), F.col("kind"), F.lit(":"),
+                                 F.col("media_ref"), F.lit(">")))
+    return (packed
+            .select("seq_id", "seq_pos", piece.alias("piece"))
+            .groupBy("seq_id")
+            .agg(F.count("*").alias("n_spans"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("seq_pos", "piece"))),
+                         lambda s: s["piece"]), " ").alias("body")))
 
 
 def interleaved_sequence_stats(packed: DataFrame) -> DataFrame:

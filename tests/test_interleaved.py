@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from news_rss_spark.operators.interleaved import (
+    assemble_sequences,
     interleaved_sequence_stats,
     pack_interleaved_sequences,
     synth_interleaved_spans,
@@ -105,6 +106,29 @@ class TestPacking:
         assert tot["s"] == packed.count()
         assert tot["t"] + tot["m"] == \
             packed.agg(F.sum("tok_cost")).collect()[0][0]
+
+    def test_assembly_body_order_and_sentinels(self, spark):
+        # one doc, 22 words -> text,text,text,<image>,text; seq_len big
+        # enough that everything lands in sequence 0 in span order
+        words = " ".join(f"w{i}" for i in range(22))
+        packed = pack_interleaved_sequences(
+            synth_interleaved_spans(_docs(spark, [(1, words)])),
+            seq_len=1000)
+        row = assemble_sequences(packed).collect()[0]
+        assert row["seq_id"] == 0 and row["n_spans"] == 5
+        expect = (" ".join(f"w{i}" for i in range(21))
+                  + " <image:img:1:0> w21")
+        assert row["body"] == expect
+
+    def test_assembly_partitioning_independent(self, spark):
+        rows = [(i, " ".join(f"a{i}b{j}" for j in range(4 + i % 30)))
+                for i in range(40)]
+        spans = synth_interleaved_spans(_docs(spark, rows))
+        a = assemble_sequences(pack_interleaved_sequences(
+            spans.repartition(1), seq_len=64)).collect()
+        b = assemble_sequences(pack_interleaved_sequences(
+            spans.repartition(11, "doc_id"), seq_len=64)).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
     def test_duplicate_doc_id_rejected(self, spark):
         # span_idx comes from array position, so the only way to collide
