@@ -1832,7 +1832,8 @@ def q_interleaved_pack(spark, sf_dir):
     )
     d = _t(spark, sf_dir, "documents")
     packed = pack_interleaved_sequences(synth_interleaved_spans(d),
-                                        seq_len=128)
+                                        seq_len=128,
+                                        materialize_input=True)
     return packed.select("doc_id", "span_idx", "kind", "media_ref",
                          "tok_cost", "start_tok", "seq_id", "seq_pos")
 
@@ -1849,7 +1850,8 @@ def q_interleaved_seq_stats(spark, sf_dir):
     )
     d = _t(spark, sf_dir, "documents")
     packed = pack_interleaved_sequences(synth_interleaved_spans(d),
-                                        seq_len=128)
+                                        seq_len=128,
+                                        materialize_input=True)
     return interleaved_sequence_stats(packed)
 
 
@@ -1867,7 +1869,8 @@ def q_interleaved_assembly(spark, sf_dir):
     )
     d = _t(spark, sf_dir, "documents")
     packed = pack_interleaved_sequences(synth_interleaved_spans(d),
-                                        seq_len=128)
+                                        seq_len=128,
+                                        materialize_input=True)
     return assemble_sequences(packed)
 
 

@@ -108,7 +108,8 @@ def pack_interleaved_sequences(docs_spans: DataFrame, *, seq_len: int,
                                image_tokens: int = 16,
                                video_tokens: int = 32,
                                id_col: str = "doc_id",
-                               spans_col: str = "spans") -> DataFrame:
+                               spans_col: str = "spans",
+                               materialize_input: bool = False) -> DataFrame:
     """Pack ordered interleaved spans into fixed-length training
     sequences: per-span token cost (text = whitespace token count,
     image/video = the placeholder budgets), global exclusive prefix sum
@@ -150,6 +151,14 @@ def pack_interleaved_sequences(docs_spans: DataFrame, *, seq_len: int,
         # the 1.2M-doc scale run)
         (F.col("doc_id").cast("decimal(38,0)") * 65536
          + F.col("span_idx")).alias("_okey"))
+    if materialize_input:
+        # the prefix sum executes its input plan three times (quantile,
+        # totals, final); an eager localCheckpoint trades executor
+        # storage for one upstream execution — right when the span
+        # source is expensive (synthesis expressions, a fresh extract)
+        # and the flat relation fits storage; leave False when the
+        # input is a cheap parquet scan at corpus scale
+        flat = flat.localCheckpoint(eager=True)
     packed = with_global_prefix_sum(flat, "_okey", "tok_cost",
                                     out="start_tok")
     return (packed
