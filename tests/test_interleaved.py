@@ -3,6 +3,8 @@ span layout, cost model, packing arithmetic, atomicity, and
 partitioning-independence of the distributed prefix sum."""
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from news_rss_spark.operators.interleaved import (
@@ -129,6 +131,34 @@ class TestPacking:
         b = assemble_sequences(pack_interleaved_sequences(
             spans.repartition(11, "doc_id"), seq_len=64)).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.integers(0, 120), min_size=1, max_size=25),
+           st.integers(8, 200), st.integers(1, 40), st.integers(1, 80))
+    def test_property_matches_sequential_reference(
+            self, spark, word_counts, seq_len, image_tokens, video_tokens):
+        """Any doc-size mix, any seq_len, any placeholder budgets: the
+        distributed packing equals the single-threaded walk."""
+        rows = [(i, " ".join(f"h{i}w{j}" for j in range(n)) or None)
+                for i, n in enumerate(word_counts)]
+        spans = synth_interleaved_spans(_docs(spark, rows))
+        packed = pack_interleaved_sequences(
+            spans, seq_len=seq_len, image_tokens=image_tokens,
+            video_tokens=video_tokens).collect()
+        got = {(r["doc_id"], r["span_idx"]):
+               (r["tok_cost"], r["start_tok"], r["seq_id"], r["seq_pos"])
+               for r in packed}
+        flat = sorted(
+            ((r["doc_id"], s["offset"], s["kind"], s["text"])
+             for r in spans.collect() for s in r["spans"]))
+        assert len(got) == len(flat)
+        acc = 0
+        for did, idx, kind, text in flat:
+            cost = (len(text.split()) if kind == "text"
+                    else image_tokens if kind == "image" else video_tokens)
+            assert got[(did, idx)] == \
+                (cost, acc, acc // seq_len, acc % seq_len)
+            acc += cost
 
     def test_duplicate_doc_id_rejected(self, spark):
         # span_idx comes from array position, so the only way to collide
