@@ -1924,6 +1924,59 @@ def q_gif_decode_stats(spark, sf_dir):
                         "px_sum")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup against a PERSISTED MinHash band index (the
+    production delta shape: today's crawl vs the existing corpus, corpus
+    text never rescanned).  Index = docs with doc_id%3==0; batch = the
+    rest PLUS exact copies of half the index docs (doc_id+10M) — the
+    copies must collide on every band and drop; originals survive unless
+    they genuinely near-dup an index doc.  Two narrow joins: band-key
+    semi join (broadcast — early-corpus regime) + id anti join."""
+    from news_rss_spark.operators.incremental import (
+        build_signature_index, dedup_against_index)
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
+         .select("doc_id", "text"))
+    index_docs = d.filter(F.col("doc_id") % 3 == 0)
+    replayed = index_docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text")
+    batch = d.filter(F.col("doc_id") % 3 != 0).unionByName(replayed)
+    idx = build_signature_index(index_docs, n_hashes=4, rows_per_band=2)
+    surv = dedup_against_index(batch, idx, n_hashes=4, rows_per_band=2,
+                               broadcast_index=True)
+    return surv.select("doc_id")
+
+
+def q_quality_gate(spark, sf_dir):
+    """Fused one-pass quality gate (C4 + Gopher-style rules in ONE
+    projection over the raw scan) in audit mode: every doc with its
+    first-failing-rule attribution.  At 100 TB this is the stage that
+    keeps 50-90% of raw docs out of every downstream shuffle."""
+    from news_rss_spark.operators.quality_gate import quality_gate
+    d = _t(spark, sf_dir, "documents")
+    g = quality_gate(d, "text", min_tokens=5, max_tokens=10_000,
+                     max_dup_gram_frac=0.5, min_quality=0.3,
+                     keep_rejects=True)
+    return g.select("doc_id", "n_tokens", "quality_score",
+                    "dup_gram_frac", "reject_reason")
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key over two bucketized dimensions —
+    the write-side layout that makes parquet/Iceberg min/max stats prune
+    on EVERY interleaved dimension, not just the sort column.  Pure
+    shift/and/or JVM expressions, one projection, no shuffle here (the
+    layout shuffle is cluster_by_zorder, exercised in tests)."""
+    from news_rss_spark.operators.layout import zorder_key
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(F.col("n_chars"), F.lit(1023)).alias("d1"),
+        (F.col("doc_id") % 1024).alias("d2"))
+    return d.select("doc_id",
+                    zorder_key(["d1", "d2"], bits=10).cast("long")
+                    .alias("zkey"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -1983,6 +2036,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_features": q_multimodal_features,
+        # --- session-3 additions: slots 49-51 (the 48 entries above
+        # must stay inside the driver's 50-query window; zorder_layout
+        # takes the one out-of-window slot — replica-verified) ---------
+        "incremental_dedup": q_incremental_dedup,
+        "quality_gate": q_quality_gate,
+        "zorder_layout": q_zorder_layout,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -2085,6 +2144,125 @@ h AS (
 ),
 bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
 SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def _banded_over_sql(rel: str, alias: str) -> str:
+    """MinHash b=2 x r=2 band keys over an arbitrary (doc_id, text)
+    relation — the parameterized form of _MINHASH_BANDED_CTE (which is
+    pinned to `documents`), used where index and batch differ."""
+    return f"""
+{alias}_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM {rel}) x,
+       UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+),
+{alias}_sig AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
+  FROM {alias}_sh, (VALUES (0), (1), (2), (3)) seeds(seed)
+  GROUP BY doc_id, seed
+),
+{alias}_band AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         string_agg(mh, '|' ORDER BY seed) AS band_key
+  FROM {alias}_sig GROUP BY doc_id, seed // 2
+)"""
+
+
+def _incremental_dedup_sql() -> str:
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 2
+),
+idx_docs AS (SELECT doc_id, text FROM src WHERE doc_id % 3 = 0),
+batch AS (
+  SELECT doc_id, text FROM src WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM idx_docs WHERE doc_id % 2 = 0
+),
+{_banded_over_sql('idx_docs', 'i')},
+{_banded_over_sql('batch', 'b')},
+hits AS (
+  SELECT DISTINCT b.doc_id
+  FROM b_band b JOIN i_band i
+    ON b.band = i.band AND b.band_key = i.band_key
+)
+SELECT doc_id FROM batch
+WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
+def _quality_gate_sql(min_tokens: int = 5, max_tokens: int = 10000,
+                      max_dup: float = 0.5, min_q: float = 0.3) -> str:
+    return f"""
+WITH f AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS toks,
+         CAST(len(regexp_extract_all(lower(text),
+              '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS DOUBLE) AS stop_hits,
+         string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT *,
+         CASE WHEN len(w) < 2 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                       range(1, len(w)),
+                       i -> array_to_string(w[i:i+1], ' ')))) AS DOUBLE)
+                   / CAST(len(w) - 1 AS DOUBLE)
+         END AS dup_frac
+  FROM f
+),
+r AS (
+  SELECT doc_id, toks, stop_hits, dup_frac, text,
+         CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS digit_ratio,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN toks > 0 THEN n_alpha / toks ELSE 0.0 END AS mean_word_len,
+         CASE WHEN toks > 0 THEN stop_hits / toks ELSE 0.0 END AS stop_ratio
+  FROM g
+),
+s AS (
+  SELECT doc_id, toks, stop_hits, dup_frac, text, mean_word_len,
+         0.4 * alpha_ratio
+         + 0.2 * least(stop_ratio * 4.0, 1.0)
+         + 0.2 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+                       THEN 1.0 ELSE 0.0 END)
+         + 0.2 * (1 - least(digit_ratio + punct_ratio, 1.0)) AS score
+  FROM r
+)
+SELECT doc_id,
+       CAST(toks AS BIGINT) AS n_tokens,
+       round(score, 6) AS quality_score,
+       round(dup_frac, 6) AS dup_gram_frac,
+       CASE WHEN toks < {min_tokens} THEN 'too_short'
+            WHEN toks > {max_tokens} THEN 'too_long'
+            WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+            WHEN contains(text, '{{') THEN 'code_brace'
+            WHEN stop_hits < 2 THEN 'no_stopwords'
+            WHEN NOT (mean_word_len >= 3 AND mean_word_len <= 10) THEN 'word_len'
+            WHEN dup_frac > {max_dup} THEN 'repetitive'
+            WHEN score < {min_q} THEN 'low_quality'
+            ELSE 'pass' END AS reject_reason
+FROM s
+"""
+
+
+def _zorder_sql() -> str:
+    from news_rss_spark.operators.layout import zorder_sql_expr
+    return f"""
+WITH z AS (
+  SELECT doc_id, least(n_chars, 1023) AS d1, doc_id % 1024 AS d2
+  FROM documents
+)
+SELECT doc_id, CAST({zorder_sql_expr(['d1', 'd2'], bits=10)} AS BIGINT) AS zkey
+FROM z
 """
 
 
@@ -3283,6 +3461,9 @@ FROM documents WHERE text IS NOT NULL
         "ann_ivf_topk": _ann_ivf_sql(),
         "embedding_near_dup_lsh": _emb_lsh_pairs_sql(),
         "multimodal_features": _multimodal_sql(),
+        "incremental_dedup": _incremental_dedup_sql(),
+        "quality_gate": _quality_gate_sql(),
+        "zorder_layout": _zorder_sql(),
         "asof_join": """
 SELECT l.event_id, l.user_id,
        strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
