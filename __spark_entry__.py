@@ -1977,6 +1977,21 @@ def q_zorder_layout(spark, sf_dir):
                     .alias("zkey"))
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities (3 rounds, L1-normalized, 9-digit
+    per-round rounding) over the same deterministic link graph as
+    q_pagerank — the crawl-prioritization companion: authority ranks
+    extraction targets, hub ranks link-discovery refetches."""
+    from news_rss_spark.operators.hits import hits
+    d = _t(spark, sf_dir, "documents").filter(F.expr("doc_id % 4 > 0"))
+    e = (d.select(F.col("doc_id").alias("src"),
+                  F.explode(F.expr(
+                      "sequence(1, CAST(doc_id % 4 AS INT))")).alias("j"))
+         .select("src",
+                 ((F.col("src") * 31 + F.col("j") * 97) % 1000).alias("dst")))
+    return hits(e, iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -2042,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "quality_gate": q_quality_gate,
         "zorder_layout": q_zorder_layout,
+        "hits_scores": q_hits,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -2252,6 +2268,47 @@ SELECT doc_id,
             ELSE 'pass' END AS reject_reason
 FROM s
 """
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Mirror of operators/hits.py over the q_pagerank link graph:
+    unrolled rounds, L1 normalizer as a scalar subquery over the raw-sum
+    CTE, identical operation order, 9-digit rounding."""
+    parts = ["""
+edges AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 31 + i * 97) % 1000 AS dst
+  FROM documents, UNNEST(generate_series(1, doc_id % 4)) AS g(i)
+  WHERE doc_id % 4 > 0
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+s0 AS (SELECT node, 1.0 AS hub, 1.0 AS auth FROM nodes)"""]
+    for it in range(1, iters + 1):
+        prev = f"s{it - 1}"
+        parts.append(f"""
+ar{it} AS (
+  SELECT e.dst AS node, sum(p.hub) AS s
+  FROM {prev} p JOIN edges e ON p.node = e.src GROUP BY e.dst
+),
+a{it} AS (
+  SELECT n.node,
+         round(coalesce(r.s, 0.0) / (SELECT sum(s) FROM ar{it}), 9) AS auth
+  FROM nodes n LEFT JOIN ar{it} r ON n.node = r.node
+),
+hr{it} AS (
+  SELECT e.src AS node, sum(a.auth) AS s
+  FROM a{it} a JOIN edges e ON a.node = e.dst GROUP BY e.src
+),
+h{it} AS (
+  SELECT n.node,
+         round(coalesce(r.s, 0.0) / (SELECT sum(s) FROM hr{it}), 9) AS hub
+  FROM nodes n LEFT JOIN hr{it} r ON n.node = r.node
+),
+s{it} AS (
+  SELECT a.node, h.hub, a.auth
+  FROM a{it} a JOIN h{it} h ON a.node = h.node
+)""")
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT node, hub, auth FROM s{iters}")
 
 
 def _zorder_sql() -> str:
@@ -3464,6 +3521,7 @@ FROM documents WHERE text IS NOT NULL
         "incremental_dedup": _incremental_dedup_sql(),
         "quality_gate": _quality_gate_sql(),
         "zorder_layout": _zorder_sql(),
+        "hits_scores": _hits_sql(),
         "asof_join": """
 SELECT l.event_id, l.user_id,
        strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
