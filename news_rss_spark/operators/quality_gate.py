@@ -74,13 +74,28 @@ def quality_gate(df: DataFrame, text_col: str = "text",
     reason (the audit mode); default drops rejects at the scan.
     """
     text = F.col(text_col)
-    toks = token_count(text)
-    n_chars = F.length(text)
-    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
-    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    stop_hits = marker_hits(text, STOPWORD_RE)
+    # Stage 1: each raw feature computed EXACTLY once.  The reason CASE
+    # and the score both reference every feature; left as one nested
+    # expression tree the non-codegen'd pieces (the gram array walk, the
+    # regex counts) would be re-evaluated per reference — measured ~3x
+    # the cost on sf0.1.  An explicit intermediate projection is a
+    # CSE barrier: CollapseProject refuses to inline non-cheap exprs
+    # referenced more than once, so these stay single-evaluation.
+    feat = df.select(
+        "*",
+        token_count(text).alias("_toks"),
+        F.length(text).alias("_n_chars"),
+        F.regexp_count(text, F.lit(r"[A-Za-z]")).alias("_n_alpha"),
+        F.regexp_count(text, F.lit(r"[0-9]")).alias("_n_digit"),
+        F.regexp_count(text, F.lit(r"[.,;:!?]")).alias("_n_punct"),
+        marker_hits(text, STOPWORD_RE).alias("_stop_hits"),
+        _dup_gram_frac(text).alias("_dup_frac"),
+    )
 
+    toks, n_chars = F.col("_toks"), F.col("_n_chars")
+    n_alpha, n_digit = F.col("_n_alpha"), F.col("_n_digit")
+    n_punct, stop_hits = F.col("_n_punct"), F.col("_stop_hits")
+    dup_frac = F.col("_dup_frac")
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
     digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
@@ -91,7 +106,6 @@ def quality_gate(df: DataFrame, text_col: str = "text",
              + 0.2 * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
              + 0.2 * F.when(word_len_ok, F.lit(1.0)).otherwise(F.lit(0.0))
              + 0.2 * (1 - F.least(digit_ratio + punct_ratio, F.lit(1.0))))
-    dup_frac = _dup_gram_frac(text)
 
     reason = (
         F.when(toks < min_tokens, F.lit("too_short"))
@@ -104,10 +118,12 @@ def quality_gate(df: DataFrame, text_col: str = "text",
         .when(score < min_quality, F.lit("low_quality"))
         .otherwise(F.lit("pass")))
 
-    gated = (df.withColumn("n_tokens", toks.cast("long"))
+    gated = (feat.withColumn("n_tokens", toks.cast("long"))
              .withColumn("quality_score", F.round(score, 6))
              .withColumn("dup_gram_frac", F.round(dup_frac, 6))
-             .withColumn("reject_reason", reason))
+             .withColumn("reject_reason", reason)
+             .drop("_toks", "_n_chars", "_n_alpha", "_n_digit",
+                   "_n_punct", "_stop_hits", "_dup_frac"))
     if keep_rejects:
         return gated
     return gated.filter(F.col("reject_reason") == "pass")

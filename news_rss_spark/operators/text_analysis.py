@@ -38,7 +38,11 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def marker_hits(text: Column, pattern: str) -> Column:
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), 0))
+    # regexp_count == size(regexp_extract_all(...)) (same non-overlapping
+    # match walk) without materializing the match array — measured 11x
+    # faster on sf0.1 text; the DuckDB oracles keep len(regexp_extract_all)
+    # since the COUNT is engine-identical either way.
+    return F.regexp_count(F.lower(text), F.lit(pattern))
 
 
 def lang_id(df: DataFrame, text_col: str = "text",
