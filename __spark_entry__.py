@@ -1217,6 +1217,38 @@ def q_span_dedup(spark, sf_dir):
         F.md5("clean_text").alias("clean_md5"))
 
 
+_ES_HEADER = ("breaking news update from our central desk stay informed "
+              "with the latest headlines delivered every morning to your "
+              "inbox free")          # 20 tokens
+_ES_FOOTER = ("copyright twenty twenty four all rights reserved worldwide "
+              "syndication network")  # 10 tokens
+
+
+def q_exact_substring_spans(spark, sf_dir):
+    """Full ExactSubstr duplicated-span mining (operators/text_dedup.py
+    duplicated_gram_spans; Lee et al. 2022 §4 semantics at k=8 without
+    the suffix array): a 20-token boilerplate header is prepended to
+    every doc_id%7==0 document and a 10-token footer appended to every
+    doc_id%5==0 document JVM-side (the synth contents are distinct, so
+    these plant the only duplicated runs).  The corpus-wide first
+    occurrence of each gram is exempt; every other copy must come back
+    as ONE maximal merged span per contiguous duplicated region —
+    including the two-span case on doc_id%35==0 documents and spans at
+    arbitrary (non-chunk-aligned) offsets, the dedup_chunks blind spot.
+    Returns (doc_id, span_start, span_end, span_len, n_grams)."""
+    from news_rss_spark.operators.text_dedup import duplicated_gram_spans
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    aug = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_ES_HEADER)),
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_ES_FOOTER)),
+        ).alias("text"))
+    return duplicated_gram_spans(aug, "text", "doc_id", k=8)
+
+
 _PARA_BOILER = "follow us on social media for breaking news and updates"
 
 
@@ -2051,13 +2083,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_features": q_multimodal_features,
-        # --- session-3 additions: slots 49-51 (the 48 entries above
-        # must stay inside the driver's 50-query window; zorder_layout
-        # takes the one out-of-window slot — replica-verified) ---------
+        # --- session-3 additions: slots 49-50 stay inside the driver's
+        # 50-query window; zorder_layout / hits_scores /
+        # exact_substring_spans take the out-of-window slots — all
+        # verified by the sf0.01 replica parity suite ------------------
         "incremental_dedup": q_incremental_dedup,
         "quality_gate": q_quality_gate,
         "zorder_layout": q_zorder_layout,
         "hits_scores": q_hits,
+        "exact_substring_spans": q_exact_substring_spans,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -3331,6 +3365,51 @@ SELECT doc_id,
        CAST(length(string_agg(chunk, ' ' ORDER BY pos)) AS BIGINT) AS clean_len,
        md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_md5
 FROM firsts GROUP BY doc_id
+""",
+        "exact_substring_spans": r"""
+WITH aug AS (
+  SELECT doc_id,
+         string_split_regex(trim(concat_ws(' ',
+           CASE WHEN doc_id % 7 = 0 THEN
+             'breaking news update from our central desk stay informed with the latest headlines delivered every morning to your inbox free'
+           END,
+           text,
+           CASE WHEN doc_id % 5 = 0 THEN
+             'copyright twenty twenty four all rights reserved worldwide syndication network'
+           END)), '\s+') AS s
+  FROM documents WHERE text IS NOT NULL
+),
+occ AS (
+  SELECT doc_id, i AS pos,
+         CAST('0x' || substr(md5(array_to_string(
+             list_slice(s, i + 1, i + 8), ' ')), 1, 15) AS BIGINT) AS g
+  FROM aug, UNNEST(generate_series(0, len(s) - 8)) AS u(i)
+  WHERE len(s) >= 8
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY g) AS cnt,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM occ) WHERE cnt >= 2 AND rn > 1
+),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+              THEN 1 ELSE 0 END AS b
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_len,
+       count(*) AS n_grams
+FROM isl GROUP BY doc_id, island
 """,
         "span_dedup": r"""
 WITH base AS (

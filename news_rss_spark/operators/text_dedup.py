@@ -21,7 +21,7 @@ At cluster scale swap HASH = xxhash64 for speed; semantics are identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------- exact
@@ -680,6 +680,82 @@ def dedup_paragraphs(df: DataFrame, paras_col: str = "paragraphs",
 
 
 # ------------------------------------------------- benchmark decontamination
+
+def duplicated_gram_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8,
+                          keep_first: bool = True) -> DataFrame:
+    """Maximal duplicated-substring spans — full ExactSubstr semantics
+    (Lee et al. 2022 §4: remove every substring of ≥50 tokens that
+    occurs more than once in the corpus), WITHOUT the suffix array.
+
+    The suffix-array-free identity this rests on: a token run of length
+    L ≥ k is duplicated iff all of its L−k+1 overlapping k-grams are
+    duplicated at consecutive positions, and conversely every position
+    covered by a duplicated k-gram lies inside a duplicated run of
+    ≥ k tokens.  So mining duplicated k-gram START positions and merging
+    runs whose gram-start gap ≤ k (intervals ``[pos, pos+k)`` overlap or
+    touch) reconstructs EXACTLY the maximal duplicated spans at
+    threshold k — no approximation, unlike :func:`dedup_chunks`' fixed
+    non-overlapping windows which miss duplicates that straddle a chunk
+    boundary or start mid-chunk.
+
+    With ``keep_first`` the corpus-wide first occurrence of each gram
+    (min ``struct(id, pos)``, the convention shared with
+    :func:`dedup_chunks` / :func:`dedup_spans`) is exempt, so one copy
+    of every duplicated passage survives; the emitted spans are the
+    REMOVABLE ones.  Returns one row per maximal span:
+    ``(id, span_start, span_end, span_len, n_grams)`` — token offsets,
+    inclusive; callers slice or mask their token arrays with them.
+
+    Plan shape, chosen for 100 TB: grams are 63-bit ints (first 15 md5
+    hex chars — DuckDB-reproducible; swap xxhash64 at cluster scale)
+    built JVM-side by ``transform``/``slice`` inside the scan's codegen
+    stage.  Duplicate detection is ``groupBy(gram).agg(min(struct),
+    count)`` — hash agg, map-side combined, so a boilerplate gram
+    repeated 10^8 times collapses per map task (never a window over the
+    hot gram).  Only grams with ``count ≥ 2`` re-join the occurrences
+    (equi-join on the 8-byte key; the duplicated side of a mostly-unique
+    corpus is small enough for AQE to broadcast).  The interval merge IS
+    a window, but partitioned by ``id`` and ordered by ``pos`` — per-doc
+    state bounded by doc length, the one axis that does not grow with
+    corpus size.
+    """
+    kk = int(k)
+    if kk < 2:
+        raise ValueError("k must be >= 2 (a 1-gram span is just a token)")
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    gram_h = F.expr(
+        f"transform(sequence(0, size(w) - {kk}), "
+        f"i -> cast(conv(substring(md5(array_join(slice(w, i + 1, {kk}), "
+        f"' ')), 1, 15), 16, 10) as long))")
+    occ = (df.select(F.col(id_col), w.alias("w"))
+             .filter(F.size("w") >= kk)
+             .select(id_col, F.posexplode(gram_h).alias("pos", "g")))
+    dup = (occ.groupBy("g")
+              .agg(F.min(F.struct(id_col, "pos")).alias("first_occ"),
+                   F.count("*").alias("cnt"))
+              .filter(F.col("cnt") >= 2)
+              .select("g", "first_occ"))
+    covered = occ.join(dup, "g")
+    if keep_first:
+        covered = covered.filter(
+            ~((F.col(id_col) == F.col(f"first_occ.{id_col}"))
+              & (F.col("pos") == F.col("first_occ.pos"))))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(win)
+    islands = (covered.select(id_col, "pos")
+               .withColumn("brk", F.when(prev.isNull()
+                                         | (F.col("pos") > prev + kk),
+                                         1).otherwise(0))
+               .withColumn("island", F.sum("brk").over(win)))
+    return (islands.groupBy(id_col, "island")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + (kk - 1)).cast("long").alias("span_end"),
+                 F.count("*").alias("n_grams"))
+            .withColumn("span_len",
+                        F.col("span_end") - F.col("span_start") + 1)
+            .select(id_col, "span_start", "span_end", "span_len", "n_grams"))
+
 
 def contamination_check(train_df: DataFrame, bench_df: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",

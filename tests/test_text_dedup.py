@@ -311,3 +311,116 @@ class TestParagraphDedup:
         plan = dedup_paragraphs(d)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestDuplicatedGramSpans:
+    """Full ExactSubstr semantics (duplicated_gram_spans): maximal
+    duplicated-span reconstruction from duplicated k-gram starts must
+    equal a brute-force reference on every layout."""
+
+    @staticmethod
+    def _brute(docs: dict, k: int, keep_first: bool) -> set:
+        """Reference: mine duplicated k-gram starts naively, merge runs
+        whose start gap <= k into (id, start, end, len, n_grams)."""
+        from collections import defaultdict
+        occ = defaultdict(list)
+        for i, toks in docs.items():
+            for p in range(len(toks) - k + 1):
+                occ[tuple(toks[p:p + k])].append((i, p))
+        starts = defaultdict(list)
+        for where in occ.values():
+            if len(where) < 2:
+                continue
+            exempt = min(where) if keep_first else None
+            for ip in where:
+                if ip != exempt:
+                    starts[ip[0]].append(ip[1])
+        spans = set()
+        for i, ps in starts.items():
+            ps.sort()
+            run = [ps[0]]
+            for p in ps[1:]:
+                if p > run[-1] + k:
+                    spans.add((i, run[0], run[-1] + k - 1,
+                               run[-1] + k - run[0], len(run)))
+                    run = [p]
+                else:
+                    run.append(p)
+            spans.add((i, run[0], run[-1] + k - 1,
+                       run[-1] + k - run[0], len(run)))
+        return spans
+
+    def _run(self, spark, docs: dict, k: int, keep_first: bool = True) -> set:
+        from news_rss_spark.operators.text_dedup import duplicated_gram_spans
+        d = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs.items()],
+            "doc_id long, text string")
+        out = duplicated_gram_spans(d, "text", "doc_id", k=k,
+                                    keep_first=keep_first)
+        return {(r["doc_id"], r["span_start"], r["span_end"],
+                 r["span_len"], r["n_grams"]) for r in out.collect()}
+
+    def test_shared_prefix_first_doc_exempt(self, spark):
+        shared = [f"s{j}" for j in range(12)]
+        docs = {0: shared + ["a0", "a1"], 1: shared + ["b0", "b1"]}
+        got = self._run(spark, docs, k=8)
+        # doc 0 holds every gram's first occurrence; doc 1 loses the
+        # full 12-token prefix as ONE maximal span (5 grams merged)
+        assert got == {(1, 0, 11, 12, 5)}
+
+    def test_mid_chunk_duplicate_found(self, spark):
+        # a duplicate that starts mid-doc at a position no fixed
+        # non-overlapping chunking would align with (the dedup_chunks
+        # blind spot this operator exists to close)
+        shared = [f"s{j}" for j in range(9)]
+        docs = {
+            0: [f"u{j}" for j in range(5)] + shared + ["u5"],
+            1: [f"v{j}" for j in range(3)] + shared + ["v3", "v4"],
+        }
+        got = self._run(spark, docs, k=8)
+        assert got == {(1, 3, 11, 9, 2)}
+
+    def test_two_separate_spans_not_merged(self, spark):
+        a = [f"a{j}" for j in range(8)]
+        b = [f"b{j}" for j in range(8)]
+        gap = [f"g{j}" for j in range(9)]  # > k unique tokens between
+        docs = {0: a + ["x"] + b, 1: a + gap + b}
+        got = self._run(spark, docs, k=8)
+        assert got == {(1, 0, 7, 8, 1), (1, 17, 24, 8, 1)}
+
+    def test_keep_first_false_marks_every_occurrence(self, spark):
+        shared = [f"s{j}" for j in range(8)]
+        docs = {0: shared, 1: shared}
+        got = self._run(spark, docs, k=8, keep_first=False)
+        assert got == {(0, 0, 7, 8, 1), (1, 0, 7, 8, 1)}
+
+    def test_within_doc_repetition(self, spark):
+        blk = [f"r{j}" for j in range(8)]
+        docs = {5: blk + ["mid0", "mid1"] + blk}
+        got = self._run(spark, docs, k=8)
+        assert got == {(5, 10, 17, 8, 1)}
+
+    def test_matches_brute_force_on_overlapping_layouts(self, spark):
+        # deterministic pseudo-random corpus with heavy token reuse so
+        # grams collide at staggered, partially-overlapping positions
+        import random
+        rng = random.Random(42)
+        vocab = [f"t{j}" for j in range(12)]
+        docs = {i: [vocab[rng.randrange(len(vocab))] for _ in range(30)]
+                for i in range(8)}
+        for k in (3, 5):
+            for keep_first in (True, False):
+                assert self._run(spark, docs, k, keep_first) == \
+                    self._brute(docs, k, keep_first), (k, keep_first)
+
+    def test_short_docs_and_no_dups_emit_nothing(self, spark):
+        docs = {0: ["a", "b"], 1: [f"u{j}" for j in range(20)]}
+        assert self._run(spark, docs, k=8) == set()
+
+    def test_no_nested_loop_join(self, spark):
+        from news_rss_spark.operators.text_dedup import duplicated_gram_spans
+        d = spark.createDataFrame([(0, "a b c d e f g h i")],
+                                  "doc_id long, text string")
+        plan = duplicated_gram_spans(d)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
