@@ -625,6 +625,34 @@ def _sig60(spark, sf_dir):
     return sig
 
 
+_PAIRS60H4_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
+def _pairs60h4(spark, sf_dir):
+    """Memoized hamming<=4 near-dup pair relation over the 60-bit
+    signatures, localCheckpoint'd once per (session, sf_dir): BOTH
+    cluster-resolution queries (min-id keeper and ranked keeper) consume
+    the IDENTICAL pair graph, so the banding join + bit_count verify —
+    the expensive half after the signatures — runs once, same rationale
+    and lifecycle as _sig60.  Pairs are three ints per true near-dup,
+    far smaller than the corpus."""
+    global _PAIRS60H4_CACHE
+    import weakref
+    if _PAIRS60H4_CACHE is None:
+        _PAIRS60H4_CACHE = weakref.WeakKeyDictionary()
+    per_session = _PAIRS60H4_CACHE.setdefault(spark, {})
+    pairs = per_session.get(sf_dir)
+    if pairs is None:
+        from news_rss_spark.operators.text_dedup import simhash_near_dup_pairs
+        d = _t(spark, sf_dir, "documents").filter(
+            F.length(F.trim("text")) > 0)
+        pairs = simhash_near_dup_pairs(
+            d, max_hamming=4, n_bits=60, sig=_sig60(spark, sf_dir)
+        ).select("a", "b").localCheckpoint(eager=True)
+        per_session[sf_dir] = pairs
+    return pairs
+
+
 def q_simhash_wide_near_dup(spark, sf_dir):
     """Production-width SimHash near-dup: 60-bit signatures (15 md5 hex
     chars — the widest that stays a positive int64 in BOTH engines for a
@@ -976,10 +1004,8 @@ def q_dedup_clusters(spark, sf_dir):
     selection.
     Oracle: DuckDB recursive CTE over the identical pair set."""
     from news_rss_spark.operators.components import dedup_clusters
-    from news_rss_spark.operators.text_dedup import simhash_near_dup_pairs
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    pairs = simhash_near_dup_pairs(d, max_hamming=4, n_bits=60,
-                                   sig=_sig60(spark, sf_dir)).select("a", "b")
+    pairs = _pairs60h4(spark, sf_dir)
     return dedup_clusters(d, pairs, "doc_id")
 
 
@@ -1291,18 +1317,17 @@ def q_paragraph_dedup(spark, sf_dir):
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-ranked survivor selection (operators/components.py
     dedup_clusters_ranked): connected components over the 60-bit SimHash
-    hamming<=4 pair graph (signatures shared with dedup_clusters /
-    simhash_wide_near_dup via the _sig60 memo), keeper = the LONGEST
+    hamming<=4 pair graph (the pair relation itself shared with
+    dedup_clusters via the _pairs60h4 memo, signatures via _sig60),
+    keeper = the LONGEST
     member per cluster, ties broken by min doc_id — the
     BigCode/SantaCoder keep-longest policy — instead of dedup_clusters'
     min-id convention.  The per-cluster argmax is a hash agg
     (max(struct(rank, -id))), never a window sort over a hot cluster.
     Oracle: DuckDB recursive CTE + per-component row_number window."""
     from news_rss_spark.operators.components import dedup_clusters_ranked
-    from news_rss_spark.operators.text_dedup import simhash_near_dup_pairs
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    pairs = simhash_near_dup_pairs(d, max_hamming=4, n_bits=60,
-                                   sig=_sig60(spark, sf_dir)).select("a", "b")
+    pairs = _pairs60h4(spark, sf_dir)
     ranked = d.withColumn("rank_len", F.length("text").cast("long"))
     return dedup_clusters_ranked(ranked, pairs, "rank_len", "doc_id")
 

@@ -757,6 +757,45 @@ def duplicated_gram_spans(df: DataFrame, text_col: str = "text",
             .select(id_col, "span_start", "span_end", "span_len", "n_grams"))
 
 
+def remove_spans(df: DataFrame, spans: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 out_col: str = "clean_text") -> DataFrame:
+    """Apply :func:`duplicated_gram_spans` output back onto the corpus —
+    the cut stage of the ExactSubstr pipeline (Lee et al. 2022 §4 drop
+    the duplicated bytes; here the unit is the token).  Tokens whose
+    position falls inside any of the doc's ``[span_start, span_end]``
+    intervals are dropped; the rest re-join in order.  Docs with no
+    spans pass through unchanged; docs fully covered emit an empty
+    string (callers typically filter those).
+
+    Plan shape, chosen for 100 TB: spans collapse to ONE array per doc
+    (``groupBy(id).collect_list`` — bounded by doc length / k, tiny),
+    LEFT-join onto the corpus by id, and the cut itself is a JVM
+    ``filter(transform(tokens, (t,i) -> ...), NOT exists(cuts, ...))``
+    inside codegen — token text never shuffles, only the compact span
+    intervals do.  The spans side of the join is ≤ one row per doc and
+    in a mostly-clean corpus far fewer, so AQE broadcasts it.
+    """
+    cuts = (spans.groupBy(id_col)
+            .agg(F.collect_list(
+                F.struct(F.col("span_start").alias("s"),
+                         F.col("span_end").alias("e"))).alias("cuts")))
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(
+        F.transform(w, lambda t, i: F.struct(t.alias("t"),
+                                             i.cast("long").alias("i"))),
+        lambda x: ~F.exists(
+            "cuts", lambda c: (x["i"] >= c["s"]) & (x["i"] <= c["e"])),
+    )
+    return (df.join(cuts, id_col, "left")
+            .withColumn(
+                out_col,
+                F.when(F.col("cuts").isNull(), F.trim(F.col(text_col)))
+                 .otherwise(F.array_join(
+                     F.transform(kept, lambda x: x["t"]), " ")))
+            .drop("cuts"))
+
+
 def contamination_check(train_df: DataFrame, bench_df: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 8) -> DataFrame:

@@ -424,3 +424,53 @@ class TestDuplicatedGramSpans:
         plan = duplicated_gram_spans(d)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestRemoveSpans:
+    """Cut stage (remove_spans): applying duplicated_gram_spans output
+    must drop exactly the covered tokens, in place, per document."""
+
+    def _clean(self, spark, docs: dict, k: int) -> dict:
+        from news_rss_spark.operators.text_dedup import (
+            duplicated_gram_spans, remove_spans)
+        d = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs.items()],
+            "doc_id long, text string")
+        sp = duplicated_gram_spans(d, "text", "doc_id", k=k)
+        out = remove_spans(d, sp, "text", "doc_id")
+        return {r["doc_id"]: r["clean_text"] for r in out.collect()}
+
+    def test_later_copy_cut_first_copy_and_clean_docs_untouched(self, spark):
+        shared = [f"s{j}" for j in range(10)]
+        docs = {
+            0: shared + ["a0", "a1"],            # first: survives whole
+            1: ["b0"] + shared + ["b1"],         # later: loses the block
+            2: [f"u{j}" for j in range(12)],     # no dups: untouched
+        }
+        got = self._clean(spark, docs, k=8)
+        assert got[0] == " ".join(shared + ["a0", "a1"])
+        assert got[1] == "b0 b1"
+        assert got[2] == " ".join(f"u{j}" for j in range(12))
+
+    def test_fully_covered_doc_becomes_empty(self, spark):
+        shared = [f"s{j}" for j in range(8)]
+        got = self._clean(spark, {0: shared, 1: shared}, k=8)
+        assert got[0] == " ".join(shared) and got[1] == ""
+
+    def test_multiple_spans_cut_independently(self, spark):
+        a = [f"a{j}" for j in range(8)]
+        b = [f"b{j}" for j in range(8)]
+        gap = [f"g{j}" for j in range(9)]
+        docs = {0: a + ["x"] + b, 1: a + gap + b}
+        got = self._clean(spark, docs, k=8)
+        assert got[1] == " ".join(gap)
+
+    def test_no_nested_loop_join(self, spark):
+        from news_rss_spark.operators.text_dedup import (
+            duplicated_gram_spans, remove_spans)
+        d = spark.createDataFrame([(0, "a b c d e f g h i")],
+                                  "doc_id long, text string")
+        sp = duplicated_gram_spans(d)
+        plan = remove_spans(d, sp)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
