@@ -1873,6 +1873,49 @@ def q_jpeg_decode_stats(spark, sf_dir):
                         "px_sum")
 
 
+def q_sparse_cosine(spark, sf_dir):
+    """Sparse all-pairs TF-IDF cosine (the Bayardo et al. WWW'07 all-pairs
+    shape, operators/sparse_sim.py) over TRIGRAM shingle terms: the
+    3-token shingles are derived IN-PLAN with JVM array expressions
+    (split -> transform/get -> array_join) so the operator's whitespace
+    tokenizer sees one term per shingle.  Trigrams make the term space
+    sparse (vocab ~30k at sf0.1, max df 25), so the postings self-join
+    stays tiny without df-pruning pressure, while near-duplicate docs
+    share long shingle runs -> cosine ~1 and unrelated docs ~0.  The
+    oracle replays tokenization, tf-idf, the term-ordered norm fold, and
+    the pair fold digit-for-digit (lexical near-dup counterpart of the
+    reference's per-row LIKE matching, src/cache/local/mod.rs)."""
+    from news_rss_spark.operators.sparse_sim import all_pairs_cosine
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"),
+                    lambda x: x != "")
+    d = d.withColumn("_t", toks).filter(F.size("_t") >= 3)
+    tri = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.size("_t") - 3),
+                    lambda i: F.concat_ws("_", F.get("_t", i),
+                                          F.get("_t", i + 1),
+                                          F.get("_t", i + 2))), " ")
+    d = d.select("doc_id", tri.alias("tri_text"))
+    return all_pairs_cosine(d, threshold=0.3, min_df=2, max_df=1000,
+                            text_col="tri_text", id_col="doc_id")
+
+
+def q_edit_distance_near_dup(spark, sf_dir):
+    """Near-dup pairs verified by EXACT Levenshtein distance
+    (text_dedup.edit_distance_near_dup_pairs): MinHash b=2 x r=2 banding
+    supplies candidates (same CTE as minhash_pairs), a free length-delta
+    prefilter drops pairs whose distance provably exceeds the radius,
+    equal texts short-circuit to 0, and the survivors run Spark's
+    THRESHOLDED banded-DP levenshtein — result-identical to the full DP
+    the DuckDB oracle replays."""
+    from news_rss_spark.operators.text_dedup import (
+        edit_distance_near_dup_pairs)
+    d = _t(spark, sf_dir, "documents")
+    d = d.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
+    return edit_distance_near_dup_pairs(d, max_dist=20, n_hashes=4,
+                                        rows_per_band=2, shingle_n=2)
+
+
 def q_interleaved_pack(spark, sf_dir):
     """MMC4/OBELICS interleaved multimodal sequence packing: deterministic
     spans (7-word text spans, an image ref after every 3 text spans, a
@@ -2057,6 +2100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "sparse_cosine": q_sparse_cosine,
+        "edit_distance_near_dup": q_edit_distance_near_dup,
         "interleaved_pack": q_interleaved_pack,
         "interleaved_seq_stats": q_interleaved_seq_stats,
         "interleaved_assembly": q_interleaved_assembly,
@@ -2433,6 +2478,61 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id, 'audio' AS kind,
        CAST((64 + doc_id % 64) * ((doc_id * 97) % 4096 - 2048) AS BIGINT)
          AS sample_sum
 FROM documents
+""",
+        "sparse_cosine": """
+WITH toks0 AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+tri AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                                       i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS term
+  FROM toks0 WHERE len(t) >= 3
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tri GROUP BY 1, 2),
+n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+dict AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+  HAVING count(*) >= 2 AND count(*) <= 1000 AND count(*) < (SELECT n FROM n_docs)
+),
+w AS (
+  SELECT t.doc_id, t.term,
+         CAST(t.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS w
+  FROM tf t JOIN dict d USING (term), n_docs n
+),
+nrm AS (
+  SELECT doc_id, round(sqrt(list_aggregate(list(w * w ORDER BY term), 'sum')), 9) AS norm
+  FROM w GROUP BY doc_id
+),
+p AS (
+  SELECT w.doc_id, w.term, round(w.w / nrm.norm, 9) AS wn
+  FROM w JOIN nrm USING (doc_id) WHERE nrm.norm > 0
+),
+prods AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.term, x.wn * y.wn AS c
+  FROM p x JOIN p y ON x.term = y.term AND x.doc_id < y.doc_id
+),
+folded AS (
+  SELECT a, b, round(list_aggregate(list(c ORDER BY term), 'sum'), 6) AS cosine,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM prods GROUP BY a, b
+)
+SELECT a, b, cosine, n_terms FROM folded WHERE cosine >= 0.3
+""",
+        "edit_distance_near_dup": f"""
+WITH {_SHINGLES_CTE},
+{_MINHASH_BANDED_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT c.a, c.b, CAST(levenshtein(ta.text, tb.text) AS INT) AS dist
+FROM cand c
+JOIN documents ta ON ta.doc_id = c.a
+JOIN documents tb ON tb.doc_id = c.b
+WHERE levenshtein(ta.text, tb.text) <= 20
 """,
         "interleaved_pack": r"""
 WITH base AS (

@@ -233,6 +233,56 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.3,
     )
 
 
+def edit_distance_near_dup_pairs(df: DataFrame, max_dist: int = 8,
+                                 n_hashes: int = 4, rows_per_band: int = 2,
+                                 shingle_n: int = 2,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 max_candidate_pairs: int | None = None,
+                                 ) -> DataFrame:
+    """Near-duplicate pairs verified by EXACT edit distance:
+    ``(a, b, dist)`` with Levenshtein(a, b) <= ``max_dist`` among MinHash
+    band candidates.
+
+    Jaccard/SimHash treat documents as token SETS; edit distance is the
+    sequence-level contract (the dedup criterion for templated spam and
+    mirror pages that differ by a date stamp or a counter).  A corpus-wide
+    Levenshtein join is O(n^2 * L^2) — never viable — so this composes the
+    existing blocking route with a cheap exact verify:
+
+    - candidates come from :func:`minhash_candidate_pairs` (b x r banding,
+      census/budget-guarded like every other blocking route);
+    - a FREE exact prefilter ``abs(len(a) - len(b)) <= max_dist`` (length
+      difference lower-bounds edit distance) drops candidates before any
+      DP runs;
+    - ``text == text`` short-circuits exact copies to dist 0 (CASE is
+      lazily evaluated per row — the dominant duplicate class never pays
+      the DP);
+    - the remaining pairs run Spark's THRESHOLDED Levenshtein (banded DP,
+      O(max_dist * L) per pair instead of O(L^2); returns -1 above the
+      threshold, which the final filter removes — result-identical to the
+      full DP + ``<= max_dist`` cut an oracle replays).
+
+    Candidate ids join back to text AFTER blocking, so full text is only
+    shipped for candidate rows (the incremental_dedup survivor-join rule).
+    """
+    cand = minhash_candidate_pairs(df, n_hashes, text_col, id_col,
+                                   shingle_n, rows_per_band,
+                                   max_candidate_pairs)
+    t = df.filter(F.col(text_col).isNotNull()).select(F.col(id_col),
+                                                      F.col(text_col))
+    withtext = (
+        cand.join(t.select(F.col(id_col).alias("a"),
+                           F.col(text_col).alias("_ta")), "a")
+        .join(t.select(F.col(id_col).alias("b"),
+                       F.col(text_col).alias("_tb")), "b")
+        .filter(F.abs(F.length("_ta") - F.length("_tb")) <= max_dist))
+    dist = (F.when(F.col("_ta") == F.col("_tb"), F.lit(0))
+            .otherwise(F.levenshtein("_ta", "_tb", max_dist)))
+    return (withtext.select("a", "b", dist.cast("int").alias("dist"))
+            .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist)))
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash(df: DataFrame, text_col: str = "text",

@@ -474,3 +474,70 @@ class TestRemoveSpans:
         plan = remove_spans(d, sp)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def _lev(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestEditDistanceNearDup:
+    """edit_distance_near_dup_pairs = exact Levenshtein over MinHash
+    band candidates: result must equal a brute replay of the candidate
+    set, and the thresholded banded DP must match the full DP."""
+
+    def test_equals_brute_force_over_candidates(self, spark):
+        from news_rss_spark.operators.text_dedup import (
+            edit_distance_near_dup_pairs, minhash_candidate_pairs)
+        d = _docs(spark)
+        for max_dist in (0, 4, 12):
+            got = {(r["a"], r["b"], r["dist"])
+                   for r in edit_distance_near_dup_pairs(
+                       d, max_dist=max_dist).collect()}
+            cand = {(r["a"], r["b"])
+                    for r in minhash_candidate_pairs(d, 4).collect()}
+            texts = {r["doc_id"]: r["text"] for r in d.collect()}
+            want = set()
+            for a, b in cand:
+                dist = _lev(texts[a], texts[b])
+                if dist <= max_dist:
+                    want.add((a, b, dist))
+            assert got == want
+
+    def test_identical_docs_distance_zero(self, spark):
+        from news_rss_spark.operators.text_dedup import (
+            edit_distance_near_dup_pairs)
+        got = {(r["a"], r["b"]): r["dist"]
+               for r in edit_distance_near_dup_pairs(
+                   _docs(spark), max_dist=0).collect()}
+        assert got.get((100, 101)) == 0
+        assert all(v == 0 for v in got.values())
+
+    def test_confined_to_candidates(self, spark):
+        """A doc pair with small edit distance but no shared band never
+        appears — the operator's contract is candidates-then-verify, not
+        corpus-wide Levenshtein."""
+        from news_rss_spark.operators.text_dedup import (
+            edit_distance_near_dup_pairs, minhash_candidate_pairs)
+        d = _docs(spark)
+        cand = {(r["a"], r["b"])
+                for r in minhash_candidate_pairs(d, 4).collect()}
+        got = {(r["a"], r["b"])
+               for r in edit_distance_near_dup_pairs(
+                   d, max_dist=100).collect()}
+        assert got <= cand
+
+    def test_no_nested_loop_join(self, spark):
+        from news_rss_spark.operators.text_dedup import (
+            edit_distance_near_dup_pairs)
+        plan = edit_distance_near_dup_pairs(_docs(spark), max_dist=4) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
