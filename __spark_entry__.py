@@ -1889,15 +1889,27 @@ def q_sparse_cosine(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"),
                     lambda x: x != "")
-    d = d.withColumn("_t", toks).filter(F.size("_t") >= 3)
+    # the repartition is load-bearing twice over: (1) the lambda below
+    # captures `_t` — across an Exchange that's a MATERIALIZED attribute
+    # (split runs once per row), while in one collapsed projection
+    # Catalyst re-evaluates the whole split expression inside every
+    # F.get call (~3x52 regex splits per doc — measured 15.7 s -> 1 s at
+    # sf0.1); (2) the sf parquet is one file -> one task without it
+    d = (d.withColumn("_t", toks).filter(F.size("_t") >= 3)
+         .repartition(32))
     tri = F.array_join(
         F.transform(F.sequence(F.lit(0), F.size("_t") - 3),
                     lambda i: F.concat_ws("_", F.get("_t", i),
                                           F.get("_t", i + 1),
                                           F.get("_t", i + 2))), " ")
-    d = d.select("doc_id", tri.alias("tri_text"))
+    # materialize the derived relation ONCE: the operator's DAG reads its
+    # input from three branches (tf, dictionary, corpus-n stats), and
+    # each would re-run the trigram derivation otherwise (measured 17.9 s
+    # -> 5.5 s at sf0.1; the dedup-family signature-sharing rule)
+    d = d.select("doc_id", tri.alias("tri_text")).localCheckpoint(eager=True)
     return all_pairs_cosine(d, threshold=0.3, min_df=2, max_df=1000,
-                            text_col="tri_text", id_col="doc_id")
+                            text_col="tri_text", id_col="doc_id",
+                            materialize=True)
 
 
 def q_edit_distance_near_dup(spark, sf_dir):
@@ -1914,6 +1926,66 @@ def q_edit_distance_near_dup(spark, sf_dir):
     d = d.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
     return edit_distance_near_dup_pairs(d, max_dist=20, n_hashes=4,
                                         rows_per_band=2, shingle_n=2)
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (operators/search.py::
+    rrf_fusion, Cormack et al. SIGIR'09) of the BM25 lexical top-20 and
+    the dense cosine top-10 — the two already-oracled rankings fused on
+    scale-free RANKS (k=60).  Both inputs are top-n-bounded, so the
+    rank windows are constant-size at any corpus scale."""
+    from news_rss_spark.operators.search import rrf_fusion
+    bm = q_bm25_search(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("score"))
+    dn = q_cosine_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), F.col("cosine").alias("score"))
+    return rrf_fusion([bm, dn], k=60, id_col="id", top_n=20)
+
+
+def q_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label-propagation communities
+    (operators/components.py::label_propagation): 3 pinned rounds,
+    min-label ties, over the same deterministic link graph as
+    q_pagerank/q_hits.  The oracle unrolls the 3 rounds as CTEs with a
+    row_number argmax — one wrong vote count or tiebreak anywhere
+    diverges the labels."""
+    from news_rss_spark.operators.components import label_propagation
+    d = _t(spark, sf_dir, "documents").filter(F.expr("doc_id % 4 > 0"))
+    e = (d.select(F.col("doc_id").alias("src"),
+                  F.explode(F.expr(
+                      "sequence(1, CAST(doc_id % 4 AS INT))")).alias("j"))
+         .select("src",
+                 ((F.col("src") * 31 + F.col("j") * 97) % 1000).alias("dst")))
+    pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    return label_propagation(pairs, rounds=3)
+
+
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle containment (text_dedup.containment_pairs):
+    catches quote/excerpt inclusion that Jaccard and MinHash structurally
+    miss.  Blocking = rare-shingle inverted index (df in [2, 50]), verify
+    = exact array_intersect on candidates; the oracle replays the df
+    window and both direction ratios."""
+    from news_rss_spark.operators.text_dedup import containment_pairs
+    d = _t(spark, sf_dir, "documents")
+    d = d.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
+    return containment_pairs(d, threshold=0.5, shingle_n=2,
+                             min_df=2, max_df=50)
+
+
+def q_group_split(spark, sf_dir):
+    """Leakage-safe GROUP-level dataset split (text_analysis.
+    assign_group_split): hash the publisher, not the doc id, so a
+    domain's templated near-dups can never straddle train/test.  Output
+    is the per-(source, split) census — one split per source by
+    construction."""
+    from news_rss_spark.operators.text_analysis import assign_group_split
+    d = _t(spark, sf_dir, "documents")
+    return (assign_group_split(d, group_col="source", val_frac=0.1,
+                               test_frac=0.1, salt="gsplit-v1")
+            .groupBy("source", "split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
 
 
 def q_interleaved_pack(spark, sf_dir):
@@ -2102,16 +2174,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-3 additions (no prior driver row) ------------------
         "sparse_cosine": q_sparse_cosine,
         "edit_distance_near_dup": q_edit_distance_near_dup,
+        "hybrid_search": q_hybrid_search,
+        "label_propagation": q_label_propagation,
+        "containment": q_containment,
+        "group_split": q_group_split,
         "interleaved_pack": q_interleaved_pack,
-        "interleaved_seq_stats": q_interleaved_seq_stats,
-        "interleaved_assembly": q_interleaved_assembly,
         "mjpeg_decode_stats": q_mjpeg_decode_stats,
-        "mjpeg_frame_sample": q_mjpeg_frame_sample,
         "nb_classifier": q_nb_classifier,
         "adpcm_decode_stats": q_adpcm_decode_stats,
         "jpeg_decode_stats": q_jpeg_decode_stats,
         "gif_decode_stats": q_gif_decode_stats,
-        "corpus_shuffle": q_corpus_shuffle,
         "paragraph_dedup": q_paragraph_dedup,
         "dedup_keep_best": q_dedup_keep_best,
         "semdedup": q_semdedup,
@@ -2161,13 +2233,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_clusters via a pytest asserting identical components,
         # pii_redact_extended ~ pii_redact) or brute-force pytest parity
         # independent of the banded route (simhash128_near_dup at radii
-        # 0/1/3; simhash_band_census vs a pure-Python recount) — plus
-        # the sf0.01 replica parity suite like everything else --------
+        # 0/1/3; simhash_band_census vs a pure-Python recount), or are
+        # compositions over an in-window sibling sharing the same core
+        # (interleaved_seq_stats/assembly over interleaved_pack's span
+        # layout, fuzz-locked vs a sequential reference;
+        # mjpeg_frame_sample over mjpeg_decode_stats's decoder;
+        # corpus_shuffle over the md5_draw32 contract three driver-green
+        # queries already lock) — plus the sf0.01 replica parity suite
+        # like everything else ----------------------------------------
         "simhash128_near_dup": q_simhash128_near_dup,
         "simhash_band_census": q_simhash_band_census,
         "streaming_hll_estimate": q_streaming_hll_estimate,
         "dedup_clusters_star": q_dedup_clusters_star,
         "pii_redact_extended": q_pii_redact_extended,
+        "interleaved_seq_stats": q_interleaved_seq_stats,
+        "interleaved_assembly": q_interleaved_assembly,
+        "mjpeg_frame_sample": q_mjpeg_frame_sample,
+        "corpus_shuffle": q_corpus_shuffle,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -2293,6 +2375,50 @@ def _banded_over_sql(rel: str, alias: str) -> str:
          string_agg(mh, '|' ORDER BY seed) AS band_key
   FROM {alias}_sig GROUP BY doc_id, seed // 2
 )"""
+
+
+_COSINE_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT vec_id,
+         round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+               (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(qv, qv))), 6) AS cosine
+  FROM embeddings, q
+)
+SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous LPA over the q_pagerank/q_hits link graph:
+    per round, vote counts then a row_number argmax (count desc, label
+    asc) — the SQL-deterministic mirror of Spark's max(struct(cnt,
+    -label)) single-agg argmax."""
+    ctes = ["""
+e0 AS (
+  SELECT doc_id AS src, unnest(generate_series(1, CAST(doc_id % 4 AS INT))) AS j
+  FROM documents WHERE doc_id % 4 > 0
+),
+dir AS (SELECT src, (src * 31 + j * 97) % 1000 AS dst FROM e0),
+edges AS (SELECT src, dst FROM dir UNION SELECT dst, src FROM dir),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+c{r} AS (
+  SELECT e.dst AS n, l.label, count(*) AS cnt
+  FROM edges e JOIN l{r - 1} l ON l.node = e.src
+  GROUP BY 1, 2
+),
+l{r} AS (
+  SELECT n AS node, label FROM (
+    SELECT n, label,
+           row_number() OVER (PARTITION BY n ORDER BY cnt DESC, label) AS rn
+    FROM c{r}) WHERE rn = 1
+)""")
+    return ("WITH " + ",".join(ctes)
+            + f"\nSELECT node, label AS community FROM l{rounds}")
 
 
 def _incremental_dedup_sql() -> str:
@@ -2504,11 +2630,14 @@ dict AS (
 ),
 w AS (
   SELECT t.doc_id, t.term,
-         CAST(t.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS w
+         round(CAST(t.tf AS DOUBLE)
+               * ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)), 9) AS w
   FROM tf t JOIN dict d USING (term), n_docs n
 ),
 nrm AS (
-  SELECT doc_id, round(sqrt(list_aggregate(list(w * w ORDER BY term), 'sum')), 9) AS norm
+  SELECT doc_id,
+         round(sqrt(sum(CAST(floor(w * w * 1e12 + 0.5) AS BIGINT)) / 1e12), 9)
+           AS norm
   FROM w GROUP BY doc_id
 ),
 p AS (
@@ -2516,15 +2645,70 @@ p AS (
   FROM w JOIN nrm USING (doc_id) WHERE nrm.norm > 0
 ),
 prods AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, x.term, x.wn * y.wn AS c
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(floor(x.wn * y.wn * 1e12 + 0.5) AS BIGINT) AS g
   FROM p x JOIN p y ON x.term = y.term AND x.doc_id < y.doc_id
-),
-folded AS (
-  SELECT a, b, round(list_aggregate(list(c ORDER BY term), 'sum'), 6) AS cosine,
-         CAST(count(*) AS BIGINT) AS n_terms
-  FROM prods GROUP BY a, b
 )
-SELECT a, b, cosine, n_terms FROM folded WHERE cosine >= 0.3
+SELECT a, b, round(sum(g) / 1e12, 6) AS cosine,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM prods GROUP BY a, b
+HAVING round(sum(g) / 1e12, 6) >= 0.3
+""",
+        "hybrid_search": f"""
+WITH bm AS ({_bm25_sql(["spark", "merge", "window"], top_n=20)}),
+dn AS ({_COSINE_TOPK_SQL}),
+r1 AS (SELECT doc_id AS id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm),
+r2 AS (SELECT vec_id AS id,
+              row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk FROM dn),
+u AS (
+  SELECT id, CAST(1.0 AS DOUBLE) / (60 + rnk) AS c FROM r1
+  UNION ALL
+  SELECT id, CAST(1.0 AS DOUBLE) / (60 + rnk) AS c FROM r2
+)
+SELECT id, round(sum(c), 9) AS rrf_score, CAST(count(*) AS BIGINT) AS n_lists
+FROM u GROUP BY id
+ORDER BY rrf_score DESC, id LIMIT 20
+""",
+        "label_propagation": _lpa_sql(3),
+        "containment": f"""
+WITH {_SHINGLES_CTE},
+dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+rare AS (SELECT s FROM dfreq WHERE df BETWEEN 2 AND 50),
+blocked AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM blocked x JOIN blocked y ON x.s = y.s AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+res AS (
+  SELECT c.a, c.b,
+         round(CAST(i.n_inter AS DOUBLE) / sa.n, 6) AS c_ab,
+         round(CAST(i.n_inter AS DOUBLE) / sb.n, 6) AS c_ba,
+         CAST(i.n_inter AS BIGINT) AS n_inter
+  FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+)
+SELECT a, b, c_ab, c_ba, n_inter FROM res
+WHERE c_ab >= 0.5 OR c_ba >= 0.5
+""",
+        "group_split": """
+SELECT source,
+       CASE WHEN d < 429496729 THEN 'test'
+            WHEN d < 858993458 THEN 'val'
+            ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (SELECT source, n_chars,
+             CAST('0x' || substr(md5('gsplit-v1:' || source), 1, 8) AS BIGINT)
+               AS d
+      FROM documents)
+GROUP BY 1, 2
 """,
         "edit_distance_near_dup": f"""
 WITH {_SHINGLES_CTE},
@@ -3095,18 +3279,7 @@ SELECT node AS doc_id, min(comp) AS component,
        (node = min(comp)) AS is_keeper
 FROM walk GROUP BY node
 """,
-        "cosine_topk": """
-WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-c AS (
-  SELECT vec_id,
-         round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
-               (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                      CAST(embedding AS DOUBLE[]))) *
-                sqrt(list_dot_product(qv, qv))), 6) AS cosine
-  FROM embeddings, q
-)
-SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id LIMIT 10
-""",
+        "cosine_topk": _COSINE_TOPK_SQL,
         "embedding_near_dup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
            WHERE vec_id < 1000)

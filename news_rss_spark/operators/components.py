@@ -232,3 +232,52 @@ def keep_only_keepers(df: DataFrame, pairs: DataFrame,
     keepers = dedup_clusters(df, pairs, id_col) \
         .filter("is_keeper").select(F.col(id_col))
     return df.join(keepers, on=id_col, how="left_semi")
+
+
+def label_propagation(pairs: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, deterministic variant) over an undirected pair graph:
+    ``(node, community)`` after a FIXED number of rounds.
+
+    Where connected components answer "is there ANY path" (every
+    near-dup clique plus its bridges collapses to one id), LPA finds
+    DENSE regions: each round every node adopts the most frequent label
+    among its neighbours, so sparse bridges between two dense clusters
+    lose the vote and the clusters keep distinct labels.  The classic
+    algorithm breaks ties randomly and updates asynchronously — both
+    non-reproducible at cluster scale — so this variant is pinned:
+    synchronous rounds, ties by MIN label, fixed round count (the same
+    determinism-over-convergence trade the repo's k-means/PageRank
+    oracles make; the fixpoint of the deterministic variant can
+    oscillate 2-cycles, which a fixed round count sidesteps).
+
+    Per round the plan is ONE shuffle: join labels to the symmetrized
+    edge list on src, then ``groupBy(dst, label).count`` (map-side
+    combine on hot labels) and an argmax via ``max(struct(count,
+    -label))`` — a second hash agg, NO per-node window sort.  Labels
+    localCheckpoint per round (iterative lineage truncation, as in
+    connected_components).  Isolated nodes never appear in ``pairs``
+    and are their own community by definition — callers re-attach them
+    the way connected_components handles singletons.
+    """
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))) \
+        .distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        votes = (edges.join(labels, edges["src"] == labels["node"])
+                 .groupBy(F.col("dst").alias("n"), F.col("label"))
+                 .agg(F.count("*").alias("cnt")))
+        # argmax with min-label tiebreak as ONE order-independent agg:
+        # max(struct(cnt, -label)) picks the biggest count, then the
+        # smallest label (bigger -label == smaller label)
+        labels = (votes.groupBy(F.col("n").alias("node"))
+                  .agg(F.max(F.struct(F.col("cnt"),
+                                      (-F.col("label")).alias("neg")))
+                       .alias("m"))
+                  .select("node", (-F.col("m.neg")).alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels.select("node", F.col("label").alias("community"))

@@ -120,3 +120,46 @@ def bm25_search(df: DataFrame, query_terms: list[str], top_n: int = 10,
         F.size("seq").cast("long").alias("n_matched"),
         F.round(total, 6).alias("score"))
     return out.orderBy(F.desc("score"), F.col(id_col)).limit(top_n)
+
+
+def rrf_fusion(rankings: list[DataFrame], k: int = 60,
+               id_col: str = "id", score_col: str = "score",
+               top_n: int = 20) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    lists: ``(id, rrf_score, n_lists)`` with
+    ``rrf_score = sum over lists of 1 / (k + rank)``.
+
+    The hybrid-retrieval primitive: a lexical ranking (BM25) and a dense
+    ranking (embedding cosine) disagree on scale and calibration, so
+    fusing SCORES is meaningless — RRF fuses RANKS, which are
+    scale-free.  ``k`` damps the head (k=60 is the paper's constant).
+
+    Scale contract: each input must already be a TOP-N-BOUNDED list
+    (the output of bm25_search / cosine_topk — both end in a global
+    top-n).  Ranks are then assigned with a single-partition window,
+    which is O(top_n) rows by construction — constant at any corpus
+    scale, NOT a corpus-sized sort.  Ties rank by (score desc, id asc),
+    the same determinism rule every top-k in this repo uses.  The fused
+    sum has <= N addends per id (N = number of lists, 2-5 in practice),
+    so double addition is order-safe for N=2 and rounded to 9 digits
+    regardless.
+    """
+    from pyspark.sql.window import Window
+
+    contribs = []
+    for r in rankings:
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        contribs.append(
+            r.select(id_col, score_col)
+            .withColumn("rnk", F.row_number().over(w))
+            .select(F.col(id_col),
+                    (F.lit(1.0) / (F.lit(float(k)) + F.col("rnk")))
+                    .alias("c")))
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    return (u.groupBy(id_col)
+            .agg(F.round(F.sum("c"), 9).alias("rrf_score"),
+                 F.count("*").cast("long").alias("n_lists"))
+            .orderBy(F.desc("rrf_score"), F.col(id_col))
+            .limit(top_n))

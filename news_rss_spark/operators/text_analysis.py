@@ -238,6 +238,39 @@ def assign_split(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def assign_group_split(df: DataFrame, group_col: str = "source",
+                       val_frac: float = 0.1, test_frac: float = 0.1,
+                       salt: str = "gsplit-v1") -> DataFrame:
+    """GROUP-AWARE train/val/test assignment: every row of a group
+    (domain, publisher, crawl host) lands in the SAME split.
+
+    Document-level splits leak: near-duplicate and templated documents
+    concentrate within a domain, so hashing doc ids scatters a domain's
+    near-dups across train AND test — the eval set then measures
+    memorization of the training set's templates, not generalization
+    (the same failure contamination_check guards against across
+    corpora, here within one).  Hashing the GROUP key closes the leak
+    by construction: split(doc) = f(domain) only.
+
+    Mechanics are identical to :func:`assign_split` (shared
+    ``md5_draw32`` contract, same threshold carve, NULL groups ->
+    'train' via the otherwise-branch), so split fractions hold in
+    EXPECTATION over groups; realized document fractions track group
+    sizes (report them with a groupBy, don't assume).  Adds no shuffle:
+    the draw is a per-row JVM expression on the group column.
+    """
+    draw = md5_draw32(group_col, salt)
+    scale = float(1 << 32)
+    test_cut = int(test_frac * scale)
+    val_cut = test_cut + int(val_frac * scale)
+    return df.withColumn(
+        "split",
+        F.when(draw < test_cut, F.lit("test"))
+         .when(draw < val_cut, F.lit("val"))
+         .otherwise(F.lit("train")),
+    )
+
+
 def stratified_sample(df: DataFrame, group_col: str = "source",
                       rates: dict[str, float] | None = None,
                       default_rate: float = 0.1,

@@ -880,3 +880,57 @@ def contamination_check(train_df: DataFrame, bench_df: DataFrame,
     return (train_g.join(bench_g, "gram_h", "inner")
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_shared")))
+
+
+def containment_pairs(df: DataFrame, threshold: float = 0.7,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      shingle_n: int = 2, min_df: int = 2,
+                      max_df: int = 50,
+                      max_candidate_pairs: int | None = None) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: ``(a, b, c_ab, c_ba,
+    n_inter)`` where ``c_ab = |sh(a) & sh(b)| / |sh(a)|`` and the pair
+    survives if EITHER direction reaches ``threshold``.
+
+    Jaccard misses subset relations by construction: a short doc fully
+    quoted inside a long one has ``|A&B|/|A|B|| ~ |A|/|B| -> 0`` while
+    its containment is 1.0 — exactly the partial-mirror / quote-farm /
+    excerpt class a dedup pipeline wants to catch.  MinHash banding
+    inherits Jaccard's blindness (band collision probability ~ s^r), so
+    the blocking route here is different: a RARE-SHINGLE inverted index.
+    Two docs become candidates iff they share at least one shingle with
+    document frequency in ``[min_df, max_df]`` — a contained doc shares
+    ALL its shingles with its container, so any of its non-hot shingles
+    blocks the pair (misses only docs composed ENTIRELY of
+    boilerplate-frequency shingles, the documented recall edge).  df
+    capping bounds the self-join exactly as in sparse_sim: a shingle
+    with frequency f fans out f*(f-1)/2 candidates, so hot shingles are
+    pruned before the join and the volume is census-measurable
+    (``max_candidate_pairs`` fail-fast, same guard as every blocking
+    route).  The verify is exact set arithmetic (``array_intersect``)
+    on candidate rows only; both directions come from the one
+    intersection.
+    """
+    sh = with_shingles(df.filter(F.col(text_col).isNotNull())
+                       .select(id_col, text_col), text_col, n=shingle_n)
+    inv = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
+    rare = (inv.groupBy("s").agg(F.count("*").cast("long").alias("df"))
+            .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+            .select("s"))
+    blocked = inv.join(F.broadcast(rare), "s")
+    if max_candidate_pairs is not None:
+        _enforce_candidate_budget(blocked.withColumn("band", F.lit(0)),
+                                  max_candidate_pairs, "band", "s")
+    cand = (blocked.select(F.col(id_col).alias("a"), "s")
+            .join(blocked.select(F.col(id_col).alias("b"), "s"), "s")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    sa = sh.select(F.col(id_col).alias("a"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col(id_col).alias("b"), F.col("shingles").alias("sb"))
+    pairs = cand.join(sa, "a").join(sb, "b")
+    n_inter = F.size(F.array_intersect("sa", "sb"))
+    c_ab = F.round(n_inter / F.size("sa"), 6)
+    c_ba = F.round(n_inter / F.size("sb"), 6)
+    return (pairs.select("a", "b", c_ab.alias("c_ab"), c_ba.alias("c_ba"),
+                         n_inter.cast("long").alias("n_inter"))
+            .filter((F.col("c_ab") >= threshold)
+                    | (F.col("c_ba") >= threshold)))

@@ -134,3 +134,62 @@ class TestStarVariant:
                 for r in out.collect()}
         assert rows == {10: (10, True), 11: (10, False), 12: (10, False),
                         20: (20, True), 21: (20, False), 30: (30, True)}
+
+
+class TestLabelPropagation:
+    def _pairs(self, spark, edges):
+        return spark.createDataFrame(edges, "a long, b long")
+
+    def test_bridged_cliques_keep_distinct_communities(self, spark):
+        """Two 4-cliques joined by ONE bridge edge: connected components
+        merges them into one id; LPA keeps two communities because the
+        bridge loses the neighbour vote on both sides."""
+        from news_rss_spark.operators.components import (
+            connected_components, label_propagation)
+        import itertools
+        c1 = list(itertools.combinations([0, 1, 2, 3], 2))
+        c2 = list(itertools.combinations([10, 11, 12, 13], 2))
+        edges = c1 + c2 + [(3, 10)]
+        p = self._pairs(spark, edges)
+        lpa = {r["node"]: r["community"]
+               for r in label_propagation(p, rounds=3).collect()}
+        assert len(set(lpa.values())) == 2
+        assert lpa[0] == lpa[1] == lpa[2] == lpa[3]
+        assert lpa[10] == lpa[11] == lpa[12] == lpa[13]
+        nodes = spark.createDataFrame([(n,) for n in lpa], "doc_id long")
+        cc = {r["node"]: r["comp"]
+              for r in connected_components(nodes, p).collect()}
+        assert len(set(cc.values())) == 1
+
+    def test_matches_python_reference(self, spark):
+        """Synchronous rounds + min-label ties replayed in pure Python."""
+        from news_rss_spark.operators.components import label_propagation
+        edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2), (5, 6), (6, 7),
+                 (5, 7), (4, 5)]
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        labels = {n: n for n in adj}
+        for _ in range(3):
+            new = {}
+            for n in adj:
+                votes = {}
+                for m in adj[n]:
+                    votes[labels[m]] = votes.get(labels[m], 0) + 1
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[n] = best[0]
+            labels = new
+        got = {r["node"]: r["community"]
+               for r in label_propagation(
+                   self._pairs(spark, edges), rounds=3).collect()}
+        assert got == labels
+
+    def test_deterministic_under_repartition(self, spark):
+        from news_rss_spark.operators.components import label_propagation
+        edges = [(i, (i * 7 + 3) % 20) for i in range(20) if i != (i * 7 + 3) % 20]
+        p = self._pairs(spark, edges)
+        a = sorted(map(tuple, label_propagation(p, rounds=3).collect()))
+        b = sorted(map(tuple,
+                       label_propagation(p.repartition(5), rounds=3).collect()))
+        assert a == b

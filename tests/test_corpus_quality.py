@@ -307,3 +307,51 @@ class TestC4LineFilter:
                                    "doc_id int, text string")
         assert c4_line_filter(df).count() == 0
         assert c4_line_filter(df, min_words=4).count() == 1
+
+
+class TestGroupSplit:
+    def test_one_split_per_group(self, spark):
+        from news_rss_spark.operators.text_analysis import assign_group_split
+        rows = [(i, f"src{i % 7}", i * 10) for i in range(100)]
+        d = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = assign_group_split(d, group_col="source")
+        per_group = (out.groupBy("source")
+                     .agg({"split": "count"})
+                     .count())
+        distinct_pairs = out.select("source", "split").distinct().count()
+        assert distinct_pairs == per_group == 7
+
+    def test_assignment_is_content_stable(self, spark):
+        """Same group -> same split regardless of row order, partitioning,
+        or which other rows exist (corpus growth never moves a domain)."""
+        from news_rss_spark.operators.text_analysis import assign_group_split
+        rows = [(i, f"src{i % 7}", 0) for i in range(100)]
+        d = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        full = {r["source"]: r["split"]
+                for r in assign_group_split(d).select("source", "split")
+                .distinct().collect()}
+        subset = {r["source"]: r["split"]
+                  for r in assign_group_split(
+                      d.filter("doc_id < 20").repartition(9))
+                  .select("source", "split").distinct().collect()}
+        for k, v in subset.items():
+            assert full[k] == v
+
+    def test_null_group_goes_to_train(self, spark):
+        from news_rss_spark.operators.text_analysis import assign_group_split
+        d = spark.createDataFrame([(0, None, 0)],
+                                  "doc_id long, source string, n_chars long")
+        assert assign_group_split(d).collect()[0]["split"] == "train"
+
+    def test_matches_doc_split_thresholds(self, spark):
+        """Shares the md5_draw32 carve with assign_split: hashing the
+        same VALUE yields the same split for the same salt."""
+        from news_rss_spark.operators.text_analysis import (
+            assign_group_split, assign_split)
+        rows = [(i, str(i), 0) for i in range(50)]
+        d = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        by_group = {r["source"]: r["split"]
+                    for r in assign_group_split(d, salt="s1").collect()}
+        by_doc = {str(r["doc_id"]): r["split"]
+                  for r in assign_split(d, id_col="doc_id", salt="s1").collect()}
+        assert by_group == by_doc

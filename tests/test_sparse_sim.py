@@ -28,10 +28,14 @@ def _docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def _grid(x):
+    return math.floor(x * 1e12 + 0.5)
+
+
 def _brute(rows, min_df, max_df, threshold):
-    """Pure-Python replay: same tokenization, pruning, idf, norm and fold
-    order as the operator (rounding replayed too; comparison is exact on
-    these inputs)."""
+    """Pure-Python replay of the integer-grid contract: round weights to
+    9 digits, sum squares/products as 1e-12-grid integers (order-free),
+    round norm to 9 and cosine to 6."""
     toks = {i: t.lower().strip().split() for i, t in rows if t is not None}
     tf = {i: {} for i in toks}
     for i, ts in toks.items():
@@ -45,8 +49,9 @@ def _brute(rows, min_df, max_df, threshold):
     kept = {t for t, d in df.items() if min_df <= d <= max_df and d < n}
     vecs = {}
     for i in tf:
-        w = {t: c * math.log(n / df[t]) for t, c in tf[i].items() if t in kept}
-        norm = round(math.sqrt(sum(w[t] * w[t] for t in sorted(w))), 9)
+        w = {t: round(c * math.log(n / df[t]), 9)
+             for t, c in tf[i].items() if t in kept}
+        norm = round(math.sqrt(sum(_grid(v * v) for v in w.values()) / 1e12), 9)
         if norm > 0:
             vecs[i] = {t: round(v / norm, 9) for t, v in w.items()}
     out = {}
@@ -55,10 +60,11 @@ def _brute(rows, min_df, max_df, threshold):
         for y in ids:
             if x >= y:
                 continue
-            shared = sorted(set(vecs[x]) & set(vecs[y]))
+            shared = set(vecs[x]) & set(vecs[y])
             if not shared:
                 continue
-            c = round(sum(vecs[x][t] * vecs[y][t] for t in shared), 6)
+            c = round(sum(_grid(vecs[x][t] * vecs[y][t]) for t in shared)
+                      / 1e12, 6)
             if c >= threshold:
                 out[(x, y)] = (c, len(shared))
     return out

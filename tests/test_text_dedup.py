@@ -541,3 +541,65 @@ class TestEditDistanceNearDup:
         plan = edit_distance_near_dup_pairs(_docs(spark), max_dist=4) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestContainmentPairs:
+    def test_quote_inclusion_caught_jaccard_misses(self, spark):
+        """A 10-word doc quoted verbatim inside a 100-word doc:
+        containment of the small side is 1.0 while Jaccard is ~0.1 —
+        the pair class ngram_jaccard_pairs(threshold=0.5) structurally
+        drops."""
+        from news_rss_spark.operators.text_dedup import (
+            containment_pairs, ngram_jaccard_pairs)
+        quote = " ".join(f"q{i}" for i in range(10))
+        filler = " ".join(f"f{i}" for i in range(90))
+        rows = [(0, quote), (1, filler + " " + quote),
+                (2, quote), (3, "unrelated words entirely different")]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["a"], r["b"]): (r["c_ab"], r["c_ba"])
+               for r in containment_pairs(d, threshold=0.9,
+                                          max_df=50).collect()}
+        assert got[(0, 1)][0] == 1.0 and got[(0, 1)][1] < 0.2
+        assert got[(0, 2)] == (1.0, 1.0)
+        jac = {(r["a"], r["b"])
+               for r in ngram_jaccard_pairs(d, threshold=0.5).collect()}
+        assert (0, 1) not in jac and (0, 2) in jac
+
+    def test_hot_shingle_docs_are_the_documented_recall_edge(self, spark):
+        """Docs made ENTIRELY of over-max_df shingles produce no
+        candidates — the documented blocking trade-off."""
+        from news_rss_spark.operators.text_dedup import containment_pairs
+        rows = [(i, "hot common boiler plate") for i in range(10)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        assert containment_pairs(d, threshold=0.5, min_df=2,
+                                 max_df=5).count() == 0
+        # widening the df window restores them
+        assert containment_pairs(d, threshold=0.5, min_df=2,
+                                 max_df=20).count() == 45
+
+    def test_direction_asymmetry_values(self, spark):
+        from news_rss_spark.operators.text_dedup import containment_pairs
+        rows = [(0, "a b c d"), (1, "a b c d e f g h")]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        r = containment_pairs(d, threshold=0.5).collect()
+        assert len(r) == 1
+        row = r[0]
+        # doc 0 has 3 distinct 2-shingles, all inside doc 1's 7
+        assert row["n_inter"] == 3
+        assert row["c_ab"] == 1.0 and row["c_ba"] == round(3 / 7, 6)
+
+    def test_budget_guard_trips(self, spark):
+        import pytest
+        from news_rss_spark.operators.text_dedup import containment_pairs
+        rows = [(i, "x y z w") for i in range(10)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        with pytest.raises(ValueError, match="candidate pairs"):
+            containment_pairs(d, max_df=20, max_candidate_pairs=1).collect()
+
+    def test_no_nested_loop_join(self, spark):
+        from news_rss_spark.operators.text_dedup import containment_pairs
+        d = spark.createDataFrame([(0, "a b c"), (1, "a b c")],
+                                  "doc_id long, text string")
+        plan = containment_pairs(d)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
