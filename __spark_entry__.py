@@ -1973,6 +1973,20 @@ def q_containment(spark, sf_dir):
                              min_df=2, max_df=50)
 
 
+def q_corpus_overlap(spark, sf_dir):
+    """Cross-snapshot overlap estimation from bottom-k sketches
+    (operators/sketch.py::corpus_overlap_estimate, Beyer et al.
+    SIGMOD'07): two overlapping corpus slices (doc_id%2==0 vs %3==0)
+    compared by shipping 2k hashes instead of joining the corpora — the
+    planning primitive for cross-snapshot dedup.  Deterministic md5
+    contract, so the oracle replays the estimator EXACTLY."""
+    from news_rss_spark.operators.sketch import corpus_overlap_estimate
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.expr("doc_id % 2 = 0"))
+    b = d.filter(F.expr("doc_id % 3 = 0"))
+    return corpus_overlap_estimate(a, b, value_col="text", k=256)
+
+
 def q_group_split(spark, sf_dir):
     """Leakage-safe GROUP-level dataset split (text_analysis.
     assign_group_split): hash the publisher, not the doc id, so a
@@ -2178,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "containment": q_containment,
         "group_split": q_group_split,
+        "corpus_overlap": q_corpus_overlap,
         "interleaved_pack": q_interleaved_pack,
         "mjpeg_decode_stats": q_mjpeg_decode_stats,
         "nb_classifier": q_nb_classifier,
@@ -2185,7 +2200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_stats": q_jpeg_decode_stats,
         "gif_decode_stats": q_gif_decode_stats,
         "paragraph_dedup": q_paragraph_dedup,
-        "dedup_keep_best": q_dedup_keep_best,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -2239,8 +2253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # layout, fuzz-locked vs a sequential reference;
         # mjpeg_frame_sample over mjpeg_decode_stats's decoder;
         # corpus_shuffle over the md5_draw32 contract three driver-green
-        # queries already lock) — plus the sf0.01 replica parity suite
-        # like everything else ----------------------------------------
+        # queries already lock; dedup_keep_best over driver-green
+        # dedup_clusters + the language_quota WindowGroupLimit pattern)
+        # — plus the sf0.01 replica parity suite like everything else --
         "simhash128_near_dup": q_simhash128_near_dup,
         "simhash_band_census": q_simhash_band_census,
         "streaming_hll_estimate": q_streaming_hll_estimate,
@@ -2250,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_assembly": q_interleaved_assembly,
         "mjpeg_frame_sample": q_mjpeg_frame_sample,
         "corpus_shuffle": q_corpus_shuffle,
+        "dedup_keep_best": q_dedup_keep_best,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -2696,6 +2712,27 @@ res AS (
 )
 SELECT a, b, c_ab, c_ba, n_inter FROM res
 WHERE c_ab >= 0.5 OR c_ba >= 0.5
+""",
+        "corpus_overlap": """
+WITH a AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+  ORDER BY h LIMIT 256
+),
+b AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+  ORDER BY h LIMIT 256
+),
+s AS (
+  SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+  ORDER BY h LIMIT 256
+),
+hits AS (SELECT s.h FROM s JOIN a USING (h) JOIN b USING (h))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS k_used,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_both,
+       round(CAST((SELECT count(*) FROM hits) AS DOUBLE)
+             / (SELECT count(*) FROM s), 6) AS est_jaccard
 """,
         "group_split": """
 SELECT source,

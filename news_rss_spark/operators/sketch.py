@@ -165,3 +165,54 @@ def cms_estimate(counters: DataFrame, candidates: DataFrame,
               .join(F.broadcast(counters), on=["depth", "pos"], how="left")
               .select("value", F.coalesce("cnt", F.lit(0)).alias("cnt")))
     return joined.groupBy("value").agg(F.min("cnt").alias("est"))
+
+
+# ------------------------------------------------------- bottom-k (KMV)
+
+def bottomk_sketch(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
+    """Bottom-k (k-minimum-values) sketch of a value set: the k smallest
+    60-bit md5 hashes of the DISTINCT values — the mergeable set-sketch
+    that answers RELATIONSHIP questions (Jaccard, overlap, union size)
+    HLL's scalar cardinality cannot.
+
+    Plan: one map-side-combining distinct-hash agg, then ``orderBy.
+    limit(k)`` — Spark plans that as TakeOrderedAndProject (per-partition
+    top-k, k-row merge), so only k rows per partition ever move.  The
+    sketch is a plain relation: union two sketches + re-limit = the
+    sketch of the set union (same open-state property as hll_registers).
+    """
+    h = (df.filter(F.col(value_col).isNotNull())
+         .select(F.conv(F.substring(F.md5(F.col(value_col).cast("string")),
+                                    1, 15), 16, 10).cast("long").alias("h"))
+         .distinct())
+    return h.orderBy("h").limit(k)
+
+
+def corpus_overlap_estimate(df_a: DataFrame, df_b: DataFrame,
+                            value_col: str, k: int = 256) -> DataFrame:
+    """One-row Jaccard estimate between two value sets from their
+    bottom-k sketches: ``(k_used, n_both, est_jaccard)``.
+
+    The standard KMV estimator (Beyer et al., SIGMOD'07): take S = the k
+    smallest hashes of sketch(A) UNION sketch(B) — a uniform sample of
+    A u B — and count how many of S are in BOTH sketches;
+    est_jaccard = n_both / |S|.  Deterministic given the md5 contract,
+    so the DuckDB oracle replays it EXACTLY (no tolerance band), and two
+    100 TB crawl snapshots compare by shipping 2k longs, not by a
+    corpus-wide join — the dedup-planning primitive that decides whether
+    a cross-snapshot MinHash pass is worth scheduling at all.
+
+    ``k_used = |S|`` (< k when the union itself has fewer distinct
+    values); the estimate is exact in that regime.
+    """
+    sa = bottomk_sketch(df_a, value_col, k)
+    sb = bottomk_sketch(df_b, value_col, k)
+    s = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+    both = sa.join(sb, "h")  # k-row join of two k-row relations
+    hits = s.join(both, "h")
+    return (s.agg(F.count("*").cast("long").alias("k_used"))
+            .crossJoin(F.broadcast(
+                hits.agg(F.count("*").cast("long").alias("n_both"))))
+            .select("k_used", "n_both",
+                    F.round(F.col("n_both").cast("double")
+                            / F.col("k_used"), 6).alias("est_jaccard")))

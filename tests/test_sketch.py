@@ -153,3 +153,64 @@ class TestCountMin:
         assert est == {"a": 2}
         with pytest.raises(ValueError):
             cms_counters(toks, "tok", d=0, w=16)
+
+
+class TestBottomKOverlap:
+    def _df(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "v string")
+
+    def test_exact_regime_equals_true_jaccard(self, spark):
+        """k >= |A u B|: the sketch IS the set, so the estimate is the
+        exact distinct-value Jaccard."""
+        from news_rss_spark.operators.sketch import corpus_overlap_estimate
+        a = self._df(spark, [f"x{i}" for i in range(30)])
+        b = self._df(spark, [f"x{i}" for i in range(20, 50)])
+        r = corpus_overlap_estimate(a, b, "v", k=256).collect()[0]
+        assert r["k_used"] == 50 and r["n_both"] == 10
+        assert r["est_jaccard"] == round(10 / 50, 6)
+
+    def test_estimator_tracks_exact_in_sampling_regime(self, spark):
+        from news_rss_spark.operators.sketch import corpus_overlap_estimate
+        a = self._df(spark, [f"v{i}" for i in range(2000)])
+        b = self._df(spark, [f"v{i}" for i in range(1000, 3000)])
+        r = corpus_overlap_estimate(a, b, "v", k=256).collect()[0]
+        assert r["k_used"] == 256
+        # true J = 1000/3000; KMV std err ~ J(1-J)/sqrt(k) -> ~4 sigma band
+        assert abs(r["est_jaccard"] - 1 / 3) < 0.12
+
+    def test_duplicates_do_not_bias(self, spark):
+        """The sketch is over DISTINCT values: replicating rows must not
+        change the estimate."""
+        from news_rss_spark.operators.sketch import corpus_overlap_estimate
+        vals = [f"x{i}" for i in range(30)]
+        a1 = self._df(spark, vals)
+        a2 = self._df(spark, vals * 5)
+        b = self._df(spark, vals[:10])
+        r1 = corpus_overlap_estimate(a1, b, "v", k=64).collect()[0]
+        r2 = corpus_overlap_estimate(a2, b, "v", k=64).collect()[0]
+        assert r1.asDict() == r2.asDict()
+
+    def test_sketch_union_merge_property(self, spark):
+        """bottomk(A u B) == re-limit(bottomk(A) u bottomk(B)) — the
+        open-state merge rule that lets snapshots combine without
+        touching raw data."""
+        from news_rss_spark.operators.sketch import bottomk_sketch
+        import pyspark.sql.functions as F
+        a = self._df(spark, [f"p{i}" for i in range(300)])
+        b = self._df(spark, [f"q{i}" for i in range(300)])
+        direct = [r["h"] for r in bottomk_sketch(
+            a.unionByName(b), "v", k=64).orderBy("h").collect()]
+        merged_rel = (bottomk_sketch(a, "v", k=64)
+                      .unionByName(bottomk_sketch(b, "v", k=64))
+                      .distinct().orderBy("h").limit(64))
+        merged = [r["h"] for r in merged_rel.orderBy("h").collect()]
+        assert direct == merged
+
+    def test_deterministic_under_repartition(self, spark):
+        from news_rss_spark.operators.sketch import corpus_overlap_estimate
+        a = self._df(spark, [f"v{i}" for i in range(500)])
+        b = self._df(spark, [f"v{i}" for i in range(250, 750)])
+        r1 = corpus_overlap_estimate(a, b, "v", k=128).collect()[0]
+        r2 = corpus_overlap_estimate(a.repartition(7), b.repartition(3),
+                                     "v", k=128).collect()[0]
+        assert r1.asDict() == r2.asDict()
