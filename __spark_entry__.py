@@ -1973,6 +1973,20 @@ def q_containment(spark, sf_dir):
                              min_df=2, max_df=50)
 
 
+def q_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss projection 64 -> 16 dims
+    (similarity.random_projection) with the standard Gaussian map
+    hyperplanes/sqrt(k), seeded — the dimensionality-reduction front-end
+    for dense pair mining.  Zero shuffle; the oracle embeds the same
+    plane constants and replays every dot product."""
+    import numpy as np
+    from news_rss_spark.operators.similarity import (
+        hyperplanes, random_projection)
+    e = _t(spark, sf_dir, "embeddings")
+    planes = hyperplanes(64, 16, seed=7, dtype=np.float64) / np.sqrt(16.0)
+    return random_projection(e, planes)
+
+
 def q_corpus_overlap(spark, sf_dir):
     """Cross-snapshot overlap estimation from bottom-k sketches
     (operators/sketch.py::corpus_overlap_estimate, Beyer et al.
@@ -2193,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "group_split": q_group_split,
         "corpus_overlap": q_corpus_overlap,
+        "jl_projection": q_jl_projection,
         "interleaved_pack": q_interleaved_pack,
         "mjpeg_decode_stats": q_mjpeg_decode_stats,
         "nb_classifier": q_nb_classifier,
@@ -2211,7 +2226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-2 queries with no CORRECTNESS_r02 row --------------
         "chunk_dedup": q_chunk_dedup,
         "contamination": q_contamination,
-        "stratified_sample": q_stratified_sample,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "normalize_text": q_normalize_text,
@@ -2252,8 +2266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (interleaved_seq_stats/assembly over interleaved_pack's span
         # layout, fuzz-locked vs a sequential reference;
         # mjpeg_frame_sample over mjpeg_decode_stats's decoder;
-        # corpus_shuffle over the md5_draw32 contract three driver-green
-        # queries already lock; dedup_keep_best over driver-green
+        # corpus_shuffle AND stratified_sample over the md5_draw32
+        # contract three driver-green queries already lock;
+        # dedup_keep_best over driver-green
         # dedup_clusters + the language_quota WindowGroupLimit pattern)
         # — plus the sf0.01 replica parity suite like everything else --
         "simhash128_near_dup": q_simhash128_near_dup,
@@ -2266,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mjpeg_frame_sample": q_mjpeg_frame_sample,
         "corpus_shuffle": q_corpus_shuffle,
         "dedup_keep_best": q_dedup_keep_best,
+        "stratified_sample": q_stratified_sample,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -2713,6 +2729,7 @@ res AS (
 SELECT a, b, c_ab, c_ba, n_inter FROM res
 WHERE c_ab >= 0.5 OR c_ba >= 0.5
 """,
+        "jl_projection": _jl_sql(),
         "corpus_overlap": """
 WITH a AS (
   SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
@@ -4138,6 +4155,23 @@ _EMB_DIM = 64
 _COS6 = ("round(list_dot_product({a}, {b}) / "
          "(sqrt(list_dot_product({a}, {a})) * "
          "sqrt(list_dot_product({b}, {b}))), 6)")
+
+
+def _jl_sql(k: int = 16, seed: int = 7) -> str:
+    """Mirror of q_jl_projection: the same seeded Gaussian planes (scaled
+    1/sqrt(k)) embedded as literals; one list_dot_product per output
+    dim."""
+    import numpy as np
+    from news_rss_spark.operators.similarity import hyperplanes
+    planes = hyperplanes(64, k, seed, dtype=np.float64) / np.sqrt(float(k))
+    rows = ",\n    ".join(f"({j}, {_dlist(planes[j])})" for j in range(k))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pl(dim, p) AS (VALUES
+    {rows})
+SELECT e.vec_id, pl.dim, round(list_dot_product(e.v, pl.p), 6) AS value
+FROM e CROSS JOIN pl
+"""
 
 
 def _lsh_planes_cte(n_planes: int = 8, seed: int = 42) -> str:

@@ -360,3 +360,32 @@ def brute_force_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def random_projection(df: DataFrame, planes: "np.ndarray",
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``k = planes.shape[0]``
+    dimensions: ``(id, dim, value)`` exploded rows with
+    ``value = round(<v, planes[dim]>, 6)``.
+
+    THE preprocessing step before any dense pair mining at 100 TB:
+    distances are preserved within (1 +/- eps) w.h.p. for
+    k = O(ln n / eps^2) — independent of the input dimension — so
+    SemDedup / near-dup / clustering passes run on k floats instead of
+    d (pass ``hyperplanes(d, k, seed)/sqrt(k)`` for the standard
+    Gaussian JL map).  Plan: one codegen'd projection, ZERO shuffle —
+    each output dim is a zip_with multiply + ordered left-fold (the
+    list_dot_product-equivalent fold every cosine oracle in this repo
+    already pins), rounded to 6 so the doubles hash-match DuckDB.
+    Exploded (id, dim, value) output keeps the correctness-gate value
+    hash schema-stable (array columns hash engine-specifically)."""
+    arr = F.col(vec_col).cast("array<double>")
+    outs = []
+    for j in range(planes.shape[0]):
+        lits = F.array(*[F.lit(float(x)) for x in planes[j]])
+        dot = F.aggregate(F.zip_with(arr, lits, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        outs.append(F.round(dot, 6))
+    return df.select(F.col(id_col),
+                     F.posexplode(F.array(*outs)).alias("dim", "value"))

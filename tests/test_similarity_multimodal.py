@@ -1,6 +1,7 @@
 """Similarity-search (LSH + IVF ANN vs brute force) and multimodal
 plumbing tests (engine-new operators; SURVEY.md §2.6 additions)."""
 
+import pytest
 import pyspark.sql.functions as F
 
 from news_rss_spark.operators.multimodal import (
@@ -826,3 +827,72 @@ class TestPQ:
         assert "TakeOrderedAndProject" in plan
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestRandomProjection:
+    def _vecs(self, spark, n=24, d=64, seed=3):
+        import numpy as np
+        rng = np.random.RandomState(seed)
+        rows = [(i, [float(x) for x in rng.randn(d)]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+    def test_values_match_numpy(self, spark):
+        import numpy as np
+        from news_rss_spark.operators.similarity import (
+            hyperplanes, random_projection)
+        df, rows = self._vecs(spark)
+        planes = hyperplanes(64, 16, seed=7, dtype=np.float64) / 4.0
+        got = {(r["vec_id"], r["dim"]): r["value"]
+               for r in random_projection(df, planes).collect()}
+        for i, v in rows:
+            y = planes @ np.array(v)
+            for j in range(16):
+                assert got[(i, j)] == pytest.approx(round(float(y[j]), 6),
+                                                    abs=1e-9)
+
+    def test_jl_distance_preservation(self, spark):
+        """Pairwise squared distances in the k=16 projection stay within
+        a generous JL distortion band of the d=64 originals (seeded, so
+        the band is a deterministic regression lock, not a flake)."""
+        import itertools
+        import numpy as np
+        from news_rss_spark.operators.similarity import (
+            hyperplanes, random_projection)
+        df, rows = self._vecs(spark)
+        planes = hyperplanes(64, 16, seed=7, dtype=np.float64) / np.sqrt(16.0)
+        proj = {}
+        for r in random_projection(df, planes).collect():
+            proj.setdefault(r["vec_id"], {})[r["dim"]] = r["value"]
+        orig = {i: np.array(v) for i, v in rows}
+        ratios = []
+        for a, b in itertools.combinations(sorted(orig), 2):
+            d0 = float(np.sum((orig[a] - orig[b]) ** 2))
+            pa = np.array([proj[a][j] for j in range(16)])
+            pb = np.array([proj[b][j] for j in range(16)])
+            ratios.append(float(np.sum((pa - pb) ** 2)) / d0)
+        # k=16 ratios are chi^2(16)/16 draws: across 276 pairs the min
+        # legitimately reaches ~0.18 (seeded — these are regression
+        # locks, not distribution asserts)
+        assert 0.1 < min(ratios) and max(ratios) < 2.5
+        assert abs(sum(ratios) / len(ratios) - 1.0) < 0.25
+
+    def test_zero_shuffle_plan(self, spark):
+        import numpy as np
+        from news_rss_spark.operators.similarity import (
+            hyperplanes, random_projection)
+        df, _ = self._vecs(spark)
+        planes = hyperplanes(64, 8, seed=7, dtype=np.float64)
+        plan = random_projection(df, planes)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_deterministic_under_repartition(self, spark):
+        import numpy as np
+        from news_rss_spark.operators.similarity import (
+            hyperplanes, random_projection)
+        df, _ = self._vecs(spark)
+        planes = hyperplanes(64, 8, seed=7, dtype=np.float64)
+        a = sorted(map(tuple, random_projection(df, planes).collect()))
+        b = sorted(map(tuple,
+                       random_projection(df.repartition(5), planes).collect()))
+        assert a == b
