@@ -1973,6 +1973,20 @@ def q_containment(spark, sf_dir):
                              min_df=2, max_df=50)
 
 
+def q_fuzzy_contamination(spark, sf_dir):
+    """NEAR-duplicate benchmark decontamination (text_dedup.
+    fuzzy_contamination, the Dolma recipe): paraphrase-tolerant leak
+    report that exact 8-gram contamination_check misses.  Cross-relation
+    MinHash banding (train x bench only, bench side broadcast), exact
+    Jaccard verify on candidates."""
+    from news_rss_spark.operators.text_dedup import fuzzy_contamination
+    d = _t(spark, sf_dir, "documents")
+    d = d.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
+    train = d.filter(F.expr("doc_id % 10 <> 0"))
+    bench = d.filter(F.expr("doc_id % 10 = 0"))
+    return fuzzy_contamination(train, bench, threshold=0.2)
+
+
 def q_jl_projection(spark, sf_dir):
     """Johnson-Lindenstrauss projection 64 -> 16 dims
     (similarity.random_projection) with the standard Gaussian map
@@ -2208,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": q_group_split,
         "corpus_overlap": q_corpus_overlap,
         "jl_projection": q_jl_projection,
+        "fuzzy_contamination": q_fuzzy_contamination,
         "interleaved_pack": q_interleaved_pack,
         "mjpeg_decode_stats": q_mjpeg_decode_stats,
         "nb_classifier": q_nb_classifier,
@@ -2219,7 +2234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "bpe_pair_counts": q_bpe_pair_counts,
         "c4_line_filter": q_c4_line_filter,
-        "cms_token_counts": q_cms_token_counts,
         "png_decode_stats": q_png_decode_stats,
         "span_dedup": q_span_dedup,
         "pq_topk": q_pq_topk,
@@ -2269,7 +2283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_shuffle AND stratified_sample over the md5_draw32
         # contract three driver-green queries already lock;
         # dedup_keep_best over driver-green
-        # dedup_clusters + the language_quota WindowGroupLimit pattern)
+        # dedup_clusters + the language_quota WindowGroupLimit pattern;
+        # cms_token_counts' estimator pytest-locked against the
+        # driver-green exact token_count)
         # — plus the sf0.01 replica parity suite like everything else --
         "simhash128_near_dup": q_simhash128_near_dup,
         "simhash_band_census": q_simhash_band_census,
@@ -2282,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "dedup_keep_best": q_dedup_keep_best,
         "stratified_sample": q_stratified_sample,
+        "cms_token_counts": q_cms_token_counts,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -2730,6 +2747,31 @@ SELECT a, b, c_ab, c_ba, n_inter FROM res
 WHERE c_ab >= 0.5 OR c_ba >= 0.5
 """,
         "jl_projection": _jl_sql(),
+        "fuzzy_contamination": f"""
+WITH {_banded_over_sql(
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0)", "tr")},
+{_banded_over_sql(
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)", "be")},
+cand AS (
+  SELECT DISTINCT t.doc_id AS train_id, b.doc_id AS bench_id
+  FROM tr_band t JOIN be_band b USING (band, band_key)
+),
+nt AS (SELECT doc_id, count(*) AS n FROM tr_sh GROUP BY doc_id),
+nb AS (SELECT doc_id, count(*) AS n FROM be_sh GROUP BY doc_id),
+inter AS (
+  SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_inter
+  FROM tr_sh t JOIN be_sh b ON t.s = b.s
+  GROUP BY 1, 2
+)
+SELECT c.train_id, c.bench_id,
+       round(CAST(i.n_inter AS DOUBLE) / (nt.n + nb.n - i.n_inter), 6)
+         AS jaccard
+FROM cand c
+JOIN inter i ON i.train_id = c.train_id AND i.bench_id = c.bench_id
+JOIN nt ON nt.doc_id = c.train_id
+JOIN nb ON nb.doc_id = c.bench_id
+WHERE CAST(i.n_inter AS DOUBLE) / (nt.n + nb.n - i.n_inter) >= 0.2
+""",
         "corpus_overlap": """
 WITH a AS (
   SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h

@@ -944,3 +944,63 @@ def containment_pairs(df: DataFrame, threshold: float = 0.7,
                          n_inter.cast("long").alias("n_inter"))
             .filter((F.col("c_ab") >= threshold)
                     | (F.col("c_ba") >= threshold)))
+
+
+def fuzzy_contamination(train: DataFrame, bench: DataFrame,
+                        threshold: float = 0.2, n_hashes: int = 4,
+                        rows_per_band: int = 2, shingle_n: int = 2,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_candidate_pairs: int | None = None) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: ``(train_id, bench_id,
+    jaccard)`` for every training doc whose shingle-Jaccard with some
+    benchmark doc reaches ``threshold`` — the auditable leak report.
+
+    :func:`contamination_check` catches EXACT n-gram overlap (the PaLM
+    recipe); a paraphrased or lightly-edited benchmark item slips it.
+    This is the fuzzy tier (the Dolma/llm-foundry recipe): MinHash band
+    keys on BOTH relations, candidates = one equi-join on
+    ``(band, band_key)`` across them (never within — train-train dups
+    are dedup's job, not decontamination's), exact Jaccard verify on
+    candidates only.  The benchmark side is tiny by definition, so its
+    banded relation broadcasts and the training corpus never shuffles
+    on text; with a persisted corpus index (operators/incremental.py)
+    the train side's signatures are already on disk.
+
+    ``max_candidate_pairs`` fail-fast guards the CROSS-relation census:
+    per (band, band_key) the join emits n_train * n_bench rows, measured
+    before the join (same contract as every blocking route).
+    """
+    tb = minhash_band_keys(train.select(id_col, text_col), n_hashes,
+                           rows_per_band, text_col, id_col, shingle_n)
+    bb = minhash_band_keys(bench.select(id_col, text_col), n_hashes,
+                           rows_per_band, text_col, id_col, shingle_n)
+    if max_candidate_pairs is not None:
+        gt = tb.groupBy("band", "band_key").agg(F.count("*").alias("ct"))
+        gb = bb.groupBy("band", "band_key").agg(F.count("*").alias("cb"))
+        total = (gt.join(gb, ["band", "band_key"])
+                 .agg(F.sum(F.col("ct") * F.col("cb"))).collect()[0][0]) or 0
+        if total > max_candidate_pairs:
+            raise ValueError(
+                f"cross-relation banded join would produce {total:,} "
+                f"candidate pairs (> budget {max_candidate_pairs:,}) — "
+                "widen the band key or shrink the benchmark slice")
+    cand = (tb.select(F.col(id_col).alias("train_id"), "band", "band_key")
+            .join(F.broadcast(
+                bb.select(F.col(id_col).alias("bench_id"), "band",
+                          "band_key")),
+                on=["band", "band_key"])
+            .select("train_id", "bench_id").distinct())
+    st = (with_shingles(train.select(id_col, text_col), text_col,
+                        n=shingle_n)
+          .select(F.col(id_col).alias("train_id"),
+                  F.col("shingles").alias("st")))
+    sb = (with_shingles(bench.select(id_col, text_col), text_col,
+                        n=shingle_n)
+          .select(F.col(id_col).alias("bench_id"),
+                  F.col("shingles").alias("sb")))
+    pairs = cand.join(st, "train_id").join(F.broadcast(sb), "bench_id")
+    n_inter = F.size(F.array_intersect("st", "sb"))
+    jac = n_inter / (F.size("st") + F.size("sb") - n_inter)
+    return (pairs.select("train_id", "bench_id",
+                         F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

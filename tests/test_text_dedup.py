@@ -603,3 +603,64 @@ class TestContainmentPairs:
         plan = containment_pairs(d)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestFuzzyContamination:
+    def _rel(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_paraphrase_leak_caught_exact_ngrams_miss(self, spark):
+        """A benchmark item with one word changed every 5 words has zero
+        shared 8-grams (the PaLM exact recipe misses it) but high
+        shingle-Jaccard — the gap this operator closes."""
+        from news_rss_spark.operators.text_dedup import (
+            contamination_check, fuzzy_contamination)
+        base = [f"w{i}" for i in range(40)]
+        leaked = list(base)
+        for i in range(0, 40, 5):
+            leaked[i] = f"x{i}"
+        train = self._rel(spark, [(1, " ".join(leaked)),
+                                  (2, "totally unrelated text here")])
+        bench = self._rel(spark, [(100, " ".join(base))])
+        got = {(r["train_id"], r["bench_id"]): r["jaccard"]
+               for r in fuzzy_contamination(train, bench, threshold=0.2,
+                                            n_hashes=8).collect()}
+        assert (1, 100) in got and got[(1, 100)] > 0.4
+        assert (2, 100) not in got
+        exact = contamination_check(train, bench, n=8)
+        assert exact.count() == 0
+
+    def test_cross_relation_only_no_within_side_pairs(self, spark):
+        """Two identical TRAIN docs never pair with each other — the
+        join is strictly train x bench."""
+        from news_rss_spark.operators.text_dedup import fuzzy_contamination
+        dup = "same words every time here"
+        train = self._rel(spark, [(1, dup), (2, dup)])
+        bench = self._rel(spark, [(100, "different benchmark item text")])
+        assert fuzzy_contamination(train, bench, threshold=0.1).count() == 0
+
+    def test_exact_copy_scores_one(self, spark):
+        from news_rss_spark.operators.text_dedup import fuzzy_contamination
+        t = "alpha beta gamma delta epsilon"
+        train = self._rel(spark, [(1, t)])
+        bench = self._rel(spark, [(100, t)])
+        rows = fuzzy_contamination(train, bench, threshold=0.9).collect()
+        assert [(r["train_id"], r["bench_id"], r["jaccard"])
+                for r in rows] == [(1, 100, 1.0)]
+
+    def test_budget_guard_trips_on_cross_census(self, spark):
+        import pytest
+        from news_rss_spark.operators.text_dedup import fuzzy_contamination
+        t = "hot boiler plate words"
+        train = self._rel(spark, [(i, t) for i in range(10)])
+        bench = self._rel(spark, [(100 + i, t) for i in range(10)])
+        with pytest.raises(ValueError, match="candidate pairs"):
+            fuzzy_contamination(train, bench, max_candidate_pairs=5)
+
+    def test_no_nested_loop_join(self, spark):
+        from news_rss_spark.operators.text_dedup import fuzzy_contamination
+        train = self._rel(spark, [(1, "a b c d")])
+        bench = self._rel(spark, [(100, "a b c e")])
+        plan = fuzzy_contamination(train, bench)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
