@@ -1973,6 +1973,28 @@ def q_containment(spark, sf_dir):
                              min_df=2, max_df=50)
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient
+    (operators/hits.py::clustering_coefficient, Schank-Wagner
+    compact-forward) over a deterministic community graph (consecutive-
+    offset edges) — the link-ring/spam-farm density signal.  Each
+    triangle is counted exactly once via the low-id edge orientation;
+    the oracle replays wedges, closures, degrees, and the coefficient."""
+    from news_rss_spark.operators.hits import clustering_coefficient
+    d = _t(spark, sf_dir, "documents")
+    ids = d.select("doc_id")
+    dir_edges = (
+        ids.select(F.col("doc_id").alias("a"),
+                   (F.col("doc_id") + 1).alias("b"))
+        .unionByName(ids.filter(F.expr("doc_id % 2 = 0"))
+                     .select(F.col("doc_id").alias("a"),
+                             (F.col("doc_id") + 2).alias("b")))
+        .unionByName(ids.filter(F.expr("doc_id % 3 = 0"))
+                     .select(F.col("doc_id").alias("a"),
+                             (F.col("doc_id") + 3).alias("b"))))
+    return clustering_coefficient(dir_edges)
+
+
 def q_fuzzy_contamination(spark, sf_dir):
     """NEAR-duplicate benchmark decontamination (text_dedup.
     fuzzy_contamination, the Dolma recipe): paraphrase-tolerant leak
@@ -2223,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": q_corpus_overlap,
         "jl_projection": q_jl_projection,
         "fuzzy_contamination": q_fuzzy_contamination,
+        "clustering_coeff": q_clustering_coeff,
         "interleaved_pack": q_interleaved_pack,
         "mjpeg_decode_stats": q_mjpeg_decode_stats,
         "nb_classifier": q_nb_classifier,
@@ -2232,7 +2255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
-        "bpe_pair_counts": q_bpe_pair_counts,
         "c4_line_filter": q_c4_line_filter,
         "png_decode_stats": q_png_decode_stats,
         "span_dedup": q_span_dedup,
@@ -2285,7 +2307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_keep_best over driver-green
         # dedup_clusters + the language_quota WindowGroupLimit pattern;
         # cms_token_counts' estimator pytest-locked against the
-        # driver-green exact token_count)
+        # driver-green exact token_count; bpe_pair_counts' trainer
+        # pytest-locked against a from-scratch Python reference at 4
+        # merge depths)
         # — plus the sf0.01 replica parity suite like everything else --
         "simhash128_near_dup": q_simhash128_near_dup,
         "simhash_band_census": q_simhash_band_census,
@@ -2299,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "stratified_sample": q_stratified_sample,
         "cms_token_counts": q_cms_token_counts,
+        "bpe_pair_counts": q_bpe_pair_counts,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -2747,6 +2772,40 @@ SELECT a, b, c_ab, c_ba, n_inter FROM res
 WHERE c_ab >= 0.5 OR c_ba >= 0.5
 """,
         "jl_projection": _jl_sql(),
+        "clustering_coeff": """
+WITH dir AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+  UNION ALL SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT doc_id, doc_id + 3 FROM documents WHERE doc_id % 3 = 0
+),
+e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+      FROM dir WHERE a <> b),
+wedge AS (
+  SELECT x.lo AS a, x.hi AS b, y.hi AS c
+  FROM e x JOIN e y ON x.lo = y.lo AND x.hi < y.hi
+),
+tri AS (SELECT w.a, w.b, w.c FROM wedge w
+        JOIN e z ON z.lo = w.b AND z.hi = w.c),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM corners GROUP BY node),
+sym AS (SELECT DISTINCT node, nbr FROM (
+          SELECT a AS node, b AS nbr FROM dir
+          UNION ALL SELECT b, a FROM dir) WHERE node <> nbr),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY node)
+SELECT d.node, d.degree,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(CAST(2 * coalesce(t.n_triangles, 0) AS DOUBLE)
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN tc t USING (node)
+""",
         "fuzzy_contamination": f"""
 WITH {_banded_over_sql(
     "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0)", "tr")},

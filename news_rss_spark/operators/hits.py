@@ -85,3 +85,67 @@ def hits(edges: DataFrame, iters: int = 3,
                  .select("node", "hub", "auth")
                  .localCheckpoint(eager=True))
     return state
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph:
+    ``(node, n_triangles)`` — the spam-farm / link-ring detector (dense
+    mutual-link neighbourhoods triangle-heavily; organic link graphs do
+    not), and the numerator of the local clustering coefficient.
+
+    The compact-forward / node-iterator-with-ordering algorithm (Schank
+    & Wagner 2005), the shape every distributed triangle count uses:
+
+    - edges are DIRECTED low-id -> high-id once (each triangle {a<b<c}
+      is then counted exactly once as the wedge a->b, a->c closed by
+      b->c — no 6x overcount, no distinct);
+    - wedges come from ONE self-join of the directed edge list on the
+      low endpoint; the closing check is ONE more equi-join against the
+      same edge list.  Two shuffles on compact int pairs;
+    - at web scale the low-id orientation is replaced by degree
+      orientation (direct toward the higher-degree endpoint) which
+      bounds the wedge fan-out of hub nodes by sqrt(m) — the id-based
+      variant keeps the oracle trivially replayable and is exact on any
+      graph, just skew-exposed if ids correlate with degree.
+
+    Nodes in no triangle are absent (join back against the node list
+    and ``coalesce(0)`` for a dense relation).
+    """
+    e = (pairs.select(F.least("a", "b").alias("lo"),
+                      F.greatest("a", "b").alias("hi"))
+         .filter(F.col("lo") != F.col("hi"))
+         .distinct())
+    w1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    w2 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = (w1.join(w2, "a").filter(F.col("b") < F.col("c")))
+    closed = wedges.join(
+        e.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+        ["b", "c"])
+    per_corner = (closed.select(F.col("a").alias("node"))
+                  .unionByName(closed.select(F.col("b").alias("node")))
+                  .unionByName(closed.select(F.col("c").alias("node"))))
+    return (per_corner.groupBy("node")
+            .agg(F.count("*").cast("long").alias("n_triangles")))
+
+
+def clustering_coefficient(pairs: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node: ``(node, degree,
+    n_triangles, coeff)`` with ``coeff = 2T / (d * (d - 1))`` rounded to
+    6 digits (0.0 for degree < 2) — how close each node's neighbourhood
+    is to a clique.  Degree = distinct undirected neighbours; triangles
+    from :func:`triangle_counts`; one extra hash agg + one join."""
+    sym = (pairs.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+           .unionByName(
+               pairs.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+           .filter(F.col("node") != F.col("nbr"))
+           .distinct())
+    deg = sym.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
+    tri = triangle_counts(pairs)
+    out = deg.join(tri, "node", "left").na.fill({"n_triangles": 0})
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(2.0 * F.col("n_triangles")
+                / (F.col("degree") * (F.col("degree") - 1)), 6)
+    ).otherwise(F.lit(0.0))
+    return out.select("node", "degree", "n_triangles",
+                      coeff.alias("coeff"))

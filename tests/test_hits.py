@@ -66,3 +66,69 @@ def test_no_per_iteration_driver_collect(spark):
     out = hits(df, iters=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CollectLimit" not in plan
+
+
+class TestTriangles:
+    def _p(self, spark, edges):
+        return spark.createDataFrame(edges, "a long, b long")
+
+    def test_known_graph_counts(self, spark):
+        """Triangle {0,1,2} + pendant 3: per-node counts and coefficients
+        hand-checked."""
+        from news_rss_spark.operators.hits import clustering_coefficient
+        p = self._p(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+        got = {r["node"]: (r["degree"], r["n_triangles"], r["coeff"])
+               for r in clustering_coefficient(p).collect()}
+        assert got[0] == (2, 1, 1.0)
+        assert got[1] == (2, 1, 1.0)
+        assert got[2] == (3, 1, round(2 / 6, 6))
+        assert got[3] == (1, 0, 0.0)
+
+    def test_k4_every_node_in_three_triangles(self, spark):
+        import itertools
+        from news_rss_spark.operators.hits import clustering_coefficient
+        p = self._p(spark, list(itertools.combinations(range(4), 2)))
+        got = {r["node"]: (r["degree"], r["n_triangles"], r["coeff"])
+               for r in clustering_coefficient(p).collect()}
+        assert all(v == (3, 3, 1.0) for v in got.values())
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        """Symmetrized, repeated, and self-loop input edges must not
+        change counts — the orientation dedups them."""
+        from news_rss_spark.operators.hits import triangle_counts
+        clean = self._p(spark, [(0, 1), (1, 2), (0, 2)])
+        noisy = self._p(spark, [(0, 1), (1, 0), (1, 2), (2, 1),
+                                (0, 2), (0, 2), (1, 1)])
+        a = sorted(map(tuple, triangle_counts(clean).collect()))
+        b = sorted(map(tuple, triangle_counts(noisy).collect()))
+        assert a == b == [(0, 1), (1, 1), (2, 1)]
+
+    def test_triangle_free_graph_empty(self, spark):
+        from news_rss_spark.operators.hits import triangle_counts
+        p = self._p(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])  # path
+        assert triangle_counts(p).count() == 0
+
+    def test_matches_brute_force(self, spark):
+        import itertools
+        from news_rss_spark.operators.hits import triangle_counts
+        edges = [(i, (i * 13 + 5) % 30) for i in range(30)]
+        edges += [(i, i + 1) for i in range(29)]
+        eset = {frozenset(e) for e in edges if e[0] != e[1]}
+        want = {}
+        nodes = {n for e in eset for n in e}
+        for tri in itertools.combinations(sorted(nodes), 3):
+            a, b, c = tri
+            if ({frozenset((a, b)), frozenset((b, c)), frozenset((a, c))}
+                    <= eset):
+                for n in tri:
+                    want[n] = want.get(n, 0) + 1
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(self._p(spark, edges)).collect()}
+        assert got == want
+
+    def test_no_nested_loop_join(self, spark):
+        from news_rss_spark.operators.hits import clustering_coefficient
+        p = self._p(spark, [(0, 1), (1, 2), (0, 2)])
+        plan = clustering_coefficient(p)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
