@@ -1818,6 +1818,45 @@ def q_png_decode_stats(spark, sf_dir):
                         "px_sum")
 
 
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image hash over REAL decoded pixels
+    (operators/multimodal.py dhash_images): synth PNGs -> from-scratch
+    decode -> integer grayscale -> NN resample to 8x8 -> 56-bit
+    difference hash.  The DuckDB oracle replays the whole chain from the
+    synthesis rule in SQL (pixel bytes, the (r+g+b)//3 gray, the
+    min(dst*n//8, n-1) resample grid, the bit packing) — one wrong
+    reconstructed byte or resample index anywhere flips hash bits."""
+    from news_rss_spark.operators.multimodal import (
+        dhash_images,
+        synth_png_media,
+    )
+    d = _t(spark, sf_dir, "documents")
+    return dhash_images(synth_png_media(d)).select(
+        "media_id", "kind", "decoded", "dhash")
+
+
+def q_image_near_dup(spark, sf_dir):
+    """Perceptual image NEAR-DUP pairs: the 56-bit dHash fed through the
+    SAME pigeonhole banding as text SimHash
+    (text_dedup.simhash_near_dup_pairs(sig=...) — the banding never
+    looks at how the signature was made), hamming <= 2 via k=3 disjoint
+    bit bands -> ONE equi-join -> exact bit_count verify.  Capped to
+    doc_id < 1500 like the brute embedding baseline so the oracle's
+    all-pairs join stays constant-cost; the banded Spark plan is the
+    100 TB path."""
+    from news_rss_spark.operators.multimodal import (
+        dhash_images,
+        synth_png_media,
+    )
+    from news_rss_spark.operators.text_dedup import simhash_near_dup_pairs
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    sig = (dhash_images(synth_png_media(d))
+           .filter("decoded")
+           .select("media_id", F.col("dhash").alias("simhash")))
+    return simhash_near_dup_pairs(sig, max_hamming=2, id_col="media_id",
+                                  n_bits=56, sig=sig)
+
+
 def q_nb_classifier(spark, sf_dir):
     """Trainable multinomial Naive Bayes classifier
     (operators/nb_classifier.py): trained ON the corpus with label =
@@ -2236,6 +2275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "image_dhash": q_image_dhash,
+        "image_near_dup": q_image_near_dup,
         "sparse_cosine": q_sparse_cosine,
         "edit_distance_near_dup": q_edit_distance_near_dup,
         "hybrid_search": q_hybrid_search,
@@ -2636,6 +2677,59 @@ FROM z
 def oracle_sql() -> dict[str, str]:
     return {
         # --- round-3 additions ----------------------------------------
+        # dHash replay: pixel byte (7k+i)%256 in scanline order, gray =
+        # (r+g+b)//3, NN grid src = min(dst*n//8, n-1), bit weight
+        # y*7+x — the exact chain dhash_images runs over decoded PNGs.
+        "image_dhash": """
+WITH m AS (
+  SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS media_id,
+         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS c
+  FROM documents
+),
+g AS (
+  SELECT m.media_id, dy.y AS y, dx.x AS x,
+    ( (7*(((LEAST((dy.y*m.h)//8, m.h-1))*m.w + LEAST((dx.x*m.w)//8, m.w-1))*m.c + 0) + m.i) % 256
+    + (7*(((LEAST((dy.y*m.h)//8, m.h-1))*m.w + LEAST((dx.x*m.w)//8, m.w-1))*m.c + 1) + m.i) % 256
+    + (7*(((LEAST((dy.y*m.h)//8, m.h-1))*m.w + LEAST((dx.x*m.w)//8, m.w-1))*m.c + 2) + m.i) % 256
+    ) // 3 AS gray
+  FROM m, generate_series(0, 7) AS dy(y), generate_series(0, 7) AS dx(x)
+)
+SELECT a.media_id, 'image' AS kind, true AS decoded,
+  CAST(SUM(CASE WHEN a.gray > b.gray
+       THEN CAST(1 AS BIGINT) << (a.y*7 + a.x)
+       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dhash
+FROM g a JOIN g b ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+GROUP BY a.media_id
+""",
+        "image_near_dup": """
+WITH m AS (
+  SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS media_id,
+         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS c
+  FROM documents WHERE doc_id < 1500
+),
+g AS (
+  SELECT m.media_id, dy.y AS y, dx.x AS x,
+    ( (7*(((LEAST((dy.y*m.h)//8, m.h-1))*m.w + LEAST((dx.x*m.w)//8, m.w-1))*m.c + 0) + m.i) % 256
+    + (7*(((LEAST((dy.y*m.h)//8, m.h-1))*m.w + LEAST((dx.x*m.w)//8, m.w-1))*m.c + 1) + m.i) % 256
+    + (7*(((LEAST((dy.y*m.h)//8, m.h-1))*m.w + LEAST((dx.x*m.w)//8, m.w-1))*m.c + 2) + m.i) % 256
+    ) // 3 AS gray
+  FROM m, generate_series(0, 7) AS dy(y), generate_series(0, 7) AS dx(x)
+),
+dh AS (
+  SELECT a.media_id,
+    CAST(SUM(CASE WHEN a.gray > b.gray
+         THEN CAST(1 AS BIGINT) << (a.y*7 + a.x)
+         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dhash
+  FROM g a JOIN g b ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+  GROUP BY a.media_id
+)
+SELECT x.media_id AS a, y.media_id AS b,
+       CAST(bit_count(xor(x.dhash, y.dhash)) AS INTEGER) AS hamming
+FROM dh x JOIN dh y ON x.media_id < y.media_id
+WHERE bit_count(xor(x.dhash, y.dhash)) <= 2
+""",
         "nb_classifier": r"""
 WITH docs AS (
   SELECT doc_id, COALESCE(lang = 'en', false) AS y,

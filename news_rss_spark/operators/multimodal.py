@@ -1162,3 +1162,70 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+DHASH_DDL = "media_id string, kind string, decoded boolean, dhash bigint"
+
+
+def dhash_images(media: DataFrame, hash_w: int = 7,
+                 hash_h: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded pixels —
+    the image-side analog of text SimHash, and the front half of
+    perceptual image dedup (the reference stores one ``photo_path`` per
+    article, `src/feeds/rss_feeds/mod.rs:194-197`; a 100 TB crawl needs
+    to recognize the same lead image re-hosted under different bytes).
+
+    Per image (Arrow-batched ``mapInPandas``, vectorized numpy inside):
+
+    1. decode via the from-scratch codecs (PPM/PNG/GIF/baseline-JPEG);
+    2. integer grayscale ``(r + g + b) // 3`` (alpha ignored; a
+       grayscale JPEG plane is used as-is) — integer math so a SQL
+       oracle replays it exactly;
+    3. nearest-neighbour resample to ``(hash_w + 1) x hash_h`` with the
+       SAME index grid as :func:`_resize_nn` (``src = min(dst*n // tgt,
+       n-1)``) — resampling is what makes the hash perceptual: scale
+       and re-encode (PNG->JPEG of the same picture) keep the hash
+       stable while distinct pictures differ;
+    4. bit ``(y, x)`` = 1 iff ``gray[y][x] > gray[y][x+1]``, packed at
+       weight ``y*hash_w + x``.
+
+    Default 7x8 = 56 bits: int64-safe in BOTH engines (the simhash
+    width<=60 convention — no sign-bit traps in Spark or DuckDB).
+    Undecodable payloads yield ``decoded=false, dhash NULL`` skip rows;
+    non-image rows are filtered out JVM-side before any Python runs.
+    Near-dup mining reuses ``simhash_near_dup_pairs(sig=...)`` verbatim
+    — the pigeonhole banding never looks at how the signature was made.
+    """
+    n_bits = hash_w * hash_h
+    if n_bits > 60:
+        raise ValueError(
+            f"hash_w*hash_h = {n_bits} bits; keep <= 60 so the packed "
+            "hash stays int64-safe in both Spark and the SQL oracle")
+    weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                try:
+                    arr = decode_real(payload, kind)
+                except (NotImplementedError, ValueError):
+                    rows.append((mid, kind, False, None))
+                    continue
+                if arr.ndim == 2:
+                    gray = arr.astype(np.int64)
+                else:
+                    gray = (arr[:, :, 0].astype(np.int64)
+                            + arr[:, :, 1] + arr[:, :, 2]) // 3
+                g = _resize_nn(gray, hash_w + 1, hash_h)
+                bits = (g[:, :-1] > g[:, 1:]).ravel()
+                rows.append((mid, kind, True,
+                             int((weights * bits).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "decoded", "dhash",
+            ]).astype({"decoded": "bool", "dhash": "Int64"})
+
+    return (media.filter(F.col("kind") == "image")
+            .select("media_id", "kind", "payload")
+            .mapInPandas(fn, DHASH_DDL))

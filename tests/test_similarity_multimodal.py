@@ -1,6 +1,7 @@
 """Similarity-search (LSH + IVF ANN vs brute force) and multimodal
 plumbing tests (engine-new operators; SURVEY.md §2.6 additions)."""
 
+import numpy as np
 import pytest
 import pyspark.sql.functions as F
 
@@ -896,3 +897,75 @@ class TestRandomProjection:
         b = sorted(map(tuple,
                        random_projection(df.repartition(5), planes).collect()))
         assert a == b
+
+
+class TestDhash:
+    """Perceptual dHash: the hash must survive the transformations that
+    preserve the picture (re-encode, scale) and differ across pictures."""
+
+    @staticmethod
+    def _img(i, w=40, h=32):
+        rng = np.random.default_rng(i)
+        # smooth-ish gradient + noise so the hash has structure
+        x = np.linspace(0, 255, w)[None, :] + rng.integers(0, 40, (h, w))
+        arr = np.clip(x, 0, 255).astype(np.uint8)
+        return np.stack([arr, arr, arr], axis=2)
+
+    def _hash_of(self, spark, payloads):
+        from news_rss_spark.operators.multimodal import dhash_images
+        rows = [(str(i), "image", p, "image/*", None, None, None)
+                for i, p in enumerate(payloads)]
+        df = spark.createDataFrame(
+            rows, "media_id string, kind string, payload binary, "
+                  "mime string, width int, height int, duration_ms int")
+        out = dhash_images(df).orderBy("media_id").collect()
+        return [(r["decoded"], r["dhash"]) for r in out]
+
+    def test_format_invariance_png_vs_ppm(self, spark):
+        from news_rss_spark.operators.multimodal import encode_png, encode_ppm
+        arr = self._img(1)
+        (d1, h1), (d2, h2) = self._hash_of(
+            spark, [encode_png(arr), encode_ppm(arr)])
+        assert d1 and d2 and h1 == h2
+
+    def test_scale_invariance_and_distinct_images(self, spark):
+        from news_rss_spark.operators.multimodal import (
+            _resize_nn, encode_png,
+        )
+        arr = self._img(2, 64, 64)
+        big = _resize_nn(arr, 128, 128)  # NN upscale: same picture
+        other = self._img(9, 64, 64)[:, ::-1]  # mirrored gradient:
+        # a genuinely different picture (same-direction gradients hash
+        # alike BY DESIGN — that is what makes dHash perceptual)
+        hashes = self._hash_of(spark, [encode_png(arr), encode_png(big),
+                                       encode_png(other)])
+        h = [v for _, v in hashes]
+        same = bin(h[0] ^ h[1]).count("1")
+        diff = bin(h[0] ^ h[2]).count("1")
+        assert same <= 4          # scaled copy: near-identical hash
+        assert diff >= 12         # different picture: far apart
+
+    def test_undecodable_and_non_image_rows(self, spark):
+        from news_rss_spark.operators.multimodal import encode_png
+        rows = [("0", "image", encode_png(self._img(3)), "image/png",
+                 None, None, None),
+                ("1", "image", b"\x89PNG\r\n\x1a\ngarbage", "image/png",
+                 None, None, None),
+                ("2", "audio", b"RIFFnope", "audio/wav", None, None, None)]
+        df = spark.createDataFrame(
+            rows, "media_id string, kind string, payload binary, "
+                  "mime string, width int, height int, duration_ms int")
+        from news_rss_spark.operators.multimodal import dhash_images
+        out = {r["media_id"]: r for r in dhash_images(df).collect()}
+        assert out["0"]["decoded"] and out["0"]["dhash"] is not None
+        assert not out["1"]["decoded"] and out["1"]["dhash"] is None
+        assert "2" not in out  # non-images never reach Python
+
+    def test_int64_width_guard(self, spark):
+        from news_rss_spark.operators.multimodal import dhash_images
+        import pytest as _pytest
+        df = spark.createDataFrame(
+            [], "media_id string, kind string, payload binary, "
+                "mime string, width int, height int, duration_ms int")
+        with _pytest.raises(ValueError, match="int64-safe"):
+            dhash_images(df, hash_w=8, hash_h=8)
