@@ -1835,6 +1835,23 @@ def q_image_dhash(spark, sf_dir):
         "media_id", "kind", "decoded", "dhash")
 
 
+def q_audio_fingerprint(spark, sf_dir):
+    """Audio envelope fingerprint over REAL decoded samples
+    (operators/multimodal.py audio_envelope_hash): integer-rule PCM
+    WAVs -> stdlib wave decode -> 56-block |amplitude| envelope ->
+    cross-multiplied int64 mean comparison per block.  The DuckDB
+    oracle replays sample synthesis, block assignment (k*56//n), and
+    the bit packing exactly — one wrong decoded sample anywhere flips
+    fingerprint bits."""
+    from news_rss_spark.operators.multimodal import (
+        audio_envelope_hash,
+        synth_pcm_int_media,
+    )
+    d = _t(spark, sf_dir, "documents")
+    return audio_envelope_hash(synth_pcm_int_media(d)).select(
+        "media_id", "kind", "decoded", "fingerprint")
+
+
 def q_image_near_dup(spark, sf_dir):
     """Perceptual image NEAR-DUP pairs: the 56-bit dHash fed through the
     SAME pigeonhole banding as text SimHash
@@ -2277,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-3 additions (no prior driver row) ------------------
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
+        "audio_fingerprint": q_audio_fingerprint,
         "sparse_cosine": q_sparse_cosine,
         "edit_distance_near_dup": q_edit_distance_near_dup,
         "hybrid_search": q_hybrid_search,
@@ -2729,6 +2747,27 @@ SELECT x.media_id AS a, y.media_id AS b,
        CAST(bit_count(xor(x.dhash, y.dhash)) AS INTEGER) AS hamming
 FROM dh x JOIN dh y ON x.media_id < y.media_id
 WHERE bit_count(xor(x.dhash, y.dhash)) <= 2
+""",
+        "audio_fingerprint": """
+WITH m AS (
+  SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS media_id,
+         64 + doc_id % 64 AS n
+  FROM documents
+),
+s AS (
+  SELECT m.media_id, m.n, (t.k * 56) // m.n AS blk,
+         abs(((t.k*13 + m.i) * 97) % 4097 - 2048) AS a
+  FROM m, generate_series(0, 127) AS t(k) WHERE t.k < m.n
+),
+tot AS (SELECT media_id, SUM(a) AS total FROM s GROUP BY media_id),
+blocks AS (SELECT media_id, n, blk, SUM(a) AS bsum, COUNT(*) AS blen
+           FROM s GROUP BY media_id, n, blk)
+SELECT b.media_id, 'audio' AS kind, true AS decoded,
+  CAST(SUM(CASE WHEN b.bsum * b.n > t.total * b.blen
+       THEN CAST(1 AS BIGINT) << b.blk ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+    AS fingerprint
+FROM blocks b JOIN tot t USING (media_id)
+GROUP BY b.media_id
 """,
         "nb_classifier": r"""
 WITH docs AS (

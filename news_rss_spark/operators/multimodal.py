@@ -1229,3 +1229,88 @@ def dhash_images(media: DataFrame, hash_w: int = 7,
     return (media.filter(F.col("kind") == "image")
             .select("media_id", "kind", "payload")
             .mapInPandas(fn, DHASH_DDL))
+
+
+def synth_pcm_int_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL PCM WAVs with an INTEGER closed-form signal —
+    the audio analog of synth_png_media's pixel rule: n = 64 + i%64
+    samples at 8 kHz, sample k = ((13k + i) * 97) % 4097 - 2048.  Unlike
+    synth_media's sine tones (float32 trig — not SQL-reproducible), every
+    byte here is integer arithmetic, so a DuckDB oracle replays the full
+    decode + fingerprint chain exactly."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                n = 64 + i % 64
+                k = np.arange(n, dtype=np.int64)
+                samples = ((k * 13 + i) * 97) % 4097 - 2048
+                rows.append((str(i), "audio",
+                             encode_wav(samples.astype(np.int16), 8000),
+                             "audio/wav", None, None, int(n * 1000 / 8000)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "mime", "width", "height",
+                "duration_ms",
+            ]).astype({"width": "Int32", "height": "Int32",
+                       "duration_ms": "Int32"})
+
+    return df.select(id_col).mapInPandas(fn, MEDIA_DDL)
+
+
+AUDIO_FP_DDL = "media_id string, kind string, decoded boolean, fingerprint bigint"
+
+
+def audio_envelope_hash(media: DataFrame, n_blocks: int = 56) -> DataFrame:
+    """Audio fingerprint over REAL decoded samples — the audio analog of
+    :func:`dhash_images`, and the front half of audio dedup (recognize
+    the same clip re-encoded or re-hosted).
+
+    Per clip (Arrow-batched ``mapInPandas``): decode via the
+    from-scratch codecs (16-bit PCM WAV or IMA-ADPCM WAV), split the
+    |sample| envelope into ``n_blocks`` contiguous blocks (block of
+    sample k = ``k * n_blocks // n``), and set bit b iff block b's mean
+    |amplitude| exceeds the clip mean — compared cross-multiplied in
+    pure int64 (``block_sum * n > total * block_len``) so a SQL oracle
+    replays every bit.  Default 56 bits: int64-safe in both engines (the
+    simhash/dhash width convention).  Near-dup mining plugs the
+    fingerprint into ``simhash_near_dup_pairs(sig=...)`` unchanged.
+    Undecodable payloads become ``decoded=false`` skip rows; non-audio
+    rows are filtered JVM-side."""
+    if n_blocks > 60:
+        raise ValueError(
+            f"n_blocks = {n_blocks} bits; keep <= 60 so the packed "
+            "fingerprint stays int64-safe in both Spark and the SQL oracle")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                try:
+                    samples, _rate = decode_real(payload, kind)
+                except (NotImplementedError, ValueError):
+                    rows.append((mid, kind, False, None))
+                    continue
+                n = int(samples.size)
+                if n == 0:
+                    rows.append((mid, kind, True, 0))
+                    continue
+                a = np.abs(samples.astype(np.int64))
+                blk = (np.arange(n, dtype=np.int64) * n_blocks) // n
+                bsum = np.zeros(n_blocks, dtype=np.int64)
+                blen = np.zeros(n_blocks, dtype=np.int64)
+                np.add.at(bsum, blk, a)
+                np.add.at(blen, blk, 1)
+                total = int(a.sum())
+                bits = bsum * n > total * blen
+                weights = np.int64(1) << np.arange(n_blocks, dtype=np.int64)
+                rows.append((mid, kind, True, int((weights * bits).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "decoded", "fingerprint",
+            ]).astype({"decoded": "bool", "fingerprint": "Int64"})
+
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_id", "kind", "payload")
+            .mapInPandas(fn, AUDIO_FP_DDL))

@@ -969,3 +969,62 @@ class TestDhash:
                 "mime string, width int, height int, duration_ms int")
         with _pytest.raises(ValueError, match="int64-safe"):
             dhash_images(df, hash_w=8, hash_h=8)
+
+
+class TestAudioFingerprint:
+    """Envelope hash: stable under lossy ADPCM re-encode of the same
+    clip, far apart for different clips, skip-row on garbage."""
+
+    def _fp_of(self, spark, rows):
+        from news_rss_spark.operators.multimodal import audio_envelope_hash
+        df = spark.createDataFrame(
+            rows, "media_id string, kind string, payload binary, "
+                  "mime string, width int, height int, duration_ms int")
+        return {r["media_id"]: (r["decoded"], r["fingerprint"])
+                for r in audio_envelope_hash(df).collect()}
+
+    def test_adpcm_reencode_keeps_envelope(self, spark):
+        from news_rss_spark.operators.multimodal import (
+            encode_adpcm_wav, encode_wav,
+        )
+        rng = np.random.default_rng(5)
+        # a clip with real envelope structure: quiet/loud alternation
+        env = np.repeat(rng.integers(200, 12000, 16), 128)
+        sig = (np.sin(np.arange(env.size) * 0.31) * env).astype(np.int16)
+        out = self._fp_of(spark, [
+            ("pcm", "audio", encode_wav(sig, 8000), "audio/wav",
+             None, None, None),
+            ("adpcm", "audio", encode_adpcm_wav(sig, 8000), "audio/wav",
+             None, None, None),
+        ])
+        (d1, f1), (d2, f2) = out["pcm"], out["adpcm"]
+        assert d1 and d2
+        assert bin(f1 ^ f2).count("1") <= 4  # lossy codec, same envelope
+
+    def test_distinct_clips_differ(self, spark):
+        from news_rss_spark.operators.multimodal import encode_wav
+        rng = np.random.default_rng(6)
+        a = np.repeat(rng.integers(100, 12000, 16), 128).astype(np.int16)
+        b = np.repeat(rng.integers(100, 12000, 16)[::-1], 128).astype(np.int16)
+        out = self._fp_of(spark, [
+            ("a", "audio", encode_wav(a, 8000), "audio/wav", None, None, None),
+            ("b", "audio", encode_wav(b, 8000), "audio/wav", None, None, None),
+        ])
+        assert bin(out["a"][1] ^ out["b"][1]).count("1") >= 10
+
+    def test_skip_rows_and_kind_filter(self, spark):
+        from news_rss_spark.operators.multimodal import encode_png
+        rows = [("0", "audio", b"RIFFgarbage", "audio/wav", None, None, None),
+                ("1", "image", encode_png(np.zeros((4, 4, 3), np.uint8)),
+                 "image/png", None, None, None)]
+        out = self._fp_of(spark, rows)
+        assert out["0"] == (False, None)
+        assert "1" not in out
+
+    def test_width_guard(self, spark):
+        from news_rss_spark.operators.multimodal import audio_envelope_hash
+        df = spark.createDataFrame(
+            [], "media_id string, kind string, payload binary, "
+                "mime string, width int, height int, duration_ms int")
+        with pytest.raises(ValueError, match="int64-safe"):
+            audio_envelope_hash(df, n_blocks=64)
