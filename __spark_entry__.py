@@ -1835,6 +1835,22 @@ def q_image_dhash(spark, sf_dir):
         "media_id", "kind", "decoded", "dhash")
 
 
+def q_video_frame_dhash(spark, sf_dir):
+    """Per-frame perceptual dHash over REAL decoded motion-JPEG
+    (operators/multimodal.py frame_dhash): every frame through the
+    from-scratch kernel.jpegx codec, then the same
+    grayscale/resample/bit chain as still images.  The DuckDB oracle
+    replays frame synthesis (flat 8x8 blocks, (37b + i + 19f) % 256),
+    the NN resample grid, and the bit packing exactly."""
+    from news_rss_spark.operators.multimodal import (
+        frame_dhash,
+        synth_mjpeg_media,
+    )
+    d = _t(spark, sf_dir, "documents")
+    return frame_dhash(synth_mjpeg_media(d)).select(
+        "media_id", "frame_idx", "dhash")
+
+
 def q_audio_fingerprint(spark, sf_dir):
     """Audio envelope fingerprint over REAL decoded samples
     (operators/multimodal.py audio_envelope_hash): integer-rule PCM
@@ -2295,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
         "audio_fingerprint": q_audio_fingerprint,
+        "video_frame_dhash": q_video_frame_dhash,
         "sparse_cosine": q_sparse_cosine,
         "edit_distance_near_dup": q_edit_distance_near_dup,
         "hybrid_search": q_hybrid_search,
@@ -2747,6 +2764,29 @@ SELECT x.media_id AS a, y.media_id AS b,
        CAST(bit_count(xor(x.dhash, y.dhash)) AS INTEGER) AS hamming
 FROM dh x JOIN dh y ON x.media_id < y.media_id
 WHERE bit_count(xor(x.dhash, y.dhash)) <= 2
+""",
+        "video_frame_dhash": """
+WITH m AS (
+  SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS media_id,
+         1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
+         2 + doc_id % 3 AS nf
+  FROM documents
+),
+g AS (
+  SELECT m.media_id, f.j AS frame_idx, dy.y AS y, dx.x AS x,
+         (37*(((dy.y*m.hb)//8)*m.wb + (dx.x*m.wb)//8) + m.i + 19*f.j) % 256
+           AS gray
+  FROM m, generate_series(0, 3) AS f(j),
+       generate_series(0, 7) AS dy(y), generate_series(0, 7) AS dx(x)
+  WHERE f.j < m.nf
+)
+SELECT a.media_id, CAST(a.frame_idx AS INTEGER) AS frame_idx,
+  CAST(SUM(CASE WHEN a.gray > b.gray
+       THEN CAST(1 AS BIGINT) << (a.y*7 + a.x)
+       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dhash
+FROM g a JOIN g b ON b.media_id = a.media_id AND b.frame_idx = a.frame_idx
+  AND b.y = a.y AND b.x = a.x + 1
+GROUP BY a.media_id, a.frame_idx
 """,
         "audio_fingerprint": """
 WITH m AS (

@@ -1167,6 +1167,30 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 DHASH_DDL = "media_id string, kind string, decoded boolean, dhash bigint"
 
 
+def _dhash_width_guard(hash_w: int, hash_h: int) -> None:
+    n_bits = hash_w * hash_h
+    if n_bits > 60:
+        raise ValueError(
+            f"hash_w*hash_h = {n_bits} bits; keep <= 60 so the packed "
+            "hash stays int64-safe in both Spark and the SQL oracle")
+
+
+def _dhash_of_array(arr: np.ndarray, hash_w: int, hash_h: int) -> int:
+    """Difference hash of one decoded image array: integer grayscale
+    (r+g+b)//3 (a 2-D grayscale plane is used as-is), NN resample to
+    (hash_w+1) x hash_h on the shared :func:`_resize_nn` grid, bit
+    (y,x) = gray[y][x] > gray[y][x+1] at weight y*hash_w + x."""
+    if arr.ndim == 2:
+        gray = arr.astype(np.int64)
+    else:
+        gray = (arr[:, :, 0].astype(np.int64)
+                + arr[:, :, 1] + arr[:, :, 2]) // 3
+    g = _resize_nn(gray, hash_w + 1, hash_h)
+    bits = (g[:, :-1] > g[:, 1:]).ravel()
+    weights = np.int64(1) << np.arange(hash_w * hash_h, dtype=np.int64)
+    return int((weights * bits).sum())
+
+
 def dhash_images(media: DataFrame, hash_w: int = 7,
                  hash_h: int = 8) -> DataFrame:
     """Perceptual difference-hash (dHash) over REAL decoded pixels —
@@ -1196,12 +1220,7 @@ def dhash_images(media: DataFrame, hash_w: int = 7,
     Near-dup mining reuses ``simhash_near_dup_pairs(sig=...)`` verbatim
     — the pigeonhole banding never looks at how the signature was made.
     """
-    n_bits = hash_w * hash_h
-    if n_bits > 60:
-        raise ValueError(
-            f"hash_w*hash_h = {n_bits} bits; keep <= 60 so the packed "
-            "hash stays int64-safe in both Spark and the SQL oracle")
-    weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+    _dhash_width_guard(hash_w, hash_h)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1213,15 +1232,8 @@ def dhash_images(media: DataFrame, hash_w: int = 7,
                 except (NotImplementedError, ValueError):
                     rows.append((mid, kind, False, None))
                     continue
-                if arr.ndim == 2:
-                    gray = arr.astype(np.int64)
-                else:
-                    gray = (arr[:, :, 0].astype(np.int64)
-                            + arr[:, :, 1] + arr[:, :, 2]) // 3
-                g = _resize_nn(gray, hash_w + 1, hash_h)
-                bits = (g[:, :-1] > g[:, 1:]).ravel()
                 rows.append((mid, kind, True,
-                             int((weights * bits).sum())))
+                             _dhash_of_array(arr, hash_w, hash_h)))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "decoded", "dhash",
             ]).astype({"decoded": "bool", "dhash": "Int64"})
@@ -1314,3 +1326,43 @@ def audio_envelope_hash(media: DataFrame, n_blocks: int = 56) -> DataFrame:
     return (media.filter(F.col("kind") == "audio")
             .select("media_id", "kind", "payload")
             .mapInPandas(fn, AUDIO_FP_DDL))
+
+
+FRAME_DHASH_DDL = "media_id string, frame_idx int, dhash bigint"
+
+
+def frame_dhash(media: DataFrame, hash_w: int = 7,
+                hash_h: int = 8, every_n: int = 1) -> DataFrame:
+    """Per-frame perceptual dHash over REAL decoded video — the video
+    leg of the perceptual-dedup trio (:func:`dhash_images` for images,
+    :func:`audio_envelope_hash` for audio): decode the MJPEG stream
+    through the from-scratch ``kernel.jpegx`` codec and run every
+    ``every_n``-th frame through the SAME grayscale/resample/bit chain
+    as still images (:func:`_dhash_of_array`).  Video near-dup is then
+    frame-hash set overlap or the usual pigeonhole banding on the frame
+    rows — no new machinery.  Undecodable payloads are skip rows (the
+    sample_frames contract); non-video rows are pruned JVM-side."""
+    _dhash_width_guard(hash_w, hash_h)
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from news_rss_spark.kernel.jpegx import decode_mjpeg
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_mjpeg(payload or b"")
+                except ValueError:
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    rows.append((mid, idx,
+                                 _dhash_of_array(frames[idx],
+                                                 hash_w, hash_h)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "dhash",
+            ]).astype({"frame_idx": "Int32", "dhash": "Int64"})
+
+    return (media.filter(F.col("kind") == "video")
+            .select("media_id", "payload")
+            .mapInPandas(fn, FRAME_DHASH_DDL))

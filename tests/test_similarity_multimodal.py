@@ -1028,3 +1028,45 @@ class TestAudioFingerprint:
                 "mime string, width int, height int, duration_ms int")
         with pytest.raises(ValueError, match="int64-safe"):
             audio_envelope_hash(df, n_blocks=64)
+
+
+class TestFrameDhash:
+    def test_shared_chain_with_still_images(self, spark):
+        """A one-frame video and the same picture as a PNG hash
+        identically — the video leg reuses the still-image chain."""
+        from news_rss_spark.kernel.jpegx import encode_mjpeg
+        from news_rss_spark.operators.multimodal import (
+            dhash_images, encode_png, frame_dhash,
+        )
+        rng = np.random.default_rng(8)
+        gray = rng.integers(0, 256, (32, 40)).astype(np.uint8)
+        rgb = np.stack([gray, gray, gray], axis=2)
+        ddl = ("media_id string, kind string, payload binary, mime string, "
+               "width int, height int, duration_ms int")
+        vid = spark.createDataFrame(
+            [("v", "video", encode_mjpeg([gray]), "video/x-motion-jpeg",
+              None, None, None)], ddl)
+        img = spark.createDataFrame(
+            [("i", "image", encode_png(rgb), "image/png",
+              None, None, None)], ddl)
+        hv = frame_dhash(vid).collect()
+        hi = dhash_images(img).collect()
+        assert len(hv) == 1 and hv[0]["frame_idx"] == 0
+        assert hv[0]["dhash"] == hi[0]["dhash"]
+
+    def test_stride_and_skip_rows(self, spark):
+        from news_rss_spark.kernel.jpegx import encode_mjpeg
+        from news_rss_spark.operators.multimodal import frame_dhash
+        rng = np.random.default_rng(9)
+        frames = [rng.integers(0, 256, (16, 16)).astype(np.uint8)
+                  for _ in range(5)]
+        ddl = ("media_id string, kind string, payload binary, mime string, "
+               "width int, height int, duration_ms int")
+        df = spark.createDataFrame(
+            [("v", "video", encode_mjpeg(frames), "video/x-motion-jpeg",
+              None, None, None),
+             ("bad", "video", b"\xff\xd8garbage", "video/x-motion-jpeg",
+              None, None, None)], ddl)
+        out = frame_dhash(df, every_n=2).collect()
+        assert sorted(r["frame_idx"] for r in out) == [0, 2, 4]
+        assert all(r["media_id"] == "v" for r in out)  # bad row skipped
