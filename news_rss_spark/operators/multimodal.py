@@ -619,6 +619,8 @@ def decode_adpcm_wav(payload: bytes) -> tuple[np.ndarray, int]:
             if fmt[1] != 1:
                 raise ValueError("only mono IMA ADPCM supported")
         elif cid == b"fact":
+            if ln < 4:
+                raise ValueError("short fact chunk")
             (n_samples,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             data = body
