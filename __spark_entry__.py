@@ -1890,6 +1890,61 @@ def q_image_near_dup(spark, sf_dir):
                                   n_bits=56, sig=sig)
 
 
+def q_audio_near_dup(spark, sf_dir):
+    """Audio NEAR-DUP pairs — the audio leg of perceptual dedup: the
+    56-bit envelope fingerprint through the SAME pigeonhole banding as
+    text SimHash and image dHash.  Planted structure: every doc_id
+    ending in 9 synthesizes the CONTENT of doc_id-1 under its own
+    media_id (synth_pcm_int_media(content_col=...) — the re-hosted-clip
+    shape), so each 10-block contributes one hamming-0 pair; everything
+    else is fingerprint-random and must not pair at radius 2.  The
+    oracle replays synthesis with the same content mapping, the
+    envelope-bit rule, and an all-pairs bit_count scan."""
+    from news_rss_spark.operators.multimodal import (
+        audio_envelope_hash,
+        synth_pcm_int_media,
+    )
+    from news_rss_spark.operators.text_dedup import simhash_near_dup_pairs
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("cid", F.when(F.col("doc_id") % 10 == 9,
+                                   F.col("doc_id") - 1)
+                             .otherwise(F.col("doc_id"))))
+    sig = (audio_envelope_hash(synth_pcm_int_media(d, content_col="cid"))
+           .filter("decoded")
+           .select("media_id", F.col("fingerprint").alias("simhash")))
+    return simhash_near_dup_pairs(sig, max_hamming=2, id_col="media_id",
+                                  n_bits=56, sig=sig)
+
+
+def q_video_near_dup(spark, sf_dir):
+    """Video NEAR-DUP pairs by EXACT frame-content-key SET overlap
+    (operators/multimodal.py frame_share_pairs): every frame through the
+    from-scratch MJPEG codec (sample_frames integer stats), keyed by the
+    composite px_sum*16384 + width*64 + height, then distinct frame-key
+    sets compared by exact Jaccard via ONE equi-join (only videos
+    sharing an identical frame ever meet).  Planted: doc_ids ending in 9
+    carry the frames of doc_id-1 (jaccard 1.0); the synthesis rule's
+    19-step frame shift makes some unplanted videos share nf-2 exact
+    frames, which the 0.5 threshold excludes — both facts replayed by
+    the oracle.  (The perceptual dHash key is deliberately NOT used for
+    set overlap: low-detail flat-block frames collide dHash massively —
+    measured 92k junk pairs vs 50 planted at sf0.01 — so dHash stays the
+    per-frame banding key and the exact key owns clip-level dedup.)"""
+    from news_rss_spark.operators.multimodal import (
+        frame_share_pairs,
+        sample_frames,
+        synth_mjpeg_media,
+    )
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("cid", F.when(F.col("doc_id") % 10 == 9,
+                                   F.col("doc_id") - 1)
+                             .otherwise(F.col("doc_id"))))
+    frames = (sample_frames(synth_mjpeg_media(d, content_col="cid"))
+              .withColumn("fkey", F.col("px_sum") * 16384
+                          + F.col("width") * 64 + F.col("height")))
+    return frame_share_pairs(frames, min_share=0.5, key_col="fkey")
+
+
 def q_nb_classifier(spark, sf_dir):
     """Trainable multinomial Naive Bayes classifier
     (operators/nb_classifier.py): trained ON the corpus with label =
@@ -2400,6 +2455,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "cms_token_counts": q_cms_token_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
+        # audio/video near-dup legs: compositions over in-window oracled
+        # siblings (audio_fingerprint / video_frame_dhash signatures; the
+        # image_near_dup banding miner), with planted-duplicate recall
+        # additionally pytest-locked
+        "audio_near_dup": q_audio_near_dup,
+        "video_near_dup": q_video_near_dup,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -2808,6 +2869,68 @@ SELECT b.media_id, 'audio' AS kind, true AS decoded,
     AS fingerprint
 FROM blocks b JOIN tot t USING (media_id)
 GROUP BY b.media_id
+""",
+        "audio_near_dup": """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END AS i,
+         64 + (CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END)
+             % 64 AS n
+  FROM documents
+),
+s AS (
+  SELECT m.media_id, m.n, (t.k * 56) // m.n AS blk,
+         abs(((t.k*13 + m.i) * 97) % 4097 - 2048) AS a
+  FROM m, generate_series(0, 127) AS t(k) WHERE t.k < m.n
+),
+tot AS (SELECT media_id, SUM(a) AS total FROM s GROUP BY media_id),
+blocks AS (SELECT media_id, n, blk, SUM(a) AS bsum, COUNT(*) AS blen
+           FROM s GROUP BY media_id, n, blk),
+fp AS (
+  SELECT b.media_id,
+    CAST(SUM(CASE WHEN b.bsum * b.n > t.total * b.blen
+         THEN CAST(1 AS BIGINT) << b.blk ELSE CAST(0 AS BIGINT) END)
+      AS BIGINT) AS fp
+  FROM blocks b JOIN tot t USING (media_id)
+  GROUP BY b.media_id
+)
+SELECT x.media_id AS a, y.media_id AS b,
+       CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS hamming
+FROM fp x JOIN fp y ON x.media_id < y.media_id
+WHERE bit_count(xor(x.fp, y.fp)) <= 2
+""",
+        "video_near_dup": """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END AS i
+  FROM documents
+),
+mm AS (
+  SELECT media_id, i, 1 + i % 3 AS wb, 1 + i % 2 AS hb, 2 + i % 3 AS nf
+  FROM m
+),
+fd AS (
+  SELECT mm.media_id, f.j AS frame_idx,
+         CAST(64 * SUM((37*b.k + mm.i + 19*f.j) % 256) AS BIGINT) * 16384
+           + (mm.wb * 8) * 64 + (mm.hb * 8) AS dhash
+  FROM mm, generate_series(0, 3) AS f(j), generate_series(0, 5) AS b(k)
+  WHERE f.j < mm.nf AND b.k < mm.wb * mm.hb
+  GROUP BY mm.media_id, f.j, mm.wb, mm.hb
+),
+fh AS (SELECT DISTINCT media_id, dhash FROM fd),
+sizes AS (SELECT media_id, COUNT(*) AS n FROM fh GROUP BY media_id),
+shared AS (
+  SELECT x.media_id AS a, y.media_id AS b, COUNT(*) AS shared
+  FROM fh x JOIN fh y ON x.dhash = y.dhash AND x.media_id < y.media_id
+  GROUP BY x.media_id, y.media_id
+)
+SELECT s.a, s.b, CAST(s.shared AS BIGINT) AS shared,
+       round(CAST(s.shared AS DOUBLE)
+             / (na.n + nb.n - s.shared), 6) AS jaccard
+FROM shared s
+JOIN sizes na ON na.media_id = s.a
+JOIN sizes nb ON nb.media_id = s.b
+WHERE CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) >= 0.5
 """,
         "nb_classifier": r"""
 WITH docs AS (

@@ -1073,7 +1073,8 @@ def synth_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(fn, MEDIA_DDL)
 
 
-def synth_mjpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_mjpeg_media(df: DataFrame, id_col: str = "doc_id",
+                      content_col: str | None = None) -> DataFrame:
     """Deterministic REAL motion-JPEG payloads, distributed
     (mapInPandas): every id becomes a 2-to-4-frame raw MJPEG stream
     (concatenated baseline JPEGs) of flat-8x8-block grayscale frames —
@@ -1082,14 +1083,20 @@ def synth_mjpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     table, so every frame decodes bit-exactly and a SQL oracle re-derives
     the total decoded pixel sum and frame count from the rule alone —
     a wrong frame boundary, EOI check, or any single-frame decode bug
-    breaks it."""
+    breaks it.
+
+    ``content_col`` decouples identity from content (media_id from
+    ``id_col``, frames from ``content_col``) so near-dup queries can
+    plant byte-identical videos under different names — the re-hosted
+    clip shape."""
+    content_col = content_col or id_col
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from news_rss_spark.kernel.jpegx import encode_mjpeg
         for pdf in batches:
             rows = []
-            for mid in pdf[id_col]:
-                i = int(mid)
+            for mid, cid in zip(pdf[id_col], pdf[content_col]):
+                i = int(cid)
                 wb, hb = 1 + i % 3, 1 + i % 2
                 nf = 2 + i % 3
                 b = np.arange(hb * wb, dtype=np.int64).reshape(hb, wb)
@@ -1098,7 +1105,7 @@ def synth_mjpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                             np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
                     for f in range(nf)
                 ]
-                rows.append((str(i), "video", encode_mjpeg(frames),
+                rows.append((str(mid), "video", encode_mjpeg(frames),
                              "video/x-motion-jpeg", wb * 8, hb * 8,
                              nf * 40))  # 25 fps
             yield pd.DataFrame(rows, columns=[
@@ -1107,7 +1114,8 @@ def synth_mjpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]).astype({"width": "Int32", "height": "Int32",
                        "duration_ms": "Int32"})
 
-    return df.select(id_col).mapInPandas(fn, MEDIA_DDL)
+    cols = [id_col] if content_col == id_col else [id_col, content_col]
+    return df.select(*cols).mapInPandas(fn, MEDIA_DDL)
 
 
 FRAME_STATS_DDL = (
@@ -1245,23 +1253,31 @@ def dhash_images(media: DataFrame, hash_w: int = 7,
             .mapInPandas(fn, DHASH_DDL))
 
 
-def synth_pcm_int_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_pcm_int_media(df: DataFrame, id_col: str = "doc_id",
+                        content_col: str | None = None) -> DataFrame:
     """Deterministic REAL PCM WAVs with an INTEGER closed-form signal —
     the audio analog of synth_png_media's pixel rule: n = 64 + i%64
     samples at 8 kHz, sample k = ((13k + i) * 97) % 4097 - 2048.  Unlike
     synth_media's sine tones (float32 trig — not SQL-reproducible), every
     byte here is integer arithmetic, so a DuckDB oracle replays the full
-    decode + fingerprint chain exactly."""
+    decode + fingerprint chain exactly.
+
+    ``content_col`` optionally decouples identity from content: the
+    media_id comes from ``id_col`` while the signal derives from
+    ``content_col`` — two rows with equal content ids are byte-identical
+    clips under different names, the planted-duplicate shape near-dup
+    queries need (and exactly how re-hosted media looks in a crawl)."""
+    content_col = content_col or id_col
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for mid in pdf[id_col]:
-                i = int(mid)
+            for mid, cid in zip(pdf[id_col], pdf[content_col]):
+                i = int(cid)
                 n = 64 + i % 64
                 k = np.arange(n, dtype=np.int64)
                 samples = ((k * 13 + i) * 97) % 4097 - 2048
-                rows.append((str(i), "audio",
+                rows.append((str(mid), "audio",
                              encode_wav(samples.astype(np.int16), 8000),
                              "audio/wav", None, None, int(n * 1000 / 8000)))
             yield pd.DataFrame(rows, columns=[
@@ -1270,7 +1286,8 @@ def synth_pcm_int_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]).astype({"width": "Int32", "height": "Int32",
                        "duration_ms": "Int32"})
 
-    return df.select(id_col).mapInPandas(fn, MEDIA_DDL)
+    cols = [id_col] if content_col == id_col else [id_col, content_col]
+    return df.select(*cols).mapInPandas(fn, MEDIA_DDL)
 
 
 AUDIO_FP_DDL = "media_id string, kind string, decoded boolean, fingerprint bigint"
@@ -1368,3 +1385,57 @@ def frame_dhash(media: DataFrame, hash_w: int = 7,
     return (media.filter(F.col("kind") == "video")
             .select("media_id", "payload")
             .mapInPandas(fn, FRAME_DHASH_DDL))
+
+
+def frame_share_pairs(frames: DataFrame, min_share: float = 0.5,
+                      key_col: str = "dhash",
+                      max_videos_per_hash: int | None = None) -> DataFrame:
+    """Video near-dup pairs by frame-key SET overlap — the back half of
+    video dedup: two videos are near-dups when the Jaccard similarity of
+    their DISTINCT frame-key sets reaches ``min_share`` (the re-hosted /
+    re-containered clip, a trimmed copy, or a shared intro reel).
+
+    ``key_col`` picks the frame identity: an EXACT content key (a hash
+    of decoded pixels + dims, e.g. derived from :func:`sample_frames`
+    stats) finds byte-identical frames — the right key for clip-level
+    dedup; the perceptual per-frame dHash (:func:`frame_dhash`) tolerates
+    re-encode noise but collides on low-detail frames, so use it for
+    frame-level banding, not set overlap.
+
+    Plan (all exact, one shuffle family): distinct (media_id, key) ->
+    per-video set sizes (hash agg) -> self EQUI-join on key (only videos
+    sharing an identical frame key ever meet — never a nested loop) ->
+    shared-count agg -> Jaccard filter.  A frame key shared by V videos
+    contributes C(V,2) candidate rows — the same hot-key shape as every
+    band miner here, so ``max_videos_per_hash`` optionally drops
+    ubiquitous frames (black/slate frames at web scale: a documented
+    heavy-hitter prune, the frame-level analog of ``max_df`` in
+    containment blocking; affects recall only for pairs whose ENTIRE
+    overlap is ubiquitous frames).
+
+    Jaccard = shared / (n_a + n_b - shared) over distinct keys;
+    int64/int64 double division is correctly rounded in both engines, so
+    the 6-digit rounded output is oracle-replayable.
+    """
+    if not 0.0 < min_share <= 1.0:
+        raise ValueError(f"min_share must be in (0, 1]; got {min_share}")
+    fh = frames.select("media_id", F.col(key_col).alias("fkey")).distinct()
+    if max_videos_per_hash is not None:
+        hot = (fh.groupBy("fkey").count()
+               .filter(F.col("count") > max_videos_per_hash)
+               .select("fkey"))
+        fh = fh.join(F.broadcast(hot), "fkey", "left_anti")
+    sizes = fh.groupBy("media_id").agg(F.count("*").alias("n"))
+    a = fh.select(F.col("media_id").alias("a"), "fkey")
+    b = fh.select(F.col("media_id").alias("b"), "fkey")
+    shared = (a.join(b, "fkey")
+              .filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count("*").alias("shared")))
+    na = sizes.select(F.col("media_id").alias("a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("media_id").alias("b"), F.col("n").alias("n_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("shared")
+    return (shared.join(na, "a").join(nb, "b")
+            .withColumn("jaccard", F.round(F.col("shared") / union, 6))
+            .filter(F.col("shared") / union >= F.lit(min_share))
+            .select("a", "b", F.col("shared").cast("long").alias("shared"),
+                    "jaccard"))

@@ -1070,3 +1070,88 @@ class TestFrameDhash:
         out = frame_dhash(df, every_n=2).collect()
         assert sorted(r["frame_idx"] for r in out) == [0, 2, 4]
         assert all(r["media_id"] == "v" for r in out)  # bad row skipped
+
+
+class TestFrameSharePairs:
+    def _frames(self, spark, rows):
+        ddl = "media_id string, frame_idx int, fkey bigint"
+        return spark.createDataFrame(rows, ddl)
+
+    def test_planted_duplicate_and_containment(self, spark):
+        from news_rss_spark.operators.multimodal import frame_share_pairs
+        rows = [
+            ("a", 0, 10), ("a", 1, 11), ("a", 2, 12),      # 3 frames
+            ("b", 0, 10), ("b", 1, 11), ("b", 2, 12),      # dup of a
+            ("c", 0, 10), ("c", 1, 11),                    # contained
+            ("d", 0, 90), ("d", 1, 91), ("d", 2, 92),      # disjoint
+        ]
+        out = {(r["a"], r["b"]): (r["shared"], r["jaccard"])
+               for r in frame_share_pairs(
+                   self._frames(spark, rows), min_share=0.5,
+                   key_col="fkey").collect()}
+        assert out[("a", "b")] == (3, 1.0)
+        # c vs a: 2 shared / (2+3-2)=3 -> 0.666667 passes
+        assert out[("a", "c")][0] == 2
+        assert abs(out[("a", "c")][1] - 0.666667) < 1e-6
+        assert out[("b", "c")] == out[("a", "c")]
+        assert not any("d" in k for k in out)
+
+    def test_within_video_repeats_count_once(self, spark):
+        from news_rss_spark.operators.multimodal import frame_share_pairs
+        rows = [("a", 0, 5), ("a", 1, 5), ("a", 2, 5),
+                ("b", 0, 5)]
+        out = frame_share_pairs(self._frames(spark, rows), min_share=1.0,
+                                key_col="fkey").collect()
+        assert len(out) == 1 and out[0]["jaccard"] == 1.0
+
+    def test_hot_frame_prune(self, spark):
+        from news_rss_spark.operators.multimodal import frame_share_pairs
+        # frame key 1 is in every video (the slate frame)
+        rows = [("a", 0, 1), ("a", 1, 10),
+                ("b", 0, 1), ("b", 1, 10),
+                ("c", 0, 1), ("c", 1, 30)]
+        pruned = frame_share_pairs(self._frames(spark, rows), min_share=0.5,
+                                   key_col="fkey",
+                                   max_videos_per_hash=2).collect()
+        # slate frame dropped: only a-b still share a real frame (1/1)
+        assert [(r["a"], r["b"], r["jaccard"]) for r in pruned] \
+            == [("a", "b", 1.0)]
+
+    def test_min_share_validation_and_plan(self, spark):
+        from news_rss_spark.operators.multimodal import frame_share_pairs
+        with pytest.raises(ValueError):
+            frame_share_pairs(self._frames(spark, [("a", 0, 1)]),
+                              min_share=0.0, key_col="fkey")
+        plan = frame_share_pairs(
+            self._frames(spark, [("a", 0, 1), ("b", 0, 1)]),
+            min_share=0.5, key_col="fkey")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestContentColSynth:
+    def test_audio_content_duplicates(self, spark):
+        from news_rss_spark.operators.multimodal import synth_pcm_int_media
+        df = spark.range(4).withColumn(
+            "cid", F.when(F.col("id") % 2 == 1, F.col("id") - 1)
+                    .otherwise(F.col("id")))
+        out = {r["media_id"]: bytes(r["payload"])
+               for r in synth_pcm_int_media(
+                   df, id_col="id", content_col="cid").collect()}
+        assert set(out) == {"0", "1", "2", "3"}
+        assert out["0"] == out["1"] and out["2"] == out["3"]
+        assert out["0"] != out["2"]
+
+    def test_mjpeg_content_duplicates_and_default(self, spark):
+        from news_rss_spark.operators.multimodal import synth_mjpeg_media
+        df = spark.range(2).withColumn("cid", F.lit(7))
+        out = {r["media_id"]: bytes(r["payload"])
+               for r in synth_mjpeg_media(
+                   df, id_col="id", content_col="cid").collect()}
+        assert out["0"] == out["1"]
+        # default content_col=id_col unchanged
+        base = {r["media_id"]: bytes(r["payload"])
+                for r in synth_mjpeg_media(
+                    spark.range(2), id_col="id").collect()}
+        assert base["0"] != base["1"]
