@@ -140,3 +140,61 @@ class TestAdpcmProperties:
             assert out.dtype == np.int16
         except ValueError:
             pass
+
+
+class TestPngProperties:
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(0, 899),
+           st.integers(0, 255))
+    def test_mutated_bytes_return_or_valueerror(self, seed, pos, val):
+        from news_rss_spark.operators.multimodal import decode_png, encode_png
+        rng = np.random.RandomState(seed)
+        arr = rng.randint(0, 256, (6, 8, 3 + seed % 2)).astype(np.uint8)
+        raw = bytearray(encode_png(arr))
+        raw[pos % len(raw)] = val
+        try:
+            out = decode_png(bytes(raw))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except ValueError:
+            pass
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 200))
+    def test_truncation_return_or_valueerror(self, seed, cut):
+        from news_rss_spark.operators.multimodal import decode_png, encode_png
+        arr = np.random.RandomState(seed).randint(
+            0, 256, (5, 7, 3)).astype(np.uint8)
+        raw = encode_png(arr)
+        try:
+            decode_png(raw[: max(0, len(raw) - cut)])
+        except ValueError:
+            pass
+
+
+class TestWavProperties:
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(0, 899),
+           st.integers(0, 255))
+    def test_mutated_bytes_return_or_valueerror(self, seed, pos, val):
+        from news_rss_spark.operators.multimodal import decode_wav, encode_wav
+        rng = np.random.RandomState(seed)
+        s = rng.randint(-2048, 2048, 64 + seed % 64).astype(np.int16)
+        raw = bytearray(encode_wav(s, 8000))
+        raw[pos % len(raw)] = val
+        try:
+            out, rate = decode_wav(bytes(raw))
+            assert out.dtype == np.int16 and rate > 0
+        except ValueError:
+            pass
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 120))
+    def test_truncation_return_or_valueerror(self, seed, cut):
+        from news_rss_spark.operators.multimodal import decode_wav, encode_wav
+        s = np.random.RandomState(seed).randint(
+            -2048, 2048, 64).astype(np.int16)
+        raw = encode_wav(s, 8000)
+        try:
+            decode_wav(raw[: max(0, len(raw) - cut)])
+        except ValueError:
+            pass
