@@ -885,6 +885,21 @@ def q_length_quantiles(spark, sf_dir):
     return group_quantiles(d, "source", "n_chars", [0.1, 0.5, 0.9, 0.99])
 
 
+def q_sampled_quantiles(spark, sf_dir):
+    """Quantile SKETCH per source (operators/corpus_stats.py
+    sampled_quantiles): exact percentile over the deterministic
+    bottom-16 md5-draw sample — the bounded-cost 100 TB path
+    group_quantiles documents as its escape hatch, but cross-engine
+    deterministic unlike approx_percentile (GK merge order depends on
+    partitioning).  k=16 < group sizes at every SF, so the sampling
+    branch is genuinely exercised; the oracle replays draw, rank, and
+    quantile_cont exactly."""
+    from news_rss_spark.operators.corpus_stats import sampled_quantiles
+    d = _t(spark, sf_dir, "documents")
+    return sampled_quantiles(d, "source", "n_chars", [0.25, 0.5, 0.75],
+                             k=16)
+
+
 def q_uniform_sample(spark, sf_dir):
     """Deterministic uniform 5-sample per source by the content-stable
     md5 draw (WindowGroupLimit rank) — the inspection-sample pull that
@@ -2461,6 +2476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # additionally pytest-locked
         "audio_near_dup": q_audio_near_dup,
         "video_near_dup": q_video_near_dup,
+        # quantile sketch: composition of two driver-green primitives
+        # (uniform_sample's md5 bottom-k + length_quantiles' percentile),
+        # DKW error bound pytest-locked
+        "sampled_quantiles": q_sampled_quantiles,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -3952,6 +3971,25 @@ SELECT source,
        CAST([0.1, 0.5, 0.9, 0.99][i] AS DOUBLE) AS p,
        qs[i] AS q
 FROM a, UNNEST(generate_series(1, 4)) AS g(i)
+""",
+        "sampled_quantiles": """
+WITH s AS (
+  SELECT source, n_chars FROM (
+    SELECT source, n_chars,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5('qsketch-v1:' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS rn
+    FROM documents)
+  WHERE rn <= 16
+),
+a AS (
+  SELECT source,
+         quantile_cont(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.75]) AS qs
+  FROM s GROUP BY source
+)
+SELECT source, CAST([0.25, 0.5, 0.75][i] AS DOUBLE) AS p, qs[i] AS q
+FROM a, UNNEST(generate_series(1, 3)) AS g(i)
 """,
         "uniform_sample": """
 SELECT source, doc_id

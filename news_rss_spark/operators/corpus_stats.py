@@ -197,3 +197,34 @@ def weighted_sample_k(df: DataFrame, group_col: str, weight_col: str,
     return (df.filter(w > 0)
             .withColumn("_rn", F.row_number().over(win))
             .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def sampled_quantiles(df: DataFrame, group_col: str, value_col: str,
+                      probs: list[float], k: int = 1024,
+                      id_col: str = "doc_id",
+                      salt: str = "qsketch-v1") -> DataFrame:
+    """Quantile SKETCH per group — the 100 TB path exact
+    :func:`group_quantiles` documents as its escape hatch, without
+    giving up cross-engine determinism (Spark's approx_percentile is a
+    GK sketch whose merge order is partitioning-dependent, so its
+    output can differ run to run; this can't).
+
+    Exact percentile over the deterministic bottom-k sample
+    (:func:`uniform_sample_k`'s content-stable md5 draw): the full-group
+    sort collapses to a WindowGroupLimit that holds at most k rows per
+    task, and the percentile agg sees <= k rows per group however hot
+    the group is.  The sample is MERGEABLE exactly like the bottom-k
+    (KMV) set sketch: the k smallest draws of a union are a subset of
+    the union of each side's k smallest, so shards can sample
+    independently and re-rank — the same open-state rule as
+    hll_registers (shards must draw with the SAME salt, or the re-rank
+    compares incomparable orders).  Error: the empirical CDF of a k-uniform sample is
+    within sqrt(ln(2/d)/2k) of the true CDF with prob 1-d (DKW), so
+    k=1024 puts every quantile within ~4 percentile points at 95%
+    confidence — profiling accuracy, at a bounded cost no data skew can
+    break.  Groups smaller than k degrade to the EXACT quantiles (the
+    sample is the whole group)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    sample = uniform_sample_k(df, group_col, k, id_col=id_col, salt=salt)
+    return group_quantiles(sample, group_col, value_col, probs)

@@ -233,3 +233,64 @@ class TestWeightedSampleK:
                    weighted_sample_k(df.repartition(13), "g", "w", 15)
                    .collect())
         assert a == b
+
+
+class TestSampledQuantiles:
+    def _df(self, spark, n=2000):
+        return (spark.range(n)
+                .select(F.col("id").alias("doc_id"),
+                        F.lit("g").alias("g"),
+                        F.col("id").cast("double").alias("v")))
+
+    def test_small_group_is_exact(self, spark):
+        from news_rss_spark.operators.corpus_stats import (
+            group_quantiles, sampled_quantiles)
+        df = self._df(spark, 50)
+        probs = [0.1, 0.5, 0.9]
+        exact = {(r["g"], r["p"]): r["q"] for r in
+                 group_quantiles(df, "g", "v", probs).collect()}
+        sk = {(r["g"], r["p"]): r["q"] for r in
+              sampled_quantiles(df, "g", "v", probs, k=100).collect()}
+        assert sk == exact  # k > group size: the sample IS the group
+
+    def test_dkw_error_bound(self, spark):
+        from news_rss_spark.operators.corpus_stats import sampled_quantiles
+        # uniform 0..1999: true q(p) ~ 2000p; DKW at k=1024, 95%:
+        # CDF error <= sqrt(ln(2/0.05)/(2*1024)) ~ 0.0424 -> ~85 units.
+        # The md5 draw is fixed, so this is a deterministic regression
+        # lock, with the DKW band as the sanity envelope.
+        out = sampled_quantiles(self._df(spark), "g", "v",
+                                [0.25, 0.5, 0.75], k=1024).collect()
+        for r in out:
+            assert abs(r["q"] - 2000 * r["p"]) <= 0.0424 * 2000 + 1
+
+    def test_mergeable_like_bottomk(self, spark):
+        from news_rss_spark.operators.corpus_stats import sampled_quantiles
+        # sharded sampling then re-rank == whole-corpus sampling: the k
+        # smallest draws of the union are within the union of per-shard
+        # k smallest.  Emulate by running on each half with the SAME
+        # salt as the sketch, unioning the samples, and re-running.
+        from news_rss_spark.operators.corpus_stats import uniform_sample_k
+        df = self._df(spark, 600)
+        h1, h2 = df.filter("doc_id < 300"), df.filter("doc_id >= 300")
+        merged = (uniform_sample_k(h1, "g", 64, salt="qsketch-v1")
+                  .unionByName(uniform_sample_k(h2, "g", 64,
+                                                salt="qsketch-v1")))
+        via_shards = sorted(r["q"] for r in sampled_quantiles(
+            merged, "g", "v", [0.5], k=64).collect())
+        direct = sorted(r["q"] for r in sampled_quantiles(
+            df, "g", "v", [0.5], k=64).collect())
+        assert via_shards == direct
+
+    def test_k_validation_and_determinism(self, spark):
+        import pytest
+        from news_rss_spark.operators.corpus_stats import sampled_quantiles
+        with pytest.raises(ValueError):
+            sampled_quantiles(self._df(spark), "g", "v", [0.5], k=0)
+        df = self._df(spark, 500)
+        a = sorted((r["p"], r["q"]) for r in
+                   sampled_quantiles(df, "g", "v", [0.5], k=32).collect())
+        b = sorted((r["p"], r["q"]) for r in
+                   sampled_quantiles(df.repartition(17), "g", "v",
+                                     [0.5], k=32).collect())
+        assert a == b
