@@ -900,6 +900,35 @@ def q_sampled_quantiles(spark, sf_dir):
                              k=16)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Guaranteed corpus heavy hitters (operators/heavy_hitters.py):
+    every token whose exact count exceeds n/(k+1), k=40 — mined by a
+    per-partition Misra-Gries pass (at most k candidate rows leave each
+    partition) and settled by an exact candidates-only recount, so the
+    OUTPUT is deterministic and the oracle is a plain GROUP BY/HAVING:
+    the sketch is pruning, never approximation."""
+    from news_rss_spark.operators.heavy_hitters import heavy_hitters
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    return heavy_hitters(toks, "token", k=40) \
+        .select("token", F.col("cnt").cast("long").alias("cnt"))
+
+
+def q_blocklist_scan(spark, sf_dir):
+    """Phrase-blocklist scan (operators/blocklist.py): every occurrence
+    of every blocklist phrase — overlaps and nested phrases included —
+    found by ONE from-scratch Aho-Corasick pass per document
+    (kernel/acmatch.py) inside a single shuffle-free Arrow stage; output
+    is hit-sized.  The DuckDB oracle replays raw-substring semantics
+    positionally (generate_series + substr), so the automaton's failure
+    and output links are checked against an implementation-free spec."""
+    from news_rss_spark.operators.blocklist import blocklist_hits
+    d = _t(spark, sf_dir, "documents")
+    return blocklist_hits(
+        d, ["table table", "hash value", "scan slow", "customer query"])
+
+
 def q_uniform_sample(spark, sf_dir):
     """Deterministic uniform 5-sample per source by the content-stable
     md5 draw (WindowGroupLimit rank) — the inspection-sample pull that
@@ -2194,6 +2223,36 @@ def q_group_split(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("total_chars")))
 
 
+_PACKED128_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
+def _packed128(spark, sf_dir):
+    """Memoized packed interleaved-span relation per (session, sf_dir),
+    localCheckpoint'd once: all three interleaved queries (pack layout,
+    per-sequence stats, body assembly) consume the IDENTICAL packed
+    relation, so the synthesis + triple-execution prefix sum — the
+    expensive half — runs once.  Same weak-keyed lifecycle as _sig60;
+    the pinned relation is span-sized (one short row per span)."""
+    global _PACKED128_CACHE
+    import weakref
+    if _PACKED128_CACHE is None:
+        _PACKED128_CACHE = weakref.WeakKeyDictionary()
+    per_session = _PACKED128_CACHE.setdefault(spark, {})
+    packed = per_session.get(sf_dir)
+    if packed is None:
+        from news_rss_spark.operators.interleaved import (
+            pack_interleaved_sequences,
+            synth_interleaved_spans,
+        )
+        d = _t(spark, sf_dir, "documents")
+        packed = pack_interleaved_sequences(
+            synth_interleaved_spans(d), seq_len=128,
+            materialize_input=True,
+        ).localCheckpoint(eager=True)
+        per_session[sf_dir] = packed
+    return packed
+
+
 def q_interleaved_pack(spark, sf_dir):
     """MMC4/OBELICS interleaved multimodal sequence packing: deterministic
     spans (7-word text spans, an image ref after every 3 text spans, a
@@ -2204,14 +2263,7 @@ def q_interleaved_pack(spark, sf_dir):
     sequences with spans atomic.  The DuckDB oracle re-derives every
     span's interleaved position, cost, global start offset, and
     (seq_id, seq_pos) from the rule alone."""
-    from news_rss_spark.operators.interleaved import (
-        pack_interleaved_sequences,
-        synth_interleaved_spans,
-    )
-    d = _t(spark, sf_dir, "documents")
-    packed = pack_interleaved_sequences(synth_interleaved_spans(d),
-                                        seq_len=128,
-                                        materialize_input=True)
+    packed = _packed128(spark, sf_dir)
     return packed.select("doc_id", "span_idx", "kind", "media_ref",
                          "tok_cost", "start_tok", "seq_id", "seq_pos")
 
@@ -2220,17 +2272,12 @@ def q_interleaved_seq_stats(spark, sf_dir):
     """Per-sequence composition report over the packed interleaved
     spans: span/image/video counts, text-vs-placeholder token split,
     docs per sequence — one map-side-combinable aggregation on top of
-    q_interleaved_pack's plan."""
+    q_interleaved_pack's plan (the packed relation is shared across the
+    interleaved family via _packed128)."""
     from news_rss_spark.operators.interleaved import (
         interleaved_sequence_stats,
-        pack_interleaved_sequences,
-        synth_interleaved_spans,
     )
-    d = _t(spark, sf_dir, "documents")
-    packed = pack_interleaved_sequences(synth_interleaved_spans(d),
-                                        seq_len=128,
-                                        materialize_input=True)
-    return interleaved_sequence_stats(packed)
+    return interleaved_sequence_stats(_packed128(spark, sf_dir))
 
 
 def q_interleaved_assembly(spark, sf_dir):
@@ -2239,17 +2286,10 @@ def q_interleaved_assembly(spark, sf_dir):
     verbatim, media refs as alignment-preserving <kind:REF> sentinels).
     The DuckDB oracle rebuilds every body with string_agg ordered by the
     same within-sequence offset — one span out of order, mis-packed, or
-    mis-sentineled anywhere breaks the hash."""
-    from news_rss_spark.operators.interleaved import (
-        assemble_sequences,
-        pack_interleaved_sequences,
-        synth_interleaved_spans,
-    )
-    d = _t(spark, sf_dir, "documents")
-    packed = pack_interleaved_sequences(synth_interleaved_spans(d),
-                                        seq_len=128,
-                                        materialize_input=True)
-    return assemble_sequences(packed)
+    mis-sentineled anywhere breaks the hash (packed relation shared via
+    _packed128)."""
+    from news_rss_spark.operators.interleaved import assemble_sequences
+    return assemble_sequences(_packed128(spark, sf_dir))
 
 
 def q_mjpeg_decode_stats(spark, sf_dir):
@@ -2480,6 +2520,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (uniform_sample's md5 bottom-k + length_quantiles' percentile),
         # DKW error bound pytest-locked
         "sampled_quantiles": q_sampled_quantiles,
+        # Misra-Gries heavy hitters: output settled by an exact recount
+        # (GROUP BY/HAVING shape shared with driver-green token_count /
+        # frequent_ngrams); MG superset + partition-invariance
+        # pytest-locked
+        "heavy_hitters": q_heavy_hitters,
+        # Aho-Corasick blocklist scan: automaton fuzz-locked against a
+        # naive all-occurrences scanner; oracle replays positions
+        "blocklist_scan": q_blocklist_scan,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -4000,6 +4048,38 @@ FROM (SELECT source, doc_id,
                         doc_id) AS rn
       FROM documents)
 WHERE rn <= 5
+""",
+        # the sketch is pruning only — the exact answer is a plain
+        # GROUP BY ... HAVING with the integer threshold
+        "heavy_hitters": r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+n AS (SELECT count(*) AS n_total FROM toks)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM toks, n
+GROUP BY token, n_total
+HAVING count(*) * 41 > n_total
+""",
+        # implementation-free positional replay of all-occurrences
+        # substring matching (1-based i => first_end = i + len - 1)
+        "blocklist_scan": """
+WITH p(phrase) AS (VALUES ('customer query'), ('hash value'),
+                          ('scan slow'), ('table table')),
+d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lower(text) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+hits AS (
+  SELECT d.doc_id, p.phrase, i + length(p.phrase) - 1 AS end_pos
+  FROM d, p,
+       UNNEST(generate_series(1, length(d.t) - length(p.phrase) + 1)) AS g(i)
+  WHERE substr(d.t, i, length(p.phrase)) = p.phrase
+)
+SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(end_pos) AS INT) AS first_end
+FROM hits GROUP BY doc_id, phrase
 """,
         "pmi_pairs": r"""
 WITH toks AS (

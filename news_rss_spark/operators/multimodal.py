@@ -471,7 +471,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
     Raises ValueError on ANY malformed payload: wave.open raises
     wave.Error / EOFError / struct.error on truncated or non-WAV RIFF data
-    (an AVI also starts with RIFF), none of which subclass ValueError —
+    (an AVI also starts with RIFF), and the underlying chunk.Chunk.seek
+    raises a bare RuntimeError when a corrupted chunk-size field points
+    outside its chunk (chunk.py skip() during the fmt/data walk — found
+    by byte-mutation fuzzing).  None of these subclass ValueError —
     translated here so callers keep the single skip/fallback contract."""
     import io
     import struct
@@ -482,10 +485,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError("only 16-bit PCM supported")
             raw = wf.readframes(wf.getnframes())
             return np.frombuffer(raw, dtype=np.int16), wf.getframerate()
-    except (wave.Error, EOFError, struct.error) as exc:
-        # exactly the errors malformed RIFF data produces — anything else
-        # (e.g. RuntimeError) is a real bug and must surface, not be
-        # rewritten into a silent feature fallback
+    except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
+        # exactly the errors malformed RIFF data produces from the stdlib
+        # parser (RuntimeError = chunk.Chunk.seek on a lying size field);
+        # everything inside this block is stdlib wave/chunk parsing, so a
+        # RuntimeError here can only be the malformed-payload path
         raise ValueError(f"malformed WAV payload: {exc}") from exc
 
 
