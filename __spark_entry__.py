@@ -915,6 +915,18 @@ def q_heavy_hitters(spark, sf_dir):
         .select("token", F.col("cnt").cast("long").alias("cnt"))
 
 
+def q_kn_bigram_probs(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM (operators/kn_lm.py): the
+    KenLM-family estimator behind production perplexity filters —
+    absolute discounting D = n1/(n1+2*n2) with continuation-probability
+    backoff — trained in a constant number of hash aggregations; the
+    probability is a fixed-tree per-row double expression, so the oracle
+    replays it bit-identically."""
+    from news_rss_spark.operators.kn_lm import kn_bigram_probs
+    d = _t(spark, sf_dir, "documents")
+    return kn_bigram_probs(d)
+
+
 def q_blocklist_scan(spark, sf_dir):
     """Phrase-blocklist scan (operators/blocklist.py): every occurrence
     of every blocklist phrase — overlaps and nested phrases included —
@@ -2528,6 +2540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Aho-Corasick blocklist scan: automaton fuzz-locked against a
         # naive all-occurrences scanner; oracle replays positions
         "blocklist_scan": q_blocklist_scan,
+        # Kneser-Ney bigram LM: fixed-tree per-row double expression
+        # (no cross-row float agg), Python-reference pytest lock
+        "kn_bigram_probs": q_kn_bigram_probs,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -4061,6 +4076,37 @@ SELECT token, CAST(count(*) AS BIGINT) AS cnt
 FROM toks, n
 GROUP BY token, n_total
 HAVING count(*) * 41 > n_total
+""",
+        # interpolated KN: same fixed operation tree as the Spark
+        # expression — (greatest(c12-D,0) + (D*nfollow)*(nprec/nbig))/c1
+        "kn_bigram_probs": r"""
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+),
+big AS (
+  SELECT w[i] AS w1, w[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+  WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''
+  GROUP BY 1, 2
+),
+ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS nfollow FROM big GROUP BY w1),
+prec AS (SELECT w2, count(*) AS nprec FROM big GROUP BY w2),
+k AS (
+  SELECT CAST(count(*) AS BIGINT) AS nbig,
+         CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+         CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
+              + 2 * sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS D
+  FROM big
+)
+SELECT b.w1, b.w2, b.c12,
+       round((greatest(CAST(b.c12 AS DOUBLE) - k.D, 0.0)
+              + (k.D * ctx.nfollow)
+                * (CAST(prec.nprec AS DOUBLE) / CAST(k.nbig AS DOUBLE)))
+             / CAST(ctx.c1 AS DOUBLE), 9) AS prob
+FROM big b
+JOIN ctx ON b.w1 = ctx.w1
+JOIN prec ON b.w2 = prec.w2
+CROSS JOIN k
 """,
         # implementation-free positional replay of all-occurrences
         # substring matching (1-based i => first_end = i + len - 1)
