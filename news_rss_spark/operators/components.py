@@ -167,7 +167,8 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame,
 def dedup_clusters(df: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id",
                    max_iter: int = 20,
-                   algorithm: str = "propagation") -> DataFrame:
+                   algorithm: str = "propagation",
+                   components: DataFrame | None = None) -> DataFrame:
     """(doc_id, component, is_keeper): keeper = the component's min id —
     the deterministic survivor a dedup pipeline retains.
 
@@ -175,10 +176,17 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
     right for clique-ish near-dup graphs (diameter 1-3).
     ``algorithm='star'`` is the large-star/small-star alternation —
     right for long-chain / power-law graphs where round count must not
-    scale with diameter.  Identical output either way."""
-    cc = (connected_components_star if algorithm == "star"
-          else connected_components)
-    comp = cc(df.select(id_col), pairs, id_col, max_iter)
+    scale with diameter.  Identical output either way.
+
+    ``components``: optionally a precomputed (node, comp) labeling over
+    the same graph — the ``sig=`` sharing contract of the pair miners:
+    when several keeper policies run over one pair graph, compute the
+    CC fixpoint once and pass it to each."""
+    comp = components
+    if comp is None:
+        cc = (connected_components_star if algorithm == "star"
+              else connected_components)
+        comp = cc(df.select(id_col), pairs, id_col, max_iter)
     return comp.select(
         F.col("node").alias(id_col),
         F.col("comp").alias("component"),
@@ -190,7 +198,8 @@ def dedup_clusters_ranked(df: DataFrame, pairs: DataFrame,
                           rank_col: str,
                           id_col: str = "doc_id",
                           max_iter: int = 20,
-                          algorithm: str = "propagation") -> DataFrame:
+                          algorithm: str = "propagation",
+                          components: DataFrame | None = None) -> DataFrame:
     """Quality-ranked survivor selection: (doc_id, component, is_keeper)
     where the keeper is the cluster member with the HIGHEST ``rank_col``
     (ties broken by min id) instead of :func:`dedup_clusters`' min-id
@@ -207,11 +216,14 @@ def dedup_clusters_ranked(df: DataFrame, pairs: DataFrame,
     member of the hot cluster to one reducer).  Struct comparison is
     lexicographic, so ``max(struct(rank, -id))`` = highest rank, then
     smallest id.  ``rank_col`` must be numeric and non-null; ``id_col``
-    must be numeric (the tiebreak negates it).
+    must be numeric (the tiebreak negates it).  ``components``: optional
+    precomputed (node, comp) labeling, as in :func:`dedup_clusters`.
     """
-    cc = (connected_components_star if algorithm == "star"
-          else connected_components)
-    comp = cc(df.select(id_col), pairs, id_col, max_iter)
+    comp = components
+    if comp is None:
+        cc = (connected_components_star if algorithm == "star"
+              else connected_components)
+        comp = cc(df.select(id_col), pairs, id_col, max_iter)
     labeled = (comp.select(F.col("node").alias(id_col),
                            F.col("comp").alias("component"))
                .join(df.select(id_col, rank_col), on=id_col))
