@@ -915,6 +915,18 @@ def q_heavy_hitters(spark, sf_dir):
         .select("token", F.col("cnt").cast("long").alias("cnt"))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (operators/winnow.py — the MOSS local
+    fingerprinting scheme): per window of w=4 consecutive 3-gram 60-bit
+    hashes keep the minimum (rightmost tie), guaranteeing any shared
+    token run >= w+k-1 shares a fingerprint at ~2/(w+1) storage density.
+    One codegen'd projection, zero shuffle; the oracle replays windows
+    positionally with a struct-min."""
+    from news_rss_spark.operators.winnow import winnow_fingerprints
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=3, w=4)
+
+
 def q_kn_bigram_probs(spark, sf_dir):
     """Interpolated Kneser-Ney bigram LM (operators/kn_lm.py): the
     KenLM-family estimator behind production perplexity filters —
@@ -2573,6 +2585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Kneser-Ney bigram LM: fixed-tree per-row double expression
         # (no cross-row float agg), Python-reference pytest lock
         "kn_bigram_probs": q_kn_bigram_probs,
+        # MOSS winnowing: pure-Python reference pytest lock + positional
+        # struct-min oracle replay
+        "winnow_fingerprints": q_winnow_fingerprints,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -4106,6 +4121,34 @@ SELECT token, CAST(count(*) AS BIGINT) AS cnt
 FROM toks, n
 GROUP BY token, n_total
 HAVING count(*) * 41 > n_total
+""",
+        # winnowing: windows replayed positionally; struct min = min
+        # hash then rightmost position (nj = -pos)
+        "winnow_fingerprints": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15)
+              AS BIGINT) AS h
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+),
+ng AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+starts AS (
+  SELECT doc_id, s - 1 AS s
+  FROM ng, UNNEST(generate_series(1, greatest(n - 3, 1))) AS u(s)
+),
+wins AS (
+  SELECT st.doc_id, st.s, min({'h': g.h, 'nj': -g.pos}) AS m
+  FROM starts st
+  JOIN g ON g.doc_id = st.doc_id AND g.pos BETWEEN st.s AND st.s + 3
+  GROUP BY st.doc_id, st.s
+)
+SELECT DISTINCT doc_id, m.h AS fp_hash, CAST(-m.nj AS BIGINT) AS pos
+FROM wins
 """,
         # interpolated KN: same fixed operation tree as the Spark
         # expression — (greatest(c12-D,0) + (D*nfollow)*(nprec/nbig))/c1
