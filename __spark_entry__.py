@@ -915,6 +915,26 @@ def q_heavy_hitters(spark, sf_dir):
         .select("token", F.col("cnt").cast("long").alias("cnt"))
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode script profiling (operators/script_id.py): per-script
+    character counts + dominant script — the deterministic script
+    pre-segmentation multilingual pipelines run before language-ID.
+    Non-Latin content is injected deterministically (doc_id % 7 routes
+    to Cyrillic/CJK/Arabic fixtures) so every branch of the argmax is
+    exercised; the oracle replays the injection, the RE2 character
+    classes, and the first-wins tie order."""
+    from news_rss_spark.operators.script_id import script_profile
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 1,
+               F.lit("привет мир это проверка данных"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("機器學習 データ 分析 研究"))
+        .when(F.col("doc_id") % 7 == 3, F.lit("مرحبا بالعالم اختبار"))
+        .otherwise(F.col("text")).alias("text"))
+    return script_profile(injected)
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprints (operators/winnow.py — the MOSS local
     fingerprinting scheme): per window of w=4 consecutive 3-gram 60-bit
@@ -2588,6 +2608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MOSS winnowing: pure-Python reference pytest lock + positional
         # struct-min oracle replay
         "winnow_fingerprints": q_winnow_fingerprints,
+        # Unicode script profiling: Python-re reference pytest lock +
+        # injected-fixture oracle replay
+        "script_profile": q_script_profile,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -4121,6 +4144,53 @@ SELECT token, CAST(count(*) AS BIGINT) AS cnt
 FROM toks, n
 GROUP BY token, n_total
 HAVING count(*) * 41 > n_total
+""",
+        # script profiling: same injection, same RE2 character classes,
+        # first-wins tie order replayed as a CASE chain
+        "script_profile": """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1 THEN 'привет мир это проверка данных'
+              WHEN doc_id % 7 = 2 THEN '機器學習 データ 分析 研究'
+              WHEN doc_id % 7 = 3 THEN 'مرحبا بالعالم اختبار'
+              ELSE text END AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[A-Za-zÀ-ɏ]')) AS BIGINT) AS n_latin,
+         CAST(len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+         CAST(len(regexp_extract_all(t, '[Ͱ-Ͽ]')) AS BIGINT) AS n_greek,
+         CAST(len(regexp_extract_all(t, '[؀-ۿ]')) AS BIGINT) AS n_arabic,
+         CAST(len(regexp_extract_all(t, '[֐-׿]')) AS BIGINT) AS n_hebrew,
+         CAST(len(regexp_extract_all(t, '[ऀ-ॿ]')) AS BIGINT) AS n_devanagari,
+         CAST(len(regexp_extract_all(t, '[一-鿿぀-ヿ]')) AS BIGINT) AS n_cjk,
+         CAST(len(regexp_extract_all(t, '[가-힯]')) AS BIGINT) AS n_hangul
+  FROM d
+)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew,
+       n_devanagari, n_cjk, n_hangul,
+       CASE WHEN greatest(n_latin, n_cyrillic, n_greek, n_arabic,
+                          n_hebrew, n_devanagari, n_cjk, n_hangul) = 0
+            THEN 'none'
+            WHEN n_latin = greatest(n_latin, n_cyrillic, n_greek, n_arabic,
+                                    n_hebrew, n_devanagari, n_cjk, n_hangul)
+            THEN 'latin'
+            WHEN n_cyrillic = greatest(n_cyrillic, n_greek, n_arabic,
+                                       n_hebrew, n_devanagari, n_cjk,
+                                       n_hangul) THEN 'cyrillic'
+            WHEN n_greek = greatest(n_greek, n_arabic, n_hebrew,
+                                    n_devanagari, n_cjk, n_hangul)
+            THEN 'greek'
+            WHEN n_arabic = greatest(n_arabic, n_hebrew, n_devanagari,
+                                     n_cjk, n_hangul) THEN 'arabic'
+            WHEN n_hebrew = greatest(n_hebrew, n_devanagari, n_cjk,
+                                     n_hangul) THEN 'hebrew'
+            WHEN n_devanagari = greatest(n_devanagari, n_cjk, n_hangul)
+            THEN 'devanagari'
+            WHEN n_cjk = greatest(n_cjk, n_hangul) THEN 'cjk'
+            ELSE 'hangul' END AS dominant_script
+FROM c
 """,
         # winnowing: windows replayed positionally; struct min = min
         # hash then rightmost position (nj = -pos)
