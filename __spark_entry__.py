@@ -1862,6 +1862,40 @@ def q_streaming_hll_estimate(spark, sf_dir):
     return streaming_hll_estimate(spark, path, "lang", p=8)
 
 
+def q_streaming_cms_estimate(spark, sf_dir):
+    """Streaming frequency-estimate arithmetic, driver-checkable: corpus
+    tokens ingested as two deterministic micro-batches through the EXACT
+    incremental_cms_sink protocol (per-batch d x w counters into
+    batch_id partitions via dynamic overwrite — streaming/stream.py),
+    then streaming_cms_estimate sums the partitions and point-estimates
+    five pinned candidate tokens (incl. one absent token, whose estimate
+    is pure deterministic collision mass).  Counter sum is associative,
+    so the result equals the batch sketch over the whole corpus — the
+    oracle re-derives exactly that."""
+    import os
+    import shutil
+
+    from news_rss_spark.streaming.stream import (
+        incremental_cms_sink,
+        streaming_cms_estimate,
+    )
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select("doc_id",
+                    F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    path = os.path.join(
+        "/tmp", "nrs_q_streaming_cms",
+        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(path, ignore_errors=True)  # local test path; object
+    # stores rely on the dynamic-overwrite replay protocol instead
+    sink = incremental_cms_sink(path, "tok", d=4, w=256)
+    sink(toks.filter(F.col("doc_id") % 2 == 0).select("tok"), 0)
+    sink(toks.filter(F.col("doc_id") % 2 == 1).select("tok"), 1)
+    cands = spark.createDataFrame(
+        [("join",), ("hash",), ("row",), ("scan",), ("zz-absent",)],
+        "tok string")
+    return streaming_cms_estimate(spark, path, cands, "tok", d=4, w=256)
+
+
 def q_dedup_clusters_star(spark, sf_dir):
     """Web-graph-shaped duplicate clustering: large-star/small-star
     connected components (operators/components.py — O(log^2 n) rounds
@@ -2611,6 +2645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Unicode script profiling: Python-re reference pytest lock +
         # injected-fixture oracle replay
         "script_profile": q_script_profile,
+        # streaming CMS: two micro-batches through the real sink
+        # protocol, summed at read; estimator arithmetic shares the
+        # cms_token_counts replay
+        "streaming_cms_estimate": q_streaming_cms_estimate,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -3638,6 +3676,33 @@ SELECT value, CAST(est AS BIGINT) AS est FROM est WHERE est >= 50
         # (max is associative), so the streaming estimate replays as the
         # batch sketch with the same group column
         "streaming_hll_estimate": _hll_sql(p=8, group="lang"),
+        # summed per-batch CMS counters == whole-corpus counters (sum is
+        # associative), so the streaming estimate replays as the batch
+        # sketch probed at the pinned candidates
+        "streaming_cms_estimate": """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS v
+  FROM documents WHERE length(trim(text)) > 0
+),
+depths AS (SELECT * FROM (VALUES (0), (1), (2), (3)) d(depth)),
+rows AS (
+  SELECT depth,
+         CAST('0x' || substr(md5('cms-' || CAST(depth AS VARCHAR) || ':' || v),
+                             1, 8) AS BIGINT) % 256 AS pos
+  FROM toks CROSS JOIN depths
+),
+counters AS (SELECT depth, pos, count(*) AS cnt FROM rows GROUP BY depth, pos),
+cand(v) AS (VALUES ('join'), ('hash'), ('row'), ('scan'), ('zz-absent')),
+probe AS (
+  SELECT c.v, d.depth,
+         CAST('0x' || substr(md5('cms-' || CAST(d.depth AS VARCHAR) || ':' || c.v),
+                             1, 8) AS BIGINT) % 256 AS pos
+  FROM cand c CROSS JOIN depths d
+)
+SELECT p.v AS value, CAST(min(coalesce(ct.cnt, 0)) AS BIGINT) AS est
+FROM probe p LEFT JOIN counters ct ON ct.depth = p.depth AND ct.pos = p.pos
+GROUP BY p.v
+""",
         "dedup_clusters_star": """
 WITH RECURSIVE p AS (
   SELECT doc_id AS a, doc_id - (doc_id % 7) AS b

@@ -300,6 +300,58 @@ def streaming_hll_estimate(spark: SparkSession, register_path: str,
     return hll_estimate(regs, group_col, p)
 
 
+def incremental_cms_sink(counter_path: str, value_col: str,
+                         d: int = 4, w: int = 256):
+    """foreachBatch sink maintaining a running Count-Min counter table —
+    streaming frequency estimates WITHOUT keeping per-value counts in
+    state (the heavy-hitter monitoring companion to the HLL sink).
+
+    Identical crash-atomicity protocol to :func:`incremental_hll_sink`:
+    each micro-batch writes ITS OWN d x w counters into a
+    ``batch_id=<n>`` partition via dynamic partition overwrite, so a
+    replayed batch idempotently replaces only its own partition and
+    history is never rewritten.  CMS merge is a SUM (counter tables of
+    two slices sum into the sketch of their union), so the read side
+    folds all partitions with one sketch-sized aggregation
+    (:func:`streaming_cms_estimate`).
+
+    Recovery contract — one notch weaker than the HLL sink, because sum
+    is not idempotent where max is: with the CHECKPOINT INTACT, a batch
+    replayed after a mid-batch crash carries the same batch_id and data
+    and overwrites its own partition — exactly-once.  After a FULL
+    checkpoint wipe the file source may re-batch history under
+    different boundaries, and summed partitions would double-count the
+    overlap — wipe the counter table together with the checkpoint (the
+    register-table rebuild is one linear pass; the HLL sink survives
+    this case only because max-merge is duplicate-blind)."""
+    from news_rss_spark.operators.sketch import cms_counters
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        counters = cms_counters(batch_df, value_col, d, w)
+        (counters.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .option("compression", "lz4")
+         .partitionBy("batch_id")
+         .parquet(counter_path))
+
+    return fn
+
+
+def streaming_cms_estimate(spark: SparkSession, counter_path: str,
+                           candidates: DataFrame, value_col: str,
+                           d: int = 4, w: int = 256) -> DataFrame:
+    """Fold the batch-partitioned counter table (sum across batches) and
+    point-estimate the candidate values — equals the batch sketch over
+    everything ingested so far exactly (counter sum is associative)."""
+    from news_rss_spark.operators.sketch import cms_estimate
+
+    counters = (spark.read.parquet(counter_path)
+                .groupBy("depth", "pos")
+                .agg(F.sum("cnt").alias("cnt")))
+    return cms_estimate(counters, candidates, value_col, d, w)
+
+
 DOCUMENTS_DDL = ("doc_id bigint, text string, lang string, "
                  "source string, n_chars bigint")
 

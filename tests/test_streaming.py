@@ -275,3 +275,47 @@ def test_exactly_once_sink_does_not_mutate_session_confs(spark, tmp_path):
     # dynamic overwrite still honored per-write: batch 0's partition intact
     got = spark.read.parquet(sink)
     assert sorted(r["batch_id"] for r in got.select("batch_id").collect()) == [0]
+
+
+def test_incremental_cms_two_ticks_equals_batch_and_batch_replay_idempotent(
+        spark, tmp_path):
+    """Streaming CMS: two availableNow-style ticks folded into a
+    batch_id-partitioned counter table; summed estimates equal the batch
+    sketch over the union EXACTLY.  Re-running a batch under the SAME
+    batch_id (the intact-checkpoint crash window) overwrites only its
+    own partition — table content unchanged (the documented recovery
+    contract; unlike HLL's max, a checkpoint WIPE is out of contract
+    for sum-merge)."""
+    from news_rss_spark.operators.sketch import cms_counters, cms_estimate
+    from news_rss_spark.streaming.stream import (
+        incremental_cms_sink,
+        streaming_cms_estimate,
+    )
+
+    counters_path = str(tmp_path / "cms")
+    ddl = "doc_id bigint, tok string"
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, "t%d" % (i % 50)) for i in range(lo, hi)], ddl)
+
+    sink = incremental_cms_sink(counters_path, "tok")
+    sink(batch(0, 400), 0)
+    sink(batch(400, 1000), 1)
+
+    cands = spark.createDataFrame([("t0",), ("t7",), ("t49",), ("zzz",)],
+                                  "tok string")
+    streamed = {r["value"]: r["est"] for r in
+                streaming_cms_estimate(spark, counters_path, cands,
+                                       "tok").collect()}
+    batched = {r["value"]: r["est"] for r in
+               cms_estimate(cms_counters(batch(0, 1000), "tok"), cands,
+                            "tok").collect()}
+    assert streamed == batched
+    assert streamed["t0"] >= 20  # 1000/50 true count, never undercounts
+
+    # intact-checkpoint replay: same batch_id + same data -> idempotent
+    before = sorted(map(tuple, spark.read.parquet(counters_path).collect()))
+    sink(batch(400, 1000), 1)
+    after = sorted(map(tuple, spark.read.parquet(counters_path).collect()))
+    assert after == before
