@@ -915,6 +915,18 @@ def q_heavy_hitters(spark, sf_dir):
         .select("token", F.col("cnt").cast("long").alias("cnt"))
 
 
+def q_sq_topk(spark, sf_dir):
+    """Symmetric int8 scalar quantization (operators/quantize.py — the
+    FAISS-SQ8-style rerank tier: 4x narrower scan than float32, per-dim
+    resolution PQ gives up): top-10 by INTEGER code dot product against
+    vec 0's codes.  Integer end-to-end — no float tolerance anywhere —
+    so the oracle replays encode + dot + ranking exactly.  amax=0.6 is
+    the pinned clip magnitude (pinned-centroid convention)."""
+    from news_rss_spark.operators.quantize import sq_dot_topk
+    e = _t(spark, sf_dir, "embeddings")
+    return sq_dot_topk(e, query_id=0, k=10, amax=0.6)
+
+
 def q_script_profile(spark, sf_dir):
     """Unicode script profiling (operators/script_id.py): per-script
     character counts + dominant script — the deterministic script
@@ -2649,6 +2661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # protocol, summed at read; estimator arithmetic shares the
         # cms_token_counts replay
         "streaming_cms_estimate": q_streaming_cms_estimate,
+        # int8 scalar quantization: integer end-to-end (exact oracle);
+        # rank agreement with exact dot pytest-locked
+        "sq_topk": q_sq_topk,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -4209,6 +4224,24 @@ SELECT token, CAST(count(*) AS BIGINT) AS cnt
 FROM toks, n
 GROUP BY token, n_total
 HAVING count(*) * 41 > n_total
+""",
+        # symmetric int8 SQ: same clip/scale/round tree, integer dot —
+        # bit-exact with no tolerance band
+        "sq_topk": """
+WITH c AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(round(least(greatest(x, -0.6), 0.6) * (127 / 0.6), 0)
+                     AS INT)) AS codes
+  FROM embeddings
+),
+q AS (SELECT codes AS qc FROM c WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(list_dot_product(CAST(codes AS DOUBLE[]),
+                             CAST(qc AS DOUBLE[])) AS BIGINT) AS dot
+FROM c, q
+ORDER BY dot DESC, vec_id
+LIMIT 10
 """,
         # script profiling: same injection, same RE2 character classes,
         # first-wins tie order replayed as a CASE chain
