@@ -915,6 +915,17 @@ def q_heavy_hitters(spark, sf_dir):
         .select("token", F.col("cnt").cast("long").alias("cnt"))
 
 
+def q_sliding_passages(spark, sf_dir):
+    """RAG-style retrieval chunking (operators/passages.py): per-document
+    overlapping 16-token passages advancing by 8 — every token covered,
+    the tail window clamped so no sub-stride duplicates, no passage
+    crossing a document boundary.  One generator projection + explode,
+    zero shuffle; the oracle replays the window rule positionally."""
+    from news_rss_spark.operators.passages import sliding_passages
+    d = _t(spark, sf_dir, "documents")
+    return sliding_passages(d, size=16, stride=8)
+
+
 def q_sq_topk(spark, sf_dir):
     """Symmetric int8 scalar quantization (operators/quantize.py — the
     FAISS-SQ8-style rerank tier: 4x narrower scan than float32, per-dim
@@ -2664,6 +2675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # int8 scalar quantization: integer end-to-end (exact oracle);
         # rank agreement with exact dot pytest-locked
         "sq_topk": q_sq_topk,
+        # sliding passages: coverage/tail rule pytest-locked; oracle
+        # replays window starts positionally
+        "sliding_passages": q_sliding_passages,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -4224,6 +4238,33 @@ SELECT token, CAST(count(*) AS BIGINT) AS cnt
 FROM toks, n
 GROUP BY token, n_total
 HAVING count(*) * 41 > n_total
+""",
+        # sliding passages: same start rule (full strides + clamped
+        # tail, distinct, re-indexed), inclusive-slice rebuild
+        "sliding_passages": r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+starts AS (
+  SELECT DISTINCT doc_id,
+         least(i * 8, greatest(len(w) - 16, 0)) AS tok_start
+  FROM t, UNNEST(generate_series(0,
+           greatest(CAST(ceil((len(w) - 16) / CAST(8 AS DOUBLE)) AS INT),
+                    0))) AS g(i)
+),
+r AS (
+  SELECT s.doc_id, t.w, s.tok_start,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY s.tok_start) - 1 AS passage_idx
+  FROM starts s JOIN t ON t.doc_id = s.doc_id
+)
+SELECT doc_id,
+       CAST(passage_idx AS BIGINT) AS passage_idx,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(least(16, len(w) - tok_start) AS BIGINT) AS n_toks,
+       array_to_string(w[tok_start + 1 : tok_start + 16], ' ') AS passage
+FROM r
 """,
         # symmetric int8 SQ: same clip/scale/round tree, integer dot —
         # bit-exact with no tolerance band
