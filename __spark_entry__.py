@@ -915,6 +915,24 @@ def q_heavy_hitters(spark, sf_dir):
         .select("token", F.col("cnt").cast("long").alias("cnt"))
 
 
+def q_trending_counts(spark, sf_dir):
+    """Window-over-window trend detection (operators/events.py
+    trending_counts): smoothed count ratio per (window, event_type) vs
+    the window exactly one hour earlier — observed gaps trend against 0,
+    each key's first window is dropped.  The lag runs on the aggregated
+    |keys| x |windows| relation, never the events; the oracle replays
+    the time_bucket counts, the adjacency rule, and the fixed ratio
+    tree."""
+    from news_rss_spark.operators.events import trending_counts
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = trending_counts(ev, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+         .alias("window_start_s"),
+        "event_type", "n_events", "prev_events", "trend")
+
+
 def q_sliding_passages(spark, sf_dir):
     """RAG-style retrieval chunking (operators/passages.py): per-document
     overlapping 16-token passages advancing by 8 — every token covered,
@@ -2678,6 +2696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sliding passages: coverage/tail rule pytest-locked; oracle
         # replays window starts positionally
         "sliding_passages": q_sliding_passages,
+        # trending: composition over the driver-green windowed_counts
+        # aggregation + a lag on the sketch-sized count relation
+        "trending_counts": q_trending_counts,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -4238,6 +4259,29 @@ SELECT token, CAST(count(*) AS BIGINT) AS cnt
 FROM toks, n
 GROUP BY token, n_total
 HAVING count(*) * 41 > n_total
+""",
+        # trending: same adjacency (exactly one interval earlier, gaps
+        # trend against 0) and the same smoothed integer-ratio tree
+        "trending_counts": """
+WITH c AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+l AS (
+  SELECT w, event_type, n_events,
+         lag(w) OVER pk AS prev_w,
+         lag(n_events) OVER pk AS prev_n
+  FROM c WINDOW pk AS (PARTITION BY event_type ORDER BY w)
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start_s,
+       event_type, n_events,
+       CAST(CASE WHEN prev_w + INTERVAL '1 hour' = w THEN prev_n
+                 ELSE 0 END AS BIGINT) AS prev_events,
+       round(CAST(n_events + 1 AS DOUBLE) /
+             CAST((CASE WHEN prev_w + INTERVAL '1 hour' = w THEN prev_n
+                        ELSE 0 END) + 1 AS DOUBLE), 6) AS trend
+FROM l WHERE prev_w IS NOT NULL
 """,
         # sliding passages: same start rule (full strides + clamped
         # tail, distinct, re-indexed), inclusive-slice rebuild

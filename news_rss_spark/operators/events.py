@@ -98,6 +98,55 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
                     key_col, "n_events", "total_value"))
 
 
+def trending_counts(events: DataFrame, window: str = "1 hour",
+                    ts_col: str = "ts", key_col: str = "event_type",
+                    smoothing: int = 1) -> DataFrame:
+    """Window-over-window trend detection: for every (window, key) with a
+    preceding window, the smoothed count ratio
+
+        trend = (n_events + s) / (prev_events + s)
+
+    — the burst/drift signal a crawl monitor alarms on (a feed going
+    quiet, a spam source flaring up).  ``prev_events`` is the count of
+    the window exactly one interval earlier; an OBSERVED gap counts as
+    zero (a key silent for a window and returning trends against 0, not
+    against its last active window — lag over observed rows alone would
+    silently skip gaps).  The first observed window per key has no
+    predecessor and is dropped.  Additive smoothing ``s`` keeps the
+    ratio finite and damps 1-vs-0 noise.
+
+    Plan: the tumbling count is the windowed_counts aggregation (one
+    shuffle, map-side partial); the lag runs on the AGGREGATED relation
+    — |keys| x |windows| rows, never events — so the per-key window sort
+    is sketch-sized at any corpus scale.  All ratio inputs are integers
+    through one fixed expression tree (cross-engine float contract)."""
+    counts = (events
+              .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                       F.col(key_col))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+              .select(F.col("w")["start"].alias("window_start"),
+                      key_col, "n_events"))
+    per_key = Window.partitionBy(key_col).orderBy("window_start")
+    # materialize BOTH lag columns before any filter: a window expression
+    # referenced after the first-row filter would re-evaluate on the
+    # filtered relation and see each key's second window as a first
+    lagged = counts.select(
+        "window_start", key_col, "n_events",
+        F.lag("window_start").over(per_key).alias("_prev_ts"),
+        F.lag("n_events").over(per_key).alias("_prev_n"))
+    adjacent = (F.col("_prev_ts") + F.expr(f"INTERVAL {window}")
+                == F.col("window_start"))
+    prev_events = F.when(adjacent, F.col("_prev_n")).otherwise(F.lit(0))
+    return (lagged
+            .filter(F.col("_prev_ts").isNotNull())
+            .withColumn("prev_events", prev_events.cast("long"))
+            .select("window_start", key_col, "n_events", "prev_events",
+                    F.round((F.col("n_events") + F.lit(smoothing))
+                            .cast("double")
+                            / (F.col("prev_events") + F.lit(smoothing))
+                            .cast("double"), 6).alias("trend")))
+
+
 def ewma_latest(events: DataFrame, alpha: float = 0.3,
                 key_col: str = "user_id", ts_col: str = "ts",
                 value_col: str = "value",

@@ -66,3 +66,42 @@ class TestEwma:
             .withColumn("ts", F.col("ts").cast("timestamp"))
         got = ewma_latest(df, alpha=0.5).collect()[0]
         assert (got["n_events"], got["ewma"]) == (1, 10.0)
+
+
+class TestTrendingCounts:
+    def test_ratio_gap_and_first_window(self, spark):
+        from news_rss_spark.operators.events import trending_counts
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        rows = []
+        # key A: 2 -> 6 adjacent, then a silent hour, then 3
+        for i in range(2):
+            rows.append((i, "2024-01-01 00:%02d:00" % i, "A"))
+        for i in range(6):
+            rows.append((10 + i, "2024-01-01 01:%02d:00" % i, "A"))
+        for i in range(3):
+            rows.append((20 + i, "2024-01-01 03:%02d:00" % i, "A"))
+        # key B: single window only -> emits nothing
+        rows.append((30, "2024-01-01 00:30:00", "B"))
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {(str(r["window_start"]), r["event_type"]):
+               (r["n_events"], r["prev_events"], r["trend"])
+               for r in trending_counts(ev, "1 hour").collect()}
+        assert got[("2024-01-01 01:00:00", "A")] == (6, 2, round(7 / 3, 6))
+        # window 03 follows a GAP -> prev counts as 0, not the 01 count
+        assert got[("2024-01-01 03:00:00", "A")] == (3, 0, 4.0)
+        assert not any(k[1] == "B" for k in got)
+        # first observed window per key never emits
+        assert ("2024-01-01 00:00:00", "A") not in got
+
+    def test_lag_runs_on_aggregated_relation(self, spark):
+        from news_rss_spark.operators.events import trending_counts
+        ev = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", "A")],
+            "event_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        plan = trending_counts(ev)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        # the window operates above the aggregate, not the raw events
+        assert plan.index("Window") < plan.index("Aggregate")
