@@ -1,0 +1,100 @@
+"""spark-submit probe: winnowing fingerprints + overlap mining at corpus
+scale, with planted local overlaps.
+
+Usage:
+    spark-submit --master local[32] --py-files pkg.zip \
+        BENCH/winnow_scale_driver.py <n_docs>
+
+Synthesizes the standard-mix corpus distributed, stitches spans to text,
+PLANTS a shared 12-token run into every (i, i+1) pair where i % 100 == 0
+(verbatim quotation — the local-overlap shape whole-document sketches
+miss), lands to parquet, then times:
+
+1. fingerprint selection (k=5, w=8 — guarantee length 12);
+2. overlap pair mining (min_shared=2, hot-hash prune).
+
+Reports recall over the planted pairs plus docs/sec for both stages.
+"""
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from news_rss_spark.operators.winnow import (
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+from news_rss_spark.sources.synth import documents_df_distributed
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
+    spark = (
+        SparkSession.builder.appName("winnow-scale")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    corpus = "/dev/shm/winnow-corpus"
+    # EVERY token of the quote must be PAIR-UNIQUE: a corpus-wide quote
+    # gives its fingerprints document-frequency 2*n/100 and the hot-hash
+    # prune (correctly) drops them as boilerplate — measured recall 0.0;
+    # suffixing only ONE token leaves all but one gram hot and recall
+    # drops to the chance that gram wins its window (~1/w, measured
+    # 0.12).  Twelve group-suffixed tokens keep every gram at df == 2,
+    # where the w+k-1 guarantee applies in full.
+    # the synth doc_id URL embeds the global sequential index as its
+    # trailing "-<n>" — extract it (zero shuffle) instead of a global
+    # row_number window, which would funnel the corpus through one task
+    base = (documents_df_distributed(spark, n_docs, seed=29,
+                                     num_partitions=64)
+            .select(F.regexp_extract("doc_id", r"-(\d+)$", 1)
+                    .cast("long").alias("doc_id"),
+                    F.concat_ws(" ", F.transform(
+                        "spans", lambda s: s["text"])).alias("text")))
+    quote = F.expr(
+        "array_join(transform(sequence(0, 11), "
+        "i -> concat('q', cast(i as string), 'x', "
+        "cast(cast(doc_id / 100 as bigint) as string))), ' ')")
+    planted = base.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 100 == 0)
+               | (F.col("doc_id") % 100 == 1),
+               F.concat(F.col("text"), F.lit(" "), quote))
+        .otherwise(F.col("text")).alias("text"))
+    planted.write.mode("overwrite").parquet(corpus)
+    docs = spark.read.parquet(corpus)
+    docs.count()
+
+    t0 = time.time()
+    fps = winnow_fingerprints(docs, k=5, w=8)
+    n_fps = fps.count()
+    t1 = time.time()
+    print(json.dumps({"stage": "winnow_fingerprints", "docs": n_docs,
+                      "sec": round(t1 - t0, 1),
+                      "docs_per_sec": round(n_docs / (t1 - t0)),
+                      "n_fingerprints": n_fps}), flush=True)
+
+    t2 = time.time()
+    # min_shared=1: a 12-token run == w+k-1 guarantees exactly >= 1
+    # shared fingerprint (longer runs are needed to guarantee 2)
+    pairs = winnow_overlap_pairs(fps, min_shared=1, max_df=20).collect()
+    t3 = time.time()
+    planted_pairs = {(i, i + 1) for i in range(0, n_docs - 1, 100)}
+    got = {(r["a"], r["b"]) for r in pairs}
+    recall = len(got & planted_pairs) / len(planted_pairs)
+    print(json.dumps({"stage": "winnow_overlap_pairs", "docs": n_docs,
+                      "sec": round(t3 - t2, 1),
+                      "docs_per_sec": round(n_docs / (t3 - t2)),
+                      "n_pairs": len(got),
+                      "planted": len(planted_pairs),
+                      "recall": round(recall, 4)}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
