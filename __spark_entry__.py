@@ -4419,9 +4419,13 @@ ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS nfollow FROM big GROUP BY w1),
 prec AS (SELECT w2, count(*) AS nprec FROM big GROUP BY w2),
 k AS (
   SELECT CAST(count(*) AS BIGINT) AS nbig,
-         CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
-         CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
-              + 2 * sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS D
+         CASE WHEN sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
+                   + 2 * sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) > 0
+              THEN CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                   CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
+                        + 2 * sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END)
+                        AS DOUBLE)
+              ELSE 0.5 END AS D
   FROM big
 )
 SELECT b.w1, b.w2, b.c12,

@@ -45,24 +45,24 @@ __all__ = ["mg_candidates", "heavy_hitters"]
 # analysis / boilerplate heavy-hitter discovery at corpus scale).
 
 
-def _merge_mg(counters: dict, batch_counts: "pd.Series", k: int) -> None:
+def _merge_mg(counters: "pd.Series", batch_counts: "pd.Series",
+              k: int) -> "pd.Series":
     """Mergeable-summaries merge: add the batch's exact counts, then if
     more than k counters remain subtract the (k+1)-th largest count from
     all and drop the non-positive — one decrement step covering the whole
     batch (same guarantee as item-at-a-time MG: the subtracted total is
-    what bounds undercount by n_p/(k+1))."""
-    for val, cnt in batch_counts.items():
-        counters[val] = counters.get(val, 0) + int(cnt)
-    if len(counters) > k:
+    what bounds undercount by n_p/(k+1)).
+
+    Fully vectorized (Series.add / nlargest / boolean mask) — the
+    per-item dict loop measured as the 1.2M-probe bottleneck."""
+    merged = counters.add(batch_counts, fill_value=0)
+    if len(merged) > k:
         # (k+1)-th largest count = amount every counter can shed while
         # provably keeping all locally-heavy values alive
-        m = sorted(counters.values(), reverse=True)[k]
-        for val in list(counters):
-            nc = counters[val] - m
-            if nc > 0:
-                counters[val] = nc
-            else:
-                del counters[val]
+        m = merged.nlargest(k + 1).iloc[k]
+        merged = merged - m
+        merged = merged[merged > 0]
+    return merged
 
 
 def mg_candidates(df: DataFrame, token_col: str, k: int) -> DataFrame:
@@ -78,14 +78,14 @@ def mg_candidates(df: DataFrame, token_col: str, k: int) -> DataFrame:
     schema = f"{token_col} string, mg_weight bigint"
 
     def mine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict = {}
+        counters = pd.Series(dtype="int64")
         for pdf in batches:
             col = pdf[token_col].dropna()
             if len(col):
-                _merge_mg(counters, col.value_counts(), k)
+                counters = _merge_mg(counters, col.value_counts(), k)
         yield pd.DataFrame({
-            token_col: list(counters.keys()),
-            "mg_weight": pd.array(list(counters.values()), dtype="int64"),
+            token_col: counters.index.astype(str),
+            "mg_weight": counters.to_numpy(dtype="int64"),
         })
 
     return df.select(token_col).mapInPandas(mine, schema=schema)

@@ -87,8 +87,17 @@ def kn_bigram_probs(docs: DataFrame, text_col: str = "text",
         .cast("long").alias("n1"),
         F.sum(F.when(F.col("c12") == 2, 1).otherwise(0))
         .cast("long").alias("n2"))
-    d_disc = (F.col("n1").cast("double")
-              / (F.col("n1") + F.lit(2) * F.col("n2")).cast("double"))
+    # Ney discount, with the degenerate-corpus guard: on templated text
+    # where NO bigram type occurs exactly once or twice (true of the
+    # sf0.1 synth corpus — found as an ANSI DIVIDE_BY_ZERO in the bench,
+    # which the small-SF oracle runs never hit), n1 + 2*n2 = 0 and the
+    # leave-one-out estimate is undefined; KenLM aborts here ("could not
+    # calculate Kneser-Ney discounts").  We pin D = 0.5 instead — any
+    # constant in (0, 1) is a valid absolute discount, and the fallback
+    # is replayed verbatim by the oracle.
+    denom = (F.col("n1") + F.lit(2) * F.col("n2")).cast("double")
+    d_disc = F.when(denom > 0,
+                    F.col("n1").cast("double") / denom).otherwise(F.lit(0.5))
     prob = ((F.greatest(F.col("c12").cast("double") - F.col("D"), F.lit(0.0))
              + (F.col("D") * F.col("nfollow"))
              * (F.col("nprec").cast("double")

@@ -42,16 +42,16 @@ def _mg_reference(tokens, k):
 class TestMergeMg:
     def test_no_overflow_is_exact(self):
         import pandas as pd
-        counters = {}
-        _merge_mg(counters, pd.Series({"a": 3, "b": 2}), k=5)
-        assert counters == {"a": 3, "b": 2}
+        counters = _merge_mg(pd.Series(dtype="int64"),
+                             pd.Series({"a": 3, "b": 2}), k=5)
+        assert counters.to_dict() == {"a": 3, "b": 2}
 
     def test_overflow_decrements_by_k_plus_1th(self):
         import pandas as pd
-        counters = {}
-        _merge_mg(counters, pd.Series({"a": 5, "b": 3, "c": 1}), k=2)
+        counters = _merge_mg(pd.Series(dtype="int64"),
+                             pd.Series({"a": 5, "b": 3, "c": 1}), k=2)
         # 3rd largest = 1 subtracted from all; c drops
-        assert counters == {"a": 4, "b": 2}
+        assert counters.to_dict() == {"a": 4, "b": 2}
 
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_undercount_bound(self, seed):
@@ -63,15 +63,15 @@ class TestMergeMg:
         tokens += ["hot"] * 400
         rng.shuffle(tokens)
         k = 8
-        counters: dict = {}
+        counters = pd.Series(dtype="int64")
         for i in range(0, len(tokens), 100):
             batch = pd.Series(tokens[i:i + 100]).value_counts()
-            _merge_mg(counters, batch, k)
+            counters = _merge_mg(counters, batch, k)
         from collections import Counter
         true = Counter(tokens)
         n = len(tokens)
         assert len(counters) <= k
-        for t, w in counters.items():
+        for t, w in counters.to_dict().items():
             assert true[t] >= w
             assert true[t] - w <= n / (k + 1)
         # superset: every value above threshold survives

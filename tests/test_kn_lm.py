@@ -114,3 +114,29 @@ class TestKnBigram:
         plan_nb = kn_bigram_probs(docs, broadcast_dims=False) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan_nb or "ShuffledHashJoin" in plan_nb
+
+
+class TestDegenerateDiscount:
+    def test_no_singleton_or_doubleton_bigrams_falls_back(self, spark):
+        """Templated corpora can have NO bigram type with count 1 or 2
+        (the sf0.1 synth corpus does) — the leave-one-out D is 0/0 and
+        KenLM aborts; we pin D=0.5 and keep probabilities valid (found
+        as an ANSI DIVIDE_BY_ZERO in the bench)."""
+        texts = ["x y x y x y"] * 3  # every bigram type occurs >= 3 times
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        rows = kn_bigram_probs(docs).collect()
+        assert rows  # no DIVIDE_BY_ZERO under ANSI
+        for r in rows:
+            assert 0.0 < r["prob"] <= 1.0
+        # replay with D = 0.5
+        got = {(r["w1"], r["w2"]): r["prob"] for r in rows}
+        # counts: (x,y)=9, (y,x)=6 over 3 docs of 6 tokens
+        c12 = {("x", "y"): 9, ("y", "x"): 6}
+        c1 = {"x": 9, "y": 6}
+        nbig = 2
+        d = 0.5
+        for (a, b), c in c12.items():
+            want = (max(c - d, 0.0) + (d * 1) * (1 / nbig)) / c1[a]
+            assert got[(a, b)] == round(want, 9), (a, b)
