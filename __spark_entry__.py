@@ -1000,6 +1000,55 @@ def q_kn_bigram_probs(spark, sf_dir):
     return kn_bigram_probs(d)
 
 
+def q_char_entropy(spark, sf_dir):
+    """Order-0 character-entropy quality signal (operators/cleaning.py):
+    Shannon entropy of the per-character distribution — the standard
+    cheap detector for padding/mash/base64 outliers that ratio features
+    miss.  One codegen'd projection, zero shuffle; the p*log2(p) terms
+    fold in sorted-character order (the ewma/lm_score pinned-fold
+    contract), so the oracle replays the float sum bit-identically via
+    list_reduce over the same sorted term list."""
+    from news_rss_spark.operators.cleaning import char_entropy
+    d = _t(spark, sf_dir, "documents")
+    return char_entropy(d)
+
+
+def q_mojibake_repair(spark, sf_dir):
+    """Mojibake (UTF-8-as-Latin-1 damage) detection + repair
+    (operators/cleaning.py) — the ftfy-style pinned-mapping subset as a
+    literal replace chain, counted by ONE regexp over the key
+    alternation.  Artifacts are injected deterministically (doc_id % 5
+    routes two damage fixtures) so both the count and every mapping
+    entry are exercised; the oracle replays the injection, the RE2
+    count, and the ordered replace chain from the SAME single-sourced
+    MOJIBAKE_MAP."""
+    from news_rss_spark.operators.cleaning import mojibake_repair
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 1,
+               F.concat(F.lit("Itâ€™s â€œbrokenâ€¦ cafÃ© Ã¼ber "),
+                        F.col("text")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("rÃ©sumÃ© â€“ faÃ§ade Â«"), F.col("text"),
+                       F.lit("Â»")))
+        .otherwise(F.col("text")).alias("text"))
+    return mojibake_repair(injected)
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/cdc.py — Manber anchors,
+    USENIX '94): cut where the 60-bit md5 key of the local 16-gram is
+    0 mod 64, so boundaries survive insertions and near-identical
+    document versions re-share chunk hashes past an edit (the property
+    fixed-size chunk_dedup lacks; insertion-resync pytest-locked).  One
+    projection + explode, zero shuffle; the oracle replays the anchor
+    predicate and chunk slicing positionally."""
+    from news_rss_spark.operators.cdc import cdc_chunks
+    d = _t(spark, sf_dir, "documents")
+    return cdc_chunks(d, w=16, divisor=64)
+
+
 def q_blocklist_scan(spark, sf_dir):
     """Phrase-blocklist scan (operators/blocklist.py): every occurrence
     of every blocklist phrase — overlaps and nested phrases included —
@@ -2699,6 +2748,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trending: composition over the driver-green windowed_counts
         # aggregation + a lag on the sketch-sized count relation
         "trending_counts": q_trending_counts,
+        # char entropy: pinned sorted-char fold, exact closed-form
+        # pytest anchors (uniform-4 = 2.0 bits) + Python-reference lock
+        "char_entropy": q_char_entropy,
+        # mojibake: single-sourced MOJIBAKE_MAP replayed by the oracle;
+        # injected fixtures exercise every mapping entry
+        "mojibake_repair": q_mojibake_repair,
+        # content-defined chunking: Python-reference anchor lock +
+        # insertion-resync property pytest; positional oracle replay
+        "cdc_chunks": q_cdc_chunks,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -3005,6 +3063,94 @@ WITH z AS (
 )
 SELECT doc_id, CAST({zorder_sql_expr(['d1', 'd2'], bits=10)} AS BIGINT) AS zkey
 FROM z
+"""
+
+
+_CHAR_ENTROPY_SQL = """
+WITH c AS (
+  SELECT doc_id, list_filter(string_split(text, ''), x -> x <> '') AS ch
+  FROM documents WHERE length(text) > 0
+),
+d AS (
+  SELECT doc_id, ch, list_sort(list_distinct(ch)) AS dc,
+         CAST(len(ch) AS DOUBLE) AS n
+  FROM c
+)
+SELECT doc_id,
+       CAST(len(ch) AS BIGINT) AS n_chars,
+       CAST(len(dc) AS BIGINT) AS n_distinct,
+       round(0.0 - list_reduce(
+         list_concat([0.0], list_transform(dc, c2 ->
+           (CAST(len(list_filter(ch, x -> x = c2)) AS DOUBLE) / n)
+           * log2(CAST(len(list_filter(ch, x -> x = c2)) AS DOUBLE) / n))),
+         (a, b) -> a + b), 6) AS char_entropy
+FROM d
+"""
+
+
+def _mojibake_sql() -> str:
+    """Single-sourced from operators/cleaning.MOJIBAKE_MAP: the oracle
+    replays the injection, the alternation count, and the ordered
+    replace chain with the exact same pinned table."""
+    from news_rss_spark.operators.cleaning import MOJIBAKE_MAP
+
+    pattern = "|".join(k for k, _ in MOJIBAKE_MAP)
+    repaired = "text"
+    esc = lambda s: s.replace("'", "''")  # noqa: E731 — SQL literal quote
+    for bad, good in MOJIBAKE_MAP:
+        repaired = f"replace({repaired}, '{esc(bad)}', '{esc(good)}')"
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 1
+                THEN 'Itâ€™s â€œbrokenâ€¦ cafÃ© Ã¼ber ' || text
+              WHEN doc_id % 5 = 2
+                THEN 'rÃ©sumÃ© â€“ faÃ§ade Â«' || text || 'Â»'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT)
+         AS n_mojibake,
+       len(regexp_extract_all(text, '{pattern}')) > 0 AS is_damaged,
+       {repaired} AS clean_text
+FROM inj
+"""
+
+
+def _cdc_sql(w: int = 16, divisor: int = 64) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE length(text) > 0
+),
+a AS (
+  SELECT doc_id, text, n,
+         list_concat([CAST(1 AS BIGINT)],
+           list_filter(range(2, n - {w} + 2), p ->
+             CAST('0x' || substr(md5(substr(text, CAST(p AS INT), {w})),
+                                 1, 15) AS BIGINT) % {divisor} = 0))
+           AS starts
+  FROM base
+),
+e AS (
+  SELECT doc_id, text, n, starts,
+         unnest(range(1, len(starts) + 1)) AS i
+  FROM a
+),
+b AS (
+  SELECT doc_id, text,
+         CAST(i AS INT) AS chunk_idx,
+         CAST(starts[CAST(i AS INT)] AS INT) AS chunk_start,
+         CAST((CASE WHEN i < len(starts)
+                    THEN starts[CAST(i AS INT) + 1]
+                    ELSE n + 1 END)
+              - starts[CAST(i AS INT)] AS INT) AS chunk_len
+  FROM e
+)
+SELECT doc_id, chunk_idx, chunk_start, chunk_len,
+       md5(substr(text, chunk_start, chunk_len)) AS chunk_md5
+FROM b
 """
 
 
@@ -4283,6 +4429,9 @@ SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start_s,
                         ELSE 0 END) + 1 AS DOUBLE), 6) AS trend
 FROM l WHERE prev_w IS NOT NULL
 """,
+        "char_entropy": _CHAR_ENTROPY_SQL,
+        "mojibake_repair": _mojibake_sql(),
+        "cdc_chunks": _cdc_sql(w=16, divisor=64),
         # sliding passages: same start rule (full strides + clamped
         # tail, distinct, re-indexed), inclusive-slice rebuild
         "sliding_passages": r"""

@@ -1,0 +1,194 @@
+"""Cleaning signals (char entropy, mojibake repair) and content-defined
+chunking: pure-Python reference parity + structural invariants."""
+
+import hashlib
+import math
+
+import pytest
+
+from news_rss_spark.operators.cdc import cdc_chunks, cdc_shared_chunks
+from news_rss_spark.operators.cleaning import (
+    MOJIBAKE_MAP, char_entropy, mojibake_repair)
+
+
+# ---------------------------------------------------------------- entropy
+
+def _entropy_ref(s: str) -> float:
+    n = len(s)
+    total = 0.0
+    for c in sorted(set(s)):  # same pinned fold order as the operator
+        p = s.count(c) / n
+        total += p * math.log2(p)
+    return round(0.0 - total, 6)
+
+
+ENTROPY_CASES = [
+    ("abcd", 2.0),
+    ("aaaa", 0.0),
+    ("aabb", 1.0),
+    ("abab", 1.0),
+    ("the quick brown fox jumps over the lazy dog", None),
+    ("aAbB cC 123!", None),
+]
+
+
+def test_char_entropy_matches_reference(spark):
+    rows = [(i, s) for i, (s, _) in enumerate(ENTROPY_CASES)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    for i, (s, expected) in enumerate(ENTROPY_CASES):
+        r = got[i]
+        assert r["n_chars"] == len(s)
+        assert r["n_distinct"] == len(set(s))
+        want = expected if expected is not None else _entropy_ref(s)
+        assert r["char_entropy"] == pytest.approx(want, abs=1e-6), s
+
+
+def test_char_entropy_drops_empty(spark):
+    df = spark.createDataFrame([(0, ""), (1, "xy")], ["doc_id", "text"])
+    out = char_entropy(df).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    # two equiprobable chars -> exactly 1 bit, sign normalized to +0.0
+    assert out[0]["char_entropy"] == 1.0
+    one = char_entropy(
+        spark.createDataFrame([(2, "zz")], ["doc_id", "text"])).collect()[0]
+    assert math.copysign(1.0, one["char_entropy"]) == 1.0  # +0.0, not -0.0
+
+
+# --------------------------------------------------------------- mojibake
+
+def test_mojibake_repair_known_artifacts(spark):
+    df = spark.createDataFrame(
+        [(0, "Itâ€™s a cafÃ© â€“ naÃ¯ve Â«quoteÂ»"),
+         (1, "perfectly clean ascii text"),
+         (2, "Ã©Ã©Ã©")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in mojibake_repair(df).collect()}
+    assert got[0]["clean_text"] == "It's a café – naïve «quote»"
+    assert got[0]["n_mojibake"] == 6  # â€™ Ã© â€“ Ã¯ Â« Â»
+    assert got[0]["is_damaged"] is True
+    assert got[1]["clean_text"] == "perfectly clean ascii text"
+    assert got[1]["n_mojibake"] == 0
+    assert got[1]["is_damaged"] is False
+    assert got[2]["clean_text"] == "ééé"
+    assert got[2]["n_mojibake"] == 3
+
+
+def test_mojibake_map_python_replay(spark):
+    """The operator equals a plain Python replay of the ordered map."""
+    samples = [
+        "Itâ€™s â€œquotedâ€¦ rÃ©sumÃ© faÃ§ade Ã¼ber",
+        "no damage here",
+        "Â© 2024 â€” Ã±",
+    ]
+
+    def ref(s: str) -> str:
+        for bad, good in MOJIBAKE_MAP:
+            s = s.replace(bad, good)
+        return s
+
+    df = spark.createDataFrame(list(enumerate(samples)), ["doc_id", "text"])
+    got = {r["doc_id"]: r["clean_text"]
+           for r in mojibake_repair(df).collect()}
+    for i, s in enumerate(samples):
+        assert got[i] == ref(s)
+
+
+def test_mojibake_keys_are_prefix_free():
+    keys = [k for k, _ in MOJIBAKE_MAP]
+    for a in keys:
+        for b in keys:
+            if a is not b:
+                assert not b.startswith(a), (a, b)
+
+
+# -------------------------------------------------------------------- cdc
+
+def _anchors_ref(text: str, w: int, divisor: int) -> list[int]:
+    out = []
+    for p in range(2, len(text) - w + 2):  # 1-based, needs full w-gram
+        gram = text[p - 1:p - 1 + w]
+        key = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+        if key % divisor == 0:
+            out.append(p)
+    return out
+
+
+def _mk_text(n: int, seed: str) -> str:
+    # deterministic pseudo-text with whitespace structure
+    parts = []
+    i = 0
+    while sum(len(p) + 1 for p in parts) < n:
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        parts.append(h[: 4 + (int(h[0], 16) % 8)])
+        i += 1
+    return " ".join(parts)[:n]
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    texts = [_mk_text(400, "a"), _mk_text(37, "b"), "tiny", _mk_text(900, "c")]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = cdc_chunks(df, w=16, divisor=64).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        starts = [1] + _anchors_ref(text, 16, 64)
+        assert [c["chunk_start"] for c in chunks] == starts
+        # exact coverage: contiguous, sums to len(text)
+        assert sum(c["chunk_len"] for c in chunks) == len(text)
+        pos = 1
+        for c in chunks:
+            assert c["chunk_start"] == pos
+            pos += c["chunk_len"]
+            piece = text[c["chunk_start"] - 1:
+                         c["chunk_start"] - 1 + c["chunk_len"]]
+            assert c["chunk_md5"] == hashlib.md5(piece.encode()).hexdigest()
+
+
+def test_cdc_insertion_resync(spark):
+    """The CDC property fixed-size chunking lacks: after an insertion,
+    chunk hashes re-synchronize downstream of the edit."""
+    base = _mk_text(2000, "resync")
+    edited = base[:901] + "XYZ" + base[901:]
+    df = spark.createDataFrame(
+        [(0, base), (1, edited)], ["doc_id", "text"])
+    rows = cdc_chunks(df, w=16, divisor=64).collect()
+    h0 = {r["chunk_md5"] for r in rows if r["doc_id"] == 0}
+    h1 = {r["chunk_md5"] for r in rows if r["doc_id"] == 1}
+    shared = h0 & h1
+    # chunks before AND after the edit survive; with ~64-char expected
+    # chunks a 2000-char doc has ~30 chunks, the edit perturbs O(1)
+    assert len(shared) >= 10
+    # sanity: the documents genuinely differ
+    assert h0 != h1
+    # fixed-size baseline for contrast: every 64-char block after the
+    # edit offset shifts, so the fixed scheme shares (almost) only the
+    # pre-edit prefix blocks
+    fixed0 = {hashlib.md5(base[i:i + 64].encode()).hexdigest()
+              for i in range(0, len(base), 64)}
+    fixed1 = {hashlib.md5(edited[i:i + 64].encode()).hexdigest()
+              for i in range(0, len(edited), 64)}
+    assert len(shared) > len(fixed0 & fixed1)
+
+
+def test_cdc_shared_chunks_finds_common_passage(spark):
+    passage = _mk_text(600, "shared-passage")
+    docs = [
+        (0, _mk_text(300, "pre0") + " " + passage),
+        (1, passage + " " + _mk_text(250, "post1")),
+        (2, _mk_text(500, "unrelated")),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    shared = cdc_shared_chunks(df, w=16, divisor=64).collect()
+    assert len(shared) >= 1
+    assert all(r["n_docs"] == 2 for r in shared)
+
+
+def test_cdc_rejects_bad_params(spark):
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        cdc_chunks(df, w=0)
+    with pytest.raises(ValueError):
+        cdc_chunks(df, divisor=0)
