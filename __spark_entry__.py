@@ -1049,6 +1049,32 @@ def q_cdc_chunks(spark, sf_dir):
     return cdc_chunks(d, w=16, divisor=64)
 
 
+def q_dedup_audit(spark, sf_dir):
+    """LSH dedup-quality audit (operators/audit.py): the b×r tuning
+    verdict — banding precision over every emitted candidate (exact
+    Jaccard confined to candidates) and a recall estimate from exact
+    all-pairs ground truth on the deterministic doc_id%5 sample.  Counts
+    are exact integers; the oracle recomposes the established minhash
+    banding + shingle CTEs (precision leg compares the same rounded
+    jaccard the operator thresholds on)."""
+    from news_rss_spark.operators.audit import lsh_dedup_audit
+    d = _t(spark, sf_dir, "documents")
+    return lsh_dedup_audit(d, threshold=0.4, sample_mod=5,
+                           n_hashes=4, rows_per_band=2)
+
+
+def q_table_stats(spark, sf_dir):
+    """ANALYZE-style column statistics (operators/audit.py): per-column
+    rows/nulls/NDV/min/max in ONE scan (all aggregates in a single
+    groupBy-less agg, unpivoted by an explode) — the numbers that drive
+    partition layout, broadcast thresholds, and skew diagnosis; HLL NDV
+    is the one-pass 100 TB path, exact NDV here so the oracle compares
+    integers."""
+    from news_rss_spark.operators.audit import table_column_stats
+    d = _t(spark, sf_dir, "documents")
+    return table_column_stats(d)
+
+
 def q_blocklist_scan(spark, sf_dir):
     """Phrase-blocklist scan (operators/blocklist.py): every occurrence
     of every blocklist phrase — overlaps and nested phrases included —
@@ -2757,6 +2783,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # content-defined chunking: Python-reference anchor lock +
         # insertion-resync property pytest; positional oracle replay
         "cdc_chunks": q_cdc_chunks,
+        # dedup audit: full pure-Python banding+jaccard replay pytest;
+        # oracle recomposes the driver-green minhash_pairs CTEs
+        "dedup_audit": q_dedup_audit,
+        # table stats: one-scan plan pytest + integer-exact oracle
+        "table_stats": q_table_stats,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -3152,6 +3183,85 @@ SELECT doc_id, chunk_idx, chunk_start, chunk_len,
        md5(substr(text, chunk_start, chunk_len)) AS chunk_md5
 FROM b
 """
+
+
+def _dedup_audit_sql(threshold: float = 0.4, sample_mod: int = 5) -> str:
+    """Recomposes the established minhash banding + shingle CTEs.  The
+    precision leg thresholds the ROUNDED jaccard (the operator consumes
+    ngram_jaccard_pairs' rounded output); the recall leg thresholds the
+    raw ratio (the operator's internal threshold filter runs pre-round)."""
+    return f"""
+WITH {_SHINGLES_CTE}, {_MINHASH_BANDED_CTE},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ci AS (
+  SELECT c.a, c.b, count(q.s) AS ni
+  FROM cand c
+  JOIN sh p ON p.doc_id = c.a
+  LEFT JOIN sh q ON q.doc_id = c.b AND q.s = p.s
+  GROUP BY 1, 2
+),
+cj AS (
+  SELECT ci.a, ci.b,
+         round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS j
+  FROM ci JOIN sz na ON na.doc_id = ci.a
+          JOIN sz nb ON nb.doc_id = ci.b
+),
+prec AS (
+  SELECT count(*) AS n_candidates,
+         coalesce(sum(CASE WHEN j >= {threshold} THEN 1 ELSE 0 END), 0)
+           AS n_true_candidates
+  FROM cj
+),
+st AS (
+  SELECT p.doc_id AS a, q.doc_id AS b, count(*) AS ni
+  FROM sh p JOIN sh q ON q.s = p.s AND p.doc_id < q.doc_id
+  WHERE p.doc_id % {sample_mod} = 0 AND q.doc_id % {sample_mod} = 0
+  GROUP BY 1, 2
+),
+tj AS (
+  SELECT st.a, st.b
+  FROM st JOIN sz na ON na.doc_id = st.a
+          JOIN sz nb ON nb.doc_id = st.b
+  WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= {threshold}
+),
+rec AS (
+  SELECT (SELECT count(*) FROM tj) AS n_sample_true,
+         (SELECT count(*) FROM tj JOIN cand USING (a, b))
+           AS n_sample_caught
+)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true_candidates AS BIGINT) AS n_true_candidates,
+       CASE WHEN n_candidates > 0
+            THEN round(CAST(n_true_candidates AS DOUBLE) / n_candidates, 6)
+       END AS precision_est,
+       CAST(n_sample_true AS BIGINT) AS n_sample_true,
+       CAST(n_sample_caught AS BIGINT) AS n_sample_caught,
+       CASE WHEN n_sample_true > 0
+            THEN round(CAST(n_sample_caught AS DOUBLE) / n_sample_true, 6)
+       END AS recall_est
+FROM prec, rec
+"""
+
+
+def _table_stats_sql(cols: tuple[str, ...] = (
+        "doc_id", "text", "lang", "source", "n_chars")) -> str:
+    parts = [f"""
+SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_s,
+       CAST(max({c}) AS VARCHAR) AS max_s
+FROM documents""" for c in cols]
+    return "\nUNION ALL\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4432,6 +4542,8 @@ FROM l WHERE prev_w IS NOT NULL
         "char_entropy": _CHAR_ENTROPY_SQL,
         "mojibake_repair": _mojibake_sql(),
         "cdc_chunks": _cdc_sql(w=16, divisor=64),
+        "dedup_audit": _dedup_audit_sql(threshold=0.4, sample_mod=5),
+        "table_stats": _table_stats_sql(),
         # sliding passages: same start rule (full strides + clamped
         # tail, distinct, re-indexed), inclusive-slice rebuild
         "sliding_passages": r"""
