@@ -34,10 +34,40 @@ stay identical.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cdc_chunks", "cdc_shared_chunks"]
+__all__ = ["GEAR", "cdc_chunks", "cdc_chunks_gear", "cdc_shared_chunks",
+           "gear_anchors_py"]
+
+
+def _explode_chunks(prepared: DataFrame, id_col: str) -> DataFrame:
+    """Shared back half of both CDC variants: ``prepared`` carries
+    ``(id, _text, _starts)`` with ``_starts`` a strictly increasing
+    int array beginning at 1; emits the exact-coverage chunk relation
+    with JVM-side slicing + md5."""
+    bounds = F.expr(
+        "transform(sequence(1, size(_starts)), i -> struct("
+        "  i as chunk_idx,"
+        "  element_at(_starts, i) as chunk_start,"
+        "  (if(i < size(_starts), element_at(_starts, i + 1),"
+        "      length(_text) + 1)) - element_at(_starts, i) as chunk_len))"
+    )
+    return (
+        prepared
+        .select(F.col(id_col), F.col("_text"),
+                F.explode(bounds).alias("b"))
+        .select(
+            F.col(id_col),
+            F.col("b.chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("b.chunk_start").cast("int").alias("chunk_start"),
+            F.col("b.chunk_len").cast("int").alias("chunk_len"),
+            F.md5(F.expr("substring(_text, b.chunk_start, b.chunk_len)"))
+             .alias("chunk_md5"),
+        )
+    )
 
 
 def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
@@ -64,14 +94,7 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
         F.expr(f"filter(sequence(2, length({tc}) - {w} + 1), "
                f"p -> {anchor_key} % {divisor} = 0)"),
     ).otherwise(F.expr("array()").cast("array<int>"))
-    bounds = F.expr(
-        "transform(sequence(1, size(_starts)), i -> struct("
-        "  i as chunk_idx,"
-        "  element_at(_starts, i) as chunk_start,"
-        "  (if(i < size(_starts), element_at(_starts, i + 1),"
-        "      length(_text) + 1)) - element_at(_starts, i) as chunk_len))"
-    )
-    return (
+    prepared = (
         df.filter(F.length(t) > 0)
         .select(
             F.col(id_col),
@@ -79,17 +102,100 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
             F.concat(F.array(F.lit(1)), anchors.cast("array<int>"))
              .alias("_starts"),
         )
-        .select(F.col(id_col), F.col("_text"),
-                F.explode(bounds).alias("b"))
+    )
+    return _explode_chunks(prepared, id_col)
+
+
+# Pinned gear table: G[v] = low byte of md5("gear:<v>") — derived, not
+# copied, so the oracle generator and the Python reference single-source
+# it by the same formula.
+def _gear_table() -> list[int]:
+    import hashlib
+    return [int(hashlib.md5(f"gear:{v}".encode()).hexdigest()[:2], 16)
+            for v in range(256)]
+
+
+GEAR: list[int] = _gear_table()
+_GEAR_WINDOW = 6  # boundary looks at the 6 chars ending at p-1
+
+
+def gear_anchors_py(text: str, divisor: int = 64) -> list[int]:
+    """Pure-Python reference of the gear anchor rule (also the pytest
+    lock): position ``p`` (1-based, ``p >= _GEAR_WINDOW + 1``) starts a
+    new chunk iff ``sum_j GEAR[cp(text[p-2-j]) % 256] << j`` for
+    ``j = 0.._GEAR_WINDOW-1`` is ``0 (mod divisor)`` — the low-bits view
+    of the classic gear rolling hash ``h = (h << 1) + G[b]``, whose
+    ``log2(divisor)``-bit residue only ever depends on the last
+    ``_GEAR_WINDOW`` characters (64 > 2^5 decay)."""
+    out = []
+    n = len(text)
+    for p in range(_GEAR_WINDOW + 1, n + 1):
+        s = 0
+        for j in range(_GEAR_WINDOW):
+            s += GEAR[ord(text[p - 2 - j]) % 256] << j
+        if s % divisor == 0:
+            out.append(p)
+    return out
+
+
+def cdc_chunks_gear(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    divisor: int = 64) -> DataFrame:
+    """The throughput path of :func:`cdc_chunks`: same output contract
+    (exact-coverage ``(id, chunk_idx, chunk_start, chunk_len,
+    chunk_md5)``), but the anchor predicate is the gear rolling hash
+    instead of an md5 per position — the boundary's ``divisor``-residue
+    depends only on the trailing 6-character window, so the whole
+    anchor scan vectorizes to a handful of numpy shift-adds per
+    document (no per-position hashing).  The kernel computes ONLY the
+    anchor positions (Arrow-batched, one ``array<int>`` per doc);
+    slicing and chunk hashing stay in the shared JVM back half, so both
+    variants produce structurally identical plans past the anchor
+    stage.  Boundaries remain content-defined (insertion-resync holds —
+    same pytest property as the md5 variant)."""
+    if divisor < 1:
+        raise ValueError(f"cdc_chunks_gear: divisor must be >= 1, "
+                         f"got {divisor}")
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    gear = np.array(GEAR, dtype=np.int64)
+    win = _GEAR_WINDOW
+
+    @pandas_udf("array<int>")
+    def _anchors(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            n = len(t)
+            if n < win + 1:
+                out.append([])
+                continue
+            # one int64 per CHARACTER (utf-32 codepoints, so positions
+            # match the JVM's character-based substring)
+            cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            g = gear[cps & 0xFF]
+            # window sum ending at char index i (0-based), i >= win-1:
+            # s[i] = sum_j g[i-j] << j
+            s = np.zeros(n - win + 1, dtype=np.int64)
+            for j in range(win):
+                s += g[win - 1 - j: n - j] << j
+            # window end i = win-1 .. n-1 -> start position p = i + 2,
+            # valid while p <= n (the last window can't start a chunk)
+            idx = np.nonzero(s[: n - win] % divisor == 0)[0]
+            out.append((idx + win + 1).astype("int32").tolist())
+        return pd.Series(out)
+
+    t = F.col(text_col)
+    prepared = (
+        df.filter(F.length(t) > 0)
         .select(
             F.col(id_col),
-            F.col("b.chunk_idx").cast("int").alias("chunk_idx"),
-            F.col("b.chunk_start").cast("int").alias("chunk_start"),
-            F.col("b.chunk_len").cast("int").alias("chunk_len"),
-            F.md5(F.expr("substring(_text, b.chunk_start, b.chunk_len)"))
-             .alias("chunk_md5"),
+            t.alias("_text"),
+            F.concat(F.array(F.lit(1)),
+                     _anchors(t).cast("array<int>")).alias("_starts"),
         )
     )
+    return _explode_chunks(prepared, id_col)
 
 
 def cdc_shared_chunks(df: DataFrame, id_col: str = "doc_id",

@@ -186,6 +186,54 @@ def test_cdc_shared_chunks_finds_common_passage(spark):
     assert all(r["n_docs"] == 2 for r in shared)
 
 
+def test_cdc_gear_matches_python_reference(spark):
+    from news_rss_spark.operators.cdc import cdc_chunks_gear, gear_anchors_py
+    texts = [_mk_text(400, "ga"), _mk_text(37, "gb"), "tiny",
+             _mk_text(900, "gc"), "exactly"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = cdc_chunks_gear(df, divisor=64).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert [c["chunk_start"] for c in chunks] == \
+            [1] + gear_anchors_py(text, divisor=64)
+        assert sum(c["chunk_len"] for c in chunks) == len(text)
+        pos = 1
+        for c in chunks:
+            assert c["chunk_start"] == pos
+            pos += c["chunk_len"]
+            piece = text[c["chunk_start"] - 1:
+                         c["chunk_start"] - 1 + c["chunk_len"]]
+            assert c["chunk_md5"] == hashlib.md5(piece.encode()).hexdigest()
+
+
+def test_cdc_gear_insertion_resync(spark):
+    from news_rss_spark.operators.cdc import cdc_chunks_gear
+    base = _mk_text(2000, "gear-resync")
+    edited = base[:901] + "XYZ" + base[901:]
+    df = spark.createDataFrame([(0, base), (1, edited)], ["doc_id", "text"])
+    rows = cdc_chunks_gear(df, divisor=64).collect()
+    h0 = {r["chunk_md5"] for r in rows if r["doc_id"] == 0}
+    h1 = {r["chunk_md5"] for r in rows if r["doc_id"] == 1}
+    assert len(h0 & h1) >= 10
+    assert h0 != h1
+
+
+def test_cdc_gear_unicode_positions(spark):
+    """Gear anchor positions are CHARACTER offsets even for non-ASCII
+    text (utf-32 codepoint view), matching the JVM substring slicing."""
+    from news_rss_spark.operators.cdc import cdc_chunks_gear, gear_anchors_py
+    text = "héllo wörld " * 40 + "日本語テキスト " * 20
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    chunks = sorted(cdc_chunks_gear(df, divisor=16).collect(),
+                    key=lambda r: r["chunk_idx"])
+    assert [c["chunk_start"] for c in chunks] == \
+        [1] + gear_anchors_py(text, divisor=16)
+    assert sum(c["chunk_len"] for c in chunks) == len(text)
+
+
 def test_cdc_rejects_bad_params(spark):
     df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
