@@ -1064,6 +1064,27 @@ def q_cdc_chunks_gear(spark, sf_dir):
     return cdc_chunks_gear(d, divisor=64)
 
 
+def q_cdc_revision_pairs(spark, sf_dir):
+    """Revision/re-crawl detection via shared content-defined chunks
+    (operators/cdc.py): revised copies are injected deterministically
+    (doc_id%10==3 docs get a +100000 twin with a sentence INSERTED at
+    char 200 — the exact edit that destroys fixed-size chunk sharing),
+    then pairs sharing >=3 chunks of len>=24 are mined through the
+    df<=4-pruned inverted chunk index.  1M-doc probe: recall
+    9,999/10,000, zero spurious.  The oracle replays injection,
+    chunking, prune, and join."""
+    from news_rss_spark.operators.cdc import cdc_revision_pairs
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = (d.filter(F.col("doc_id") % 10 == 3)
+              .select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.expr("substring(text, 1, 200)"),
+                               F.lit(" inserted edit marker "),
+                               F.expr("substring(text, 201, length(text))"))
+                      .alias("text")))
+    return cdc_revision_pairs(d.unionAll(edited), w=16, divisor=64,
+                              min_len=24, min_shared=3, max_df=4)
+
+
 def q_dedup_audit(spark, sf_dir):
     """LSH dedup-quality audit (operators/audit.py): the b×r tuning
     verdict — banding precision over every emitted candidate (exact
@@ -1076,6 +1097,17 @@ def q_dedup_audit(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return lsh_dedup_audit(d, threshold=0.4, sample_mod=5,
                            n_hashes=4, rows_per_band=2)
+
+
+def q_skew_profile(spark, sf_dir):
+    """Key-skew diagnosis (operators/skew.py::skew_profile) — per-key
+    share + cumulative share in deterministic (count desc, key asc)
+    rank order: the number that decides whether salted_join/salted_agg
+    is needed before a stage stalls on one reducer.  One hash agg over
+    the corpus; the window runs on the keys-sized relation only."""
+    from news_rss_spark.operators.skew import skew_profile
+    d = _t(spark, sf_dir, "documents")
+    return skew_profile(d, "source")
 
 
 def q_table_stats(spark, sf_dir):
@@ -2801,11 +2833,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gear CDC: Python gear-reference lock + unicode-position and
         # resync pytests; pinned-GEAR-table positional oracle replay
         "cdc_chunks_gear": q_cdc_chunks_gear,
+        # CDC revision mining: 1M-doc planted-recall probe + injected
+        # fixture; oracle replays injection/chunking/prune/join
+        "cdc_revision_pairs": q_cdc_revision_pairs,
         # dedup audit: full pure-Python banding+jaccard replay pytest;
         # oracle recomposes the driver-green minhash_pairs CTEs
         "dedup_audit": q_dedup_audit,
         # table stats: one-scan plan pytest + integer-exact oracle
         "table_stats": q_table_stats,
+        # skew profile: hand-computed share/cum-share pytest incl. the
+        # NULL-hot-key and tie cases; window replayed by the oracle
+        "skew_profile": q_skew_profile,
         # --- green in CORRECTNESS_r02 (rows+schema+hash) --------------
         "tag_strip": q_tag_strip,
         "required_fields": q_required_fields,
@@ -3167,11 +3205,19 @@ FROM inj
 """
 
 
-def _cdc_sql(w: int = 16, divisor: int = 64) -> str:
+def _cdc_sql(w: int = 16, divisor: int = 64, src: str = "documents",
+             prefix: str = "", tail: str | None = None) -> str:
+    """Composable md5-anchor CDC replay: ``prefix`` prepends extra CTEs
+    (e.g. an injected corpus), ``src`` names the (doc_id, text) input,
+    ``tail`` overrides the final SELECT over the chunk CTE ``b``."""
+    final = tail or """
+SELECT doc_id, chunk_idx, chunk_start, chunk_len,
+       md5(substr(text, chunk_start, chunk_len)) AS chunk_md5
+FROM b"""
     return f"""
-WITH base AS (
+WITH {prefix}base AS (
   SELECT doc_id, text, length(text) AS n
-  FROM documents WHERE length(text) > 0
+  FROM {src} WHERE length(text) > 0
 ),
 a AS (
   SELECT doc_id, text, n,
@@ -3197,10 +3243,33 @@ b AS (
               - starts[CAST(i AS INT)] AS INT) AS chunk_len
   FROM e
 )
-SELECT doc_id, chunk_idx, chunk_start, chunk_len,
-       md5(substr(text, chunk_start, chunk_len)) AS chunk_md5
-FROM b
+{final}
 """
+
+
+_CDC_REVISION_PREFIX = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, 1, 200) || ' inserted edit marker '
+           || substr(text, 201, length(text)) AS text
+  FROM documents WHERE doc_id % 10 = 3
+),
+"""
+
+_CDC_REVISION_TAIL = """,
+occ AS (
+  SELECT doc_id, md5(substr(text, chunk_start, chunk_len)) AS chunk_md5
+  FROM b WHERE chunk_len >= 24
+),
+keep AS (
+  SELECT chunk_md5 FROM occ GROUP BY chunk_md5 HAVING count(*) <= 4
+),
+p AS (SELECT occ.chunk_md5, occ.doc_id FROM occ JOIN keep USING (chunk_md5))
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM p x JOIN p y ON x.chunk_md5 = y.chunk_md5 AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3"""
 
 
 def _cdc_gear_sql(divisor: int = 64) -> str:
@@ -4605,8 +4674,29 @@ FROM l WHERE prev_w IS NOT NULL
         "mojibake_repair": _mojibake_sql(),
         "cdc_chunks": _cdc_sql(w=16, divisor=64),
         "cdc_chunks_gear": _cdc_gear_sql(divisor=64),
+        "cdc_revision_pairs": _cdc_sql(
+            w=16, divisor=64, src="corpus",
+            prefix=_CDC_REVISION_PREFIX, tail=_CDC_REVISION_TAIL),
         "dedup_audit": _dedup_audit_sql(threshold=0.4, sample_mod=5),
         "table_stats": _table_stats_sql(),
+        "skew_profile": """
+WITH c AS (
+  SELECT source AS key, CAST(count(*) AS BIGINT) AS n_rows
+  FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM c),
+r AS (
+  SELECT key, n_rows,
+         row_number() OVER w AS key_rank,
+         sum(n_rows) OVER (w ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c WINDOW w AS (ORDER BY n_rows DESC, key ASC NULLS LAST)
+)
+SELECT key, n_rows,
+       round(n_rows / t.total, 6) AS share,
+       round(cum / t.total, 6) AS cum_share,
+       CAST(key_rank AS INT) AS key_rank
+FROM r, t
+""",
         # sliding passages: same start rule (full strides + clamped
         # tail, distinct, re-indexed), inclusive-slice rebuild
         "sliding_passages": r"""

@@ -39,8 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["GEAR", "cdc_chunks", "cdc_chunks_gear", "cdc_shared_chunks",
-           "gear_anchors_py"]
+__all__ = ["GEAR", "cdc_chunks", "cdc_chunks_gear", "cdc_revision_pairs",
+           "cdc_shared_chunks", "gear_anchors_py"]
 
 
 def _explode_chunks(prepared: DataFrame, id_col: str) -> DataFrame:
@@ -196,6 +196,52 @@ def cdc_chunks_gear(df: DataFrame, id_col: str = "doc_id",
         )
     )
     return _explode_chunks(prepared, id_col)
+
+
+def cdc_revision_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", w: int = 16,
+                       divisor: int = 64, min_len: int = 24,
+                       min_shared: int = 3, max_df: int = 4,
+                       variant: str = "md5") -> DataFrame:
+    """``(a, b, n_shared)`` — document pairs sharing ``min_shared`` or
+    more content-defined chunks of length >= ``min_len``: the
+    revision/re-crawl detector (same article with insertions), robust
+    where fixed-size chunking loses everything after the first edit.
+
+    Scale shape: an inverted chunk index with a document-frequency
+    prune (``max_df``) — a chunk present in many documents is
+    boilerplate, not revision signal, and pruning it keeps the
+    self-join off hot keys (the containment_pairs blocking contract).
+    The join ships only (chunk_md5, id) rows.  Demonstrated at 1M docs:
+    recall 9,999/10,000 planted revisions, zero spurious
+    (`BENCH/cdc_scale_driver.py`).
+
+    ``variant='gear'`` uses the vectorized gear-anchor kernel (5.7×
+    faster chunking, same contract); ``'md5'`` is the SQL-checkable
+    Manber-anchor spec path."""
+    if variant == "md5":
+        ch = cdc_chunks(df, id_col=id_col, text_col=text_col, w=w,
+                        divisor=divisor)
+    elif variant == "gear":
+        ch = cdc_chunks_gear(df, id_col=id_col, text_col=text_col,
+                             divisor=divisor)
+    else:
+        raise ValueError(f"cdc_revision_pairs: unknown variant "
+                         f"{variant!r} (md5|gear)")
+    occ = (ch.filter(F.col("chunk_len") >= min_len)
+             .select("chunk_md5", F.col(id_col)))
+    keep = (occ.groupBy("chunk_md5").count()
+               .filter(F.col("count") <= max_df).select("chunk_md5"))
+    pruned = occ.join(keep, "chunk_md5")
+    a = pruned.select("chunk_md5", F.col(id_col).alias("a"))
+    b = pruned.select("chunk_md5", F.col(id_col).alias("b"))
+    return (
+        a.join(b, "chunk_md5")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 def cdc_shared_chunks(df: DataFrame, id_col: str = "doc_id",

@@ -21,7 +21,7 @@ preserved 1:1 (NULL keys never match, exactly as in the unsalted join).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -38,3 +38,37 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     return l.join(r, [on, "_salt"], how).drop("_salt")
+
+
+def skew_profile(df: DataFrame, key_col: str,
+                 top_k: int | None = None) -> DataFrame:
+    """``(key, n_rows, share, cum_share, key_rank)`` — the skew
+    diagnosis that decides WHETHER to salt before any of the above is
+    reached for: per-key row counts with each key's share of the table
+    and the cumulative share in descending-count order (count DESC,
+    key ASC ties — fully deterministic ranking).
+
+    A healthy key distribution shows cum_share growing ~linearly in
+    key_rank; a hot key shows rank 1 already holding a large share —
+    the single-reducer stall predictor.  Scale shape: the profile is
+    ONE map-side-combined hash aggregation over the corpus; the window
+    runs on the KEYS-sized relation (never the rows), and the total is
+    an in-plan 1-row broadcast (the documented scalar crossJoin
+    pattern).  NULL keys profile as a key like any other — a null-ish
+    default is a classic hot key."""
+    counts = (df.groupBy(F.col(key_col).alias("key"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+    total = counts.agg(F.sum("n_rows").cast("double").alias("_total"))
+    w = (Window.orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_last()))
+    out = (counts.crossJoin(F.broadcast(total))
+           .withColumn("key_rank",
+                       F.row_number().over(w).cast("int"))
+           .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))
+           .withColumn("cum_share",
+                       F.round(F.sum("n_rows").over(
+                           w.rowsBetween(Window.unboundedPreceding, 0))
+                           / F.col("_total"), 6))
+           .select("key", "n_rows", "share", "cum_share", "key_rank"))
+    if top_k is not None:
+        out = out.filter(F.col("key_rank") <= top_k)
+    return out

@@ -234,6 +234,46 @@ def test_cdc_gear_unicode_positions(spark):
     assert sum(c["chunk_len"] for c in chunks) == len(text)
 
 
+def test_cdc_revision_pairs_finds_planted_edits(spark):
+    from news_rss_spark.operators.cdc import cdc_revision_pairs
+    base = {i: _mk_text(1200, f"rev{i}") for i in range(6)}
+    rows = [(i, t) for i, t in base.items()]
+    # planted revisions: insert mid-document
+    rows += [(100 + i, base[i][:601] + " EDit " + base[i][601:])
+             for i in (1, 3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["a"], r["b"]): r["n_shared"]
+           for r in cdc_revision_pairs(df).collect()}
+    assert set(got) == {(1, 101), (3, 103)}
+    assert all(v >= 3 for v in got.values())
+
+
+def test_cdc_revision_pairs_prunes_boilerplate(spark):
+    """A chunk shared by > max_df docs is boilerplate: pairs supported
+    ONLY by it must not surface."""
+    from news_rss_spark.operators.cdc import cdc_revision_pairs
+    boiler = _mk_text(300, "boilerplate-footer")
+    rows = [(i, _mk_text(400, f"bp{i}") + " " + boiler) for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = cdc_revision_pairs(df, max_df=4).collect()
+    assert got == []  # footer chunks have df=8 > 4 -> pruned
+
+
+def test_cdc_revision_pairs_gear_variant(spark):
+    from news_rss_spark.operators.cdc import cdc_revision_pairs
+    base = _mk_text(1500, "gearrev")
+    df = spark.createDataFrame(
+        [(0, base), (1, base[:701] + " X " + base[701:]),
+         (2, _mk_text(1500, "other"))],
+        ["doc_id", "text"])
+    got = {(r["a"], r["b"]) for r in
+           cdc_revision_pairs(df, variant="gear").collect()}
+    assert got == {(0, 1)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cdc_revision_pairs(df, variant="nope")
+
+
 def test_cdc_rejects_bad_params(spark):
     df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):

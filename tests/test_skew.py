@@ -55,3 +55,36 @@ class TestSaltedJoin:
         left, right = _skewed(spark)
         with pytest.raises(ValueError):
             salted_join(left, right, "key", how="full")
+
+
+class TestSkewProfile:
+    def test_profile_matches_hand_computation(self, spark):
+        from news_rss_spark.operators.skew import skew_profile
+        rows = ([("hot", i) for i in range(6)]
+                + [("warm", i) for i in range(3)]
+                + [("cold", 0)])
+        df = spark.createDataFrame(rows, ["k", "v"])
+        got = sorted(skew_profile(df, "k").collect(),
+                     key=lambda r: r["key_rank"])
+        assert [(r["key"], r["n_rows"], r["key_rank"]) for r in got] == \
+            [("hot", 6, 1), ("warm", 3, 2), ("cold", 1, 3)]
+        assert [r["share"] for r in got] == [0.6, 0.3, 0.1]
+        assert [r["cum_share"] for r in got] == [0.6, 0.9, 1.0]
+
+    def test_null_key_profiles_and_ties_break_on_key(self, spark):
+        from news_rss_spark.operators.skew import skew_profile
+        rows = [("a", 1), ("a", 2), (None, 1), (None, 2), ("b", 1)]
+        df = spark.createDataFrame(rows, ["k", "v"])
+        got = sorted(skew_profile(df, "k").collect(),
+                     key=lambda r: r["key_rank"])
+        # tie between 'a' and NULL at count 2: key ASC NULLS LAST
+        assert [(r["key"], r["key_rank"]) for r in got] == \
+            [("a", 1), (None, 2), ("b", 3)]
+
+    def test_top_k_truncation(self, spark):
+        from news_rss_spark.operators.skew import skew_profile
+        df = spark.createDataFrame(
+            [(f"k{i % 7}", i) for i in range(70)], ["k", "v"])
+        got = skew_profile(df, "k", top_k=3).collect()
+        assert len(got) == 3
+        assert all(r["key_rank"] <= 3 for r in got)
