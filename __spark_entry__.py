@@ -2133,6 +2133,24 @@ def q_png_decode_stats(spark, sf_dir):
                         "px_sum")
 
 
+def q_epoch_mix(spark, sf_dir):
+    """Weighted multi-source epoch mixing (operators/packing.py
+    epoch_mix): the Pile/LLaMA data-mixing recipe — source weight w
+    yields floor(w) copies of every doc plus one Bernoulli(frac(w))
+    extra, then the copy stream is laid into 16 hash-shuffled shards
+    with within-shard positions (copies of one doc scatter across the
+    epoch).  Weights here exercise every regime: src0=2.5 (2-3 copies),
+    src1=1.5 (1-2), src2=0.3 (subsample), src3=0.0 (dropped), everything
+    else the 1.0 default.  Draws follow the md5_draw32 contract; layout
+    follows the corpus_shuffle shard idiom keyed per copy.  The DuckDB
+    oracle replays draw, fan-out, and rank integer-exactly."""
+    from news_rss_spark.operators.packing import epoch_mix
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = epoch_mix(d, {"src0": 2.5, "src1": 1.5, "src2": 0.3,
+                        "src3": 0.0}, n_shards=16, salt="mix-v1")
+    return out.select("doc_id", "source", "copy", "shard", "pos")
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual image hash over REAL decoded pixels
     (operators/multimodal.py dhash_images): synth PNGs -> from-scratch
@@ -2689,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "epoch_mix": q_epoch_mix,
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
         "audio_fingerprint": q_audio_fingerprint,
@@ -2741,7 +2760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_features": q_multimodal_features,
-        "incremental_dedup": q_incremental_dedup,
         "quality_gate": q_quality_gate,
         "zorder_layout": q_zorder_layout,
         "hits_scores": q_hits,
@@ -2768,6 +2786,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-locked against a from-scratch Python reference at 4
         # merge depths)
         # — plus the sf0.01 replica parity suite like everything else --
+        # incremental_dedup: composition of two narrow joins over the
+        # driver-green minhash_pairs band contract (same signature/band
+        # arithmetic, r02 hash-green), replay/survivor semantics
+        # pytest-locked in test_incremental.py
+        "incremental_dedup": q_incremental_dedup,
         "simhash128_near_dup": q_simhash128_near_dup,
         "simhash_band_census": q_simhash_band_census,
         "streaming_hll_estimate": q_streaming_hll_estimate,
@@ -3968,6 +3991,45 @@ SELECT m.media_id, 'image' AS kind, true AS decoded,
 FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
+""",
+        "epoch_mix": """
+WITH base AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                     WHEN 'src2' THEN 0 WHEN 'src3' THEN 0
+                     ELSE 1 END AS flr,
+         CASE source WHEN 'src0' THEN 2147483648
+                     WHEN 'src1' THEN 2147483648
+                     WHEN 'src2' THEN 1288490188
+                     WHEN 'src3' THEN 0
+                     ELSE 0 END AS thr
+  FROM documents WHERE doc_id IS NOT NULL
+),
+c AS (
+  SELECT doc_id, source,
+         flr + CASE WHEN CAST('0x' || substr(md5('mix-v1:frac:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) < thr
+               THEN 1 ELSE 0 END AS copies
+  FROM base
+),
+e AS (
+  SELECT doc_id, source,
+         CAST(unnest(generate_series(0, copies - 1)) AS INTEGER) AS copy
+  FROM c
+  WHERE copies > 0
+),
+h AS (
+  SELECT doc_id, source, copy,
+         CAST('0x' || substr(md5('mix-v1:' || CAST(copy AS VARCHAR) || ':' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM e
+)
+SELECT doc_id, source, copy,
+       CAST(h % 16 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 16
+                               ORDER BY h, doc_id, copy) - 1
+            AS BIGINT) AS pos
+FROM h
 """,
         "corpus_shuffle": """
 WITH h AS (

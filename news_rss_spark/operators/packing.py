@@ -198,3 +198,68 @@ def shuffle_into_shards(df: DataFrame, n_shards: int,
                         .cast("int"))
             .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
             .drop("h"))
+
+
+def epoch_mix(df: DataFrame, weights: dict[str, float],
+              n_shards: int = 16, salt: str = "mix-v1",
+              source_col: str = "source",
+              id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted multi-source epoch mixing — the data-mixing
+    recipe every pretraining run applies last (Pile table 1, LLaMA's
+    per-source epoch counts): source ``s`` with weight ``w`` contributes
+    ``floor(w)`` copies of every document plus one more copy with
+    probability ``frac(w)``, and the resulting copy stream is laid out in
+    content-stable shuffled order.  ``weights = {"wiki": 2.5, "cc": 0.67}``
+    means every wiki doc appears 2 or 3 times per epoch (Bernoulli on the
+    fractional part) and each cc doc survives with p=0.67.
+
+    Determinism contract (shared with the split/sample family): the
+    Bernoulli draw is :func:`~news_rss_spark.operators.text_analysis.
+    md5_draw32` (``md5(salt ':frac:' id)`` 32-bit slice vs the
+    ``int(frac * 2**32)`` integer threshold — integer-exact in both
+    engines), and the stream layout is the :func:`shuffle_into_shards`
+    idiom keyed per COPY (``md5(salt ':' copy ':' id)`` 63-bit slice) so
+    the copies of one document scatter across the epoch instead of
+    training back-to-back.  Re-running with the same salt reproduces the
+    exact epoch; a new salt is a fresh epoch (new Bernoulli outcomes AND
+    a new order — exactly what multi-epoch training wants).
+
+    Sources absent from ``weights`` (and NULL sources) get weight 1.0 —
+    pass an explicit 0.0 to drop a source.  NULL ids are dropped (the
+    md5_draw32 NULL-fails-every-comparison contract).  Output: one row
+    per surviving copy — ``(id_col, source_col, copy, shard, pos)``.
+
+    Plan shape at 100 TB: copy fan-out is a per-row ``sequence`` explode
+    (no shuffle, bounded by ceil(max weight)); the only shuffle is the
+    hash repartition on ``shard`` that the shuffled writer needs anyway,
+    and the per-shard rank window is hash-balanced by construction.
+    """
+    wt = F.lit(1.0)
+    for s, v in weights.items():
+        wt = F.when(F.col(source_col) == s, F.lit(float(v))).otherwise(wt)
+    flr = F.floor(wt).cast("int")
+    # integer Bernoulli threshold: frac(w) * 2^32, floored — computed the
+    # same way the oracle SQL embeds it, so the kept set is bit-equal.
+    thr = (wt - flr) * F.lit(float(2 ** 32))
+    draw = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":frac:"),
+                       F.col(id_col).cast("string"))), 1, 8), 16, 10) \
+        .cast("long")
+    copies = flr + F.when(draw < F.floor(thr).cast("long"), 1).otherwise(0)
+    fanned = (df.select(id_col, source_col)
+              .where(F.col(id_col).isNotNull())
+              .withColumn("_copies", copies)
+              .where(F.col("_copies") > 0)
+              .withColumn("copy", F.explode(
+                  F.sequence(F.lit(0), F.col("_copies") - 1)))
+              .drop("_copies"))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col("copy").cast("string"),
+                       F.lit(":"), F.col(id_col).cast("string"))),
+        1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("h", id_col, "copy")
+    return (fanned.withColumn("h", h)
+            .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards))
+                        .cast("int"))
+            .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+            .drop("h"))

@@ -200,3 +200,102 @@ class TestShuffleIntoShards:
             ._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
         assert "SinglePartition" not in plan
+
+
+class TestEpochMix:
+    """Weighted epoch mixing: copy counts replay a pure-Python md5
+    reference, zero-weight drops, default weight 1.0, null ids dropped,
+    copies of one doc scatter, single hash shuffle in the plan."""
+
+    def _df(self, spark, n=600):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % 4).cast("string"))
+            .alias("source"))
+
+    WEIGHTS = {"src0": 2.5, "src1": 1.5, "src2": 0.3, "src3": 0.0}
+
+    @staticmethod
+    def _py_copies(doc_id, weight, salt="mix-v1"):
+        import hashlib
+        import math
+
+        flr = math.floor(weight)
+        thr = math.floor((weight - flr) * float(2 ** 32))
+        draw = int(hashlib.md5(
+            f"{salt}:frac:{doc_id}".encode()).hexdigest()[:8], 16)
+        return int(flr) + (1 if draw < thr else 0)
+
+    def test_copy_counts_match_python_reference(self, spark):
+        from collections import Counter
+
+        from news_rss_spark.operators.packing import epoch_mix
+
+        rows = epoch_mix(self._df(spark), self.WEIGHTS).collect()
+        got = Counter(r["doc_id"] for r in rows)
+        for doc_id in range(600):
+            w = self.WEIGHTS[f"src{doc_id % 4}"]
+            assert got.get(doc_id, 0) == self._py_copies(doc_id, w), doc_id
+        # copy indices are dense 0..copies-1 per doc
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+        assert all(sorted(v) == list(range(len(v))) for v in by_doc.values())
+
+    def test_zero_weight_and_unknown_source_default(self, spark):
+        from news_rss_spark.operators.packing import epoch_mix
+
+        d = self._df(spark).withColumn(
+            "source", F.when(F.col("doc_id") < 100, "never-seen-source")
+            .otherwise(F.col("source")))
+        rows = epoch_mix(d, self.WEIGHTS).collect()
+        # unknown source -> weight 1.0 -> exactly one copy
+        unknown = [r for r in rows if r["source"] == "never-seen-source"]
+        assert len(unknown) == 100
+        # src3 (weight 0.0) fully dropped
+        assert not [r for r in rows if r["source"] == "src3"]
+
+    def test_null_ids_dropped(self, spark):
+        from news_rss_spark.operators.packing import epoch_mix
+
+        d = self._df(spark, 50).withColumn(
+            "doc_id", F.when(F.col("doc_id") % 2 == 0, F.col("doc_id")))
+        rows = epoch_mix(d, {"src0": 1.0}, n_shards=4).collect()
+        assert all(r["doc_id"] is not None for r in rows)
+
+    def test_copies_scatter_across_epoch(self, spark):
+        """The two+ copies of one doc must not sit at adjacent stream
+        positions (per-copy hash key, not per-doc)."""
+        from news_rss_spark.operators.packing import epoch_mix
+
+        rows = epoch_mix(self._df(spark, 2000), {"src0": 2.0},
+                         n_shards=4).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append((r["shard"], r["pos"]))
+        multi = [v for v in by_doc.values() if len(v) == 2]
+        assert len(multi) == 500  # 2000/4 src0 docs, 2 copies each
+        adjacent = sum(1 for a, b in multi
+                       if a[0] == b[0] and abs(a[1] - b[1]) == 1)
+        assert adjacent / len(multi) < 0.05
+
+    def test_positions_contiguous_and_deterministic(self, spark):
+        from news_rss_spark.operators.packing import epoch_mix
+
+        a = epoch_mix(self._df(spark), self.WEIGHTS).collect()
+        b = epoch_mix(self._df(spark), self.WEIGHTS).collect()
+        key = lambda rows: sorted(map(tuple, rows))
+        assert key(a) == key(b)
+        by_shard = {}
+        for r in a:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(len(poss))), shard
+
+    def test_single_hash_shuffle_in_plan(self, spark):
+        from news_rss_spark.operators.packing import epoch_mix
+
+        plan = epoch_mix(self._df(spark), self.WEIGHTS) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SinglePartition" not in plan
