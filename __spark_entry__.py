@@ -2151,6 +2151,18 @@ def q_epoch_mix(spark, sf_dir):
     return out.select("doc_id", "source", "copy", "shard", "pos")
 
 
+def q_textrank(spark, sf_dir):
+    """Corpus-level TextRank keywords (operators/textrank.py): window-2
+    co-occurrence graph over length-filtered lowercase tokens, 3 power
+    iterations at d=0.85 (the pagerank 9-digit contract), top 25 words
+    by rank (word-asc tiebreak — total order, engine-independent).  The
+    DuckDB oracle rebuilds the same graph through md5 word ids and
+    unrolls the identical iterations."""
+    from news_rss_spark.operators.textrank import textrank_keywords
+    d = _t(spark, sf_dir, "documents").select("text")
+    return textrank_keywords(d, k=25, iters=3, damping=0.85, min_len=4)
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual image hash over REAL decoded pixels
     (operators/multimodal.py dhash_images): synth PNGs -> from-scratch
@@ -2791,6 +2803,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # arithmetic, r02 hash-green), replay/survivor semantics
         # pytest-locked in test_incremental.py
         "incremental_dedup": q_incremental_dedup,
+        # textrank_keywords: composition over the driver-green pagerank
+        # iteration contract (r02 hash-green) — only the co-occurrence
+        # edge builder and vocab join are new, both replayed by the
+        # oracle and pytest-locked in test_textrank.py
+        "textrank_keywords": q_textrank,
         "simhash128_near_dup": q_simhash128_near_dup,
         "simhash_band_census": q_simhash_band_census,
         "streaming_hll_estimate": q_streaming_hll_estimate,
@@ -4577,6 +4594,8 @@ GROUP BY d.source
 """,
         "hll_distinct": _hll_sql(p=8),
         "pagerank": _pagerank_sql(iters=3, damping=0.85),
+        "textrank_keywords": _textrank_sql(iters=3, damping=0.85, k=25,
+                                           min_len=4),
         "weighted_sample": """
 SELECT source, doc_id
 FROM (SELECT source, doc_id,
@@ -5809,18 +5828,26 @@ FROM (SELECT source,
 """
 
 
-def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
-    """Mirror of operators/pagerank.py over the synthesized link graph:
-    unrolled power iterations, dangling mass as a scalar subquery per
-    iteration, identical double literals (repr round-trips the exact
-    doubles Spark's F.lit holds) and operation order, 9-digit rounding."""
-    omd, d = repr(1.0 - damping), repr(damping)
-    parts = ["""
+_PR_LINK_EDGES = """
 edges AS (
   SELECT DISTINCT doc_id AS src, (doc_id * 31 + i * 97) % 1000 AS dst
   FROM documents, UNNEST(generate_series(1, doc_id % 4)) AS g(i)
   WHERE doc_id % 4 > 0
-),
+)"""
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85,
+                  edges_sql: str = _PR_LINK_EDGES,
+                  tail_sql: str | None = None) -> str:
+    """Mirror of operators/pagerank.py: unrolled power iterations over
+    any ``edges(src, dst)`` CTE (default: the synthesized link graph),
+    dangling mass as a scalar subquery per iteration, identical double
+    literals (repr round-trips the exact doubles Spark's F.lit holds)
+    and operation order, 9-digit rounding.  ``tail_sql`` replaces the
+    default final SELECT (it may reference ``r{iters}`` and any CTE the
+    caller appended inside ``edges_sql``)."""
+    omd, d = repr(1.0 - damping), repr(damping)
+    parts = [edges_sql + """,
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
         FROM edges GROUP BY src),
@@ -5843,7 +5870,47 @@ r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS rank FROM base)"""]
              GROUP BY e.dst) c ON b.node = c.dst
 )""")
     return ("WITH " + ",".join(parts)
-            + f"\nSELECT node, rank FROM r{iters}")
+            + "\n" + (tail_sql or f"SELECT node, rank FROM r{iters}"))
+
+
+def _textrank_sql(iters: int = 3, damping: float = 0.85, k: int = 25,
+                  min_len: int = 4) -> str:
+    """Mirror of operators/textrank.py: window-2 co-occurrence pairs
+    over the ``^[a-z]{min_len,}$``-filtered lowercase token sequence,
+    both orientations, md5 63-bit word ids, then the pagerank unroll
+    and a rank-desc/word-asc top-k joined back through the vocab."""
+    edges_sql = f"""
+toks AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> regexp_full_match(t, '[a-z]{{{min_len},}}')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> {{'a': w[i], 'b': w[i + 1]}})) AS p
+  FROM toks WHERE len(w) >= 2
+),
+ew AS (
+  SELECT p.a AS w1, p.b AS w2 FROM pairs
+  UNION ALL
+  SELECT p.b AS w1, p.a AS w2 FROM pairs
+),
+vocab AS (
+  SELECT DISTINCT w1 AS word,
+         CAST('0x' || substr(md5(w1), 1, 15) AS BIGINT) AS wid
+  FROM ew
+),
+edges AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(w1), 1, 15) AS BIGINT) AS src,
+                  CAST('0x' || substr(md5(w2), 1, 15) AS BIGINT) AS dst
+  FROM ew
+)"""
+    tail_sql = f"""SELECT v.word, r.rank
+FROM r{iters} r JOIN vocab v ON r.node = v.wid
+ORDER BY r.rank DESC, v.word
+LIMIT {k}"""
+    return _pagerank_sql(iters, damping, edges_sql=edges_sql,
+                         tail_sql=tail_sql)
 
 
 def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
