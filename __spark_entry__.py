@@ -2151,6 +2151,22 @@ def q_epoch_mix(spark, sf_dir):
     return out.select("doc_id", "source", "copy", "shard", "pos")
 
 
+def q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk sampling (operators/walks.py) over the
+    same synthesized link graph pagerank ranks: 2 walks of length 3
+    from every node with out-edges, each step's choice an md5 draw mod
+    out-degree over the SORTED neighbor list.  One row per visited
+    position; the DuckDB oracle replays every draw and index."""
+    from news_rss_spark.operators.walks import random_walks
+    d = _t(spark, sf_dir, "documents").filter(F.expr("doc_id % 4 > 0"))
+    e = (d.select(F.col("doc_id").alias("src"),
+                  F.explode(F.expr(
+                      "sequence(1, CAST(doc_id % 4 AS INT))")).alias("j"))
+         .select("src",
+                 ((F.col("src") * 31 + F.col("j") * 97) % 1000).alias("dst")))
+    return random_walks(e, walk_len=3, walks_per_node=2, salt="walk-v1")
+
+
 def q_textrank(spark, sf_dir):
     """Corpus-level TextRank keywords (operators/textrank.py): window-2
     co-occurrence graph over length-filtered lowercase tokens, 3 power
@@ -2808,6 +2824,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # edge builder and vocab join are new, both replayed by the
         # oracle and pytest-locked in test_textrank.py
         "textrank_keywords": q_textrank,
+        # random_walks: every draw/index replayed by the oracle over the
+        # r02-hash-green pagerank link graph; hand-walk + dangling
+        # truncation pytest-locked in test_walks.py
+        "random_walks": q_random_walks,
         "simhash128_near_dup": q_simhash128_near_dup,
         "simhash_band_census": q_simhash_band_census,
         "streaming_hll_estimate": q_streaming_hll_estimate,
@@ -4596,6 +4616,8 @@ GROUP BY d.source
         "pagerank": _pagerank_sql(iters=3, damping=0.85),
         "textrank_keywords": _textrank_sql(iters=3, damping=0.85, k=25,
                                            min_len=4),
+        "random_walks": _walks_sql(walk_len=3, walks_per_node=2,
+                                   salt="walk-v1"),
         "weighted_sample": """
 SELECT source, doc_id
 FROM (SELECT source, doc_id,
@@ -5911,6 +5933,40 @@ ORDER BY r.rank DESC, v.word
 LIMIT {k}"""
     return _pagerank_sql(iters, damping, edges_sql=edges_sql,
                          tail_sql=tail_sql)
+
+
+def _walks_sql(walk_len: int = 3, walks_per_node: int = 2,
+               salt: str = "walk-v1") -> str:
+    """Mirror of operators/walks.py over the synthesized link graph:
+    sorted neighbor lists, unrolled steps, every choice the same
+    ``md5(salt:start:w:step:cur)`` 63-bit draw mod out-degree."""
+    ws = ", ".join(str(w) for w in range(walks_per_node))
+    parts = [f"""
+e AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 31 + i * 97) % 1000 AS dst
+  FROM documents, UNNEST(generate_series(1, doc_id % 4)) AS g(i)
+  WHERE doc_id % 4 > 0
+),
+adj AS (SELECT src, list_sort(list(dst)) AS nbrs FROM e GROUP BY src),
+f0 AS (
+  SELECT src AS start, CAST(t.w AS INTEGER) AS w, src AS cur
+  FROM adj, UNNEST([{ws}]) AS t(w)
+)"""]
+    for step in range(1, walk_len + 1):
+        prev, cur = f"f{step - 1}", f"f{step}"
+        draw = (f"CAST('0x' || substr(md5('{salt}:' || "
+                f"CAST(start AS VARCHAR) || ':' || CAST(w AS VARCHAR) || "
+                f"':{step}:' || CAST(f.cur AS VARCHAR)), 1, 15) AS BIGINT)")
+        parts.append(f"""
+{cur} AS (
+  SELECT start, w,
+         a.nbrs[1 + CAST({draw} % len(a.nbrs) AS INTEGER)] AS cur
+  FROM {prev} f JOIN adj a ON f.cur = a.src
+)""")
+    tails = "\nUNION ALL ".join(
+        f"SELECT start, w, CAST({s} AS INTEGER) AS step, cur AS node FROM f{s}"
+        for s in range(walk_len + 1))
+    return "WITH " + ",".join(parts) + "\n" + tails
 
 
 def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
