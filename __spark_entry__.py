@@ -2151,6 +2151,19 @@ def q_epoch_mix(spark, sf_dir):
     return out.select("doc_id", "source", "copy", "shard", "pos")
 
 
+def q_hashed_ngram_score(spark, sf_dir):
+    """Hashed-n-gram linear scorer (operators/linear_score.py): the
+    fastText-architecture apply path — unigram+bigram buckets, pinned
+    closed-form integer weights, score = one shuffle-free per-row JVM
+    expression (exact BIGINT sum, one division, one 9-digit round).
+    NULL/empty text scores 0.0 with n_grams 0.  The DuckDB oracle
+    replays bucket, weight, and fold integer-exactly."""
+    from news_rss_spark.operators.linear_score import hashed_ngram_score
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_ngram_score(d).select("doc_id", "n_grams", "ft_score",
+                                        "keep")
+
+
 def q_random_walks(spark, sf_dir):
     """Deterministic DeepWalk sampling (operators/walks.py) over the
     same synthesized link graph pagerank ranks: 2 walks of length 3
@@ -2828,6 +2841,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r02-hash-green pagerank link graph; hand-walk + dangling
         # truncation pytest-locked in test_walks.py
         "random_walks": q_random_walks,
+        # hashed_ngram_score: exact-integer arithmetic end to end (one
+        # final division) — the weakest-possible float surface; Python
+        # integer-replay pytest-locked in test_linear_score.py
+        "hashed_ngram_score": q_hashed_ngram_score,
         "simhash128_near_dup": q_simhash128_near_dup,
         "simhash_band_census": q_simhash_band_census,
         "streaming_hll_estimate": q_streaming_hll_estimate,
@@ -4618,6 +4635,36 @@ GROUP BY d.source
                                            min_len=4),
         "random_walks": _walks_sql(walk_len=3, walks_per_node=2,
                                    salt="walk-v1"),
+        "hashed_ngram_score": r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+                                        '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_concat(toks,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS grams
+  FROM base
+),
+w AS (
+  SELECT doc_id, len(grams) AS n_grams,
+         list_sum(list_transform(grams,
+           gr -> (CAST('0x' || substr(md5('ft:' || gr), 1, 15) AS BIGINT)
+                  % 1000003) * 2654435761 % 2000003 - 1000001)) AS total
+  FROM g
+)
+SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+       CASE WHEN n_grams > 0
+            THEN round(total / (n_grams * 1000001.0), 9)
+            ELSE 0.0 END AS ft_score,
+       CASE WHEN n_grams > 0
+            THEN round(total / (n_grams * 1000001.0), 9)
+            ELSE 0.0 END >= 0.0 AS keep
+FROM w
+""",
         "weighted_sample": """
 SELECT source, doc_id
 FROM (SELECT source, doc_id,
