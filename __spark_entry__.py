@@ -2151,6 +2151,18 @@ def q_epoch_mix(spark, sf_dir):
     return out.select("doc_id", "source", "copy", "shard", "pos")
 
 
+def q_split_sentences(spark, sf_dir):
+    """Sentence segmentation with exact character offsets
+    (operators/sentences.py): fixed boundary rule (terminator + space +
+    [A-Z0-9] opener, 10-char bounded abbreviation guard), segments
+    numbered before blank-filtering, 0-based offsets indexing the
+    ORIGINAL string.  One shuffle-free projection; the DuckDB oracle
+    replays every per-position probe and cut."""
+    from news_rss_spark.operators.sentences import split_sentences
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return split_sentences(d)
+
+
 def q_hashed_ngram_score(spark, sf_dir):
     """Hashed-n-gram linear scorer (operators/linear_score.py): the
     fastText-architecture apply path — unigram+bigram buckets, pinned
@@ -2845,6 +2857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # final division) — the weakest-possible float surface; Python
         # integer-replay pytest-locked in test_linear_score.py
         "hashed_ngram_score": q_hashed_ngram_score,
+        # split_sentences: pure string arithmetic (no floats, no draws);
+        # offset round-trip + abbreviation guard pytest-locked in
+        # test_sentences.py, every probe/cut replayed by the oracle
+        "split_sentences": q_split_sentences,
         "simhash128_near_dup": q_simhash128_near_dup,
         "simhash_band_census": q_simhash_band_census,
         "streaming_hll_estimate": q_streaming_hll_estimate,
@@ -4635,6 +4651,42 @@ GROUP BY d.source
                                            min_len=4),
         "random_walks": _walks_sql(walk_len=3, walks_per_node=2,
                                    salt="walk-v1"),
+        "split_sentences": r"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT doc_id, text, n,
+         list_filter(generate_series(1, n), i ->
+           substr(text, i, 1) IN ('.', '!', '?')
+           AND substr(text, i + 1, 1) = ' '
+           AND regexp_matches(substr(text, i + 2, 1), '^[A-Z0-9]$')
+           AND NOT regexp_matches(
+                 lower(substr(text, greatest(i - 10, 1),
+                              i - greatest(i - 10, 1))),
+                 '(^|[^a-z])(mr|mrs|ms|dr|prof|sr|jr|st|vs|etc|fig|no|e\.g|i\.e)$')
+         ) AS bnd
+  FROM base
+),
+segs AS (
+  SELECT doc_id, text,
+         list_prepend(1, list_transform(bnd, i -> i + 2)) AS starts,
+         list_append(list_transform(bnd, i -> i + 1), n + 1) AS ends
+  FROM b
+),
+z AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(starts)),
+           k -> {'sid': k - 1, 'st': starts[k],
+                 'sent': substr(text, starts[k], ends[k] - starts[k])})) AS s
+  FROM segs
+)
+SELECT doc_id, CAST(s.sid AS INTEGER) AS sent_id,
+       CAST(s.st - 1 AS INTEGER) AS start_off,
+       s.sent AS sentence
+FROM z WHERE trim(s.sent) <> ''
+""",
         "hashed_ngram_score": r"""
 WITH base AS (
   SELECT doc_id,
