@@ -1558,6 +1558,47 @@ def q_exact_substring_spans(spark, sf_dir):
 _PARA_BOILER = "follow us on social media for breaking news and updates"
 
 
+def q_boilerplate_filter(spark, sf_dir):
+    """CCNet/RefinedWeb-style frequency-threshold boilerplate removal
+    (operators/text_dedup.py remove_frequent_sentences), domain-scoped:
+    deterministic 5-word sentence layout, a GLOBAL boilerplate sentence
+    prepended to every doc_id%3==0 doc (crosses sources — removed only
+    inside sources where it tops the per-source threshold) and a
+    per-source footer ("read more at <source>") appended to every
+    doc_id%7==0 doc.  Any sentence in more than 2 distinct docs of the
+    SAME source is dropped from every one of them — including the first
+    occurrence, the exact point where this differs from
+    paragraph_dedup's keeper convention.  Returns per-doc clean_len +
+    clean_md5 + n_kept (same compare contract as paragraph_dedup)."""
+    from news_rss_spark.operators.text_dedup import remove_frequent_sentences
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = F.split(F.trim("text"), r"\s+")
+    body = F.expr(
+        "transform(sequence(0, (size(w) - 1) div 5), "
+        "i -> array_join(slice(w, i * 5 + 1, 5), ' '))")
+    docs = (d.select("doc_id", "source", w.alias("w"))
+             .filter(F.size("w") > 0)
+             .select("doc_id", "source", body.alias("body"))
+             .select("doc_id", "source",
+                     F.when(F.col("doc_id") % 3 == 0,
+                            F.concat(F.array(F.lit(_PARA_BOILER)),
+                                     F.col("body")))
+                      .otherwise(F.col("body")).alias("s0"))
+             .select("doc_id", "source",
+                     F.when(F.col("doc_id") % 7 == 0,
+                            F.concat("s0", F.array(
+                                F.concat(F.lit("read more at "),
+                                         F.lower("source")))))
+                      .otherwise(F.col("s0")).alias("sentences")))
+    out = remove_frequent_sentences(docs, "sentences", "doc_id",
+                                    group_col="source", max_doc_freq=2)
+    return out.select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.col("n_kept"))
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Dolma/RedPajama-v2-style exact paragraph dedup
     (operators/text_dedup.py dedup_paragraphs): deterministic paragraph
@@ -2760,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
+        "boilerplate_filter": q_boilerplate_filter,
         "epoch_mix": q_epoch_mix,
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
@@ -4112,6 +4154,52 @@ SELECT doc_id, CAST(h % 16 AS INTEGER) AS shard,
        CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1
             AS BIGINT) AS pos
 FROM h
+""",
+        "boilerplate_filter": r"""
+WITH base AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split_regex(trim(text), '\s+')) > 0
+),
+pb AS (
+  SELECT doc_id, source,
+         list_transform(generate_series(0, (len(w) - 1) // 5),
+           i -> array_to_string(list_slice(w, i * 5 + 1, i * 5 + 5), ' ')) AS body
+  FROM base
+),
+pl AS (
+  SELECT doc_id, source,
+         list_concat(
+           list_concat(
+             CASE WHEN doc_id % 3 = 0
+               THEN ['follow us on social media for breaking news and updates']
+               ELSE [] END,
+             body),
+           CASE WHEN doc_id % 7 = 0
+             THEN ['read more at ' || lower(source)] ELSE [] END) AS s
+  FROM pb
+),
+occ AS (
+  SELECT doc_id, source, i AS pos, s[i + 1] AS sent,
+         CAST('0x' || substr(md5(lower(trim(s[i + 1]))), 1, 15) AS BIGINT)
+           AS sent_h
+  FROM pl, UNNEST(generate_series(0, len(s) - 1)) AS u(i)
+),
+hot AS (
+  SELECT source, sent_h FROM occ
+  GROUP BY source, sent_h HAVING count(DISTINCT doc_id) > 2
+),
+kept AS (
+  SELECT occ.doc_id, occ.pos, occ.sent
+  FROM occ ANTI JOIN hot
+    ON occ.source = hot.source AND occ.sent_h = hot.sent_h
+)
+SELECT doc_id,
+       CAST(length(string_agg(sent, ' ' ORDER BY pos)) AS BIGINT)
+         AS clean_len,
+       md5(string_agg(sent, ' ' ORDER BY pos)) AS clean_md5,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY doc_id
 """,
         "paragraph_dedup": r"""
 WITH base AS (

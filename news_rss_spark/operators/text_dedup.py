@@ -1004,3 +1004,63 @@ def fuzzy_contamination(train: DataFrame, bench: DataFrame,
     return (pairs.select("train_id", "bench_id",
                          F.round(jac, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def remove_frequent_sentences(df: DataFrame, sents_col: str = "sentences",
+                              id_col: str = "doc_id",
+                              group_col: str | None = None,
+                              max_doc_freq: int = 2,
+                              out_delim: str = " ") -> DataFrame:
+    """Frequency-threshold boilerplate removal (the CCNet / RefinedWeb
+    line-dedup recipe): a sentence appearing in MORE THAN
+    ``max_doc_freq`` DISTINCT documents — within its ``group_col``
+    slice (publisher / domain) when given, else corpus-wide — is
+    boilerplate and is removed from EVERY document, including the
+    first.  Complements the first-occurrence keepers
+    (:func:`dedup_paragraphs` keeps exactly one copy of a footer; this
+    keeps zero): navigation chrome, cookie banners and subscription
+    prompts carry no training signal in ANY document, and keeping "the
+    first" of them is an artifact of the keeper convention, not a
+    curation decision.
+
+    Input contract matches :func:`dedup_paragraphs`: ``sents_col`` is
+    an array<string> (the segmentation policy stays with the caller —
+    compose with ``operators/sentences.py::split_sentences`` or a line
+    split).  Returns ``(id_col, clean_text, n_kept)``; documents whose
+    every sentence is boilerplate vanish.
+
+    Sentences are compared normalized (``lower(trim(s))``) and keyed by
+    a 63-bit md5 slice, so the doc-frequency agg —
+    ``groupBy(key).agg(countDistinct(id))``, a hash agg with map-side
+    partial distinct — ships 8-byte keys, never text (a banner repeated
+    10^8 times collapses per map task).  By Zipf the over-threshold key
+    set is tiny (hard bound: total_sentences / max_doc_freq keys, in
+    practice orders less), so AQE broadcasts it into the left-anti join
+    and the corpus rides through unshuffled; sentence text moves only
+    in the final per-doc rebuild agg.  Same two-shuffle shape as
+    dedup_paragraphs.
+
+    Reference analog: none — the reference dedups whole articles via
+    the seen-URL cache only (src/cache/mod.rs); sentence-frequency
+    cleanup is engine-new (training-data scope).
+    """
+    keys = [group_col] if group_col else []
+    occ = (df.select(F.col(id_col), *[F.col(k) for k in keys],
+                     F.posexplode(F.col(sents_col)).alias("pos", "sent"))
+             .withColumn(
+                 "sent_h",
+                 F.conv(F.substring(F.md5(F.lower(F.trim("sent"))), 1, 15),
+                        16, 10).cast("long")))
+    hot = (occ.groupBy(*keys, "sent_h")
+              .agg(F.countDistinct(id_col).alias("doc_freq"))
+              .filter(F.col("doc_freq") > int(max_doc_freq))
+              .select(*keys, "sent_h"))
+    kept = occ.join(hot, [*keys, "sent_h"], "left_anti")
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("pos",
+                                                              "sent"))),
+                         lambda x: x["sent"]),
+                     out_delim).alias("clean_text"),
+                 F.count(F.lit(1)).alias("n_kept")))

@@ -313,6 +313,82 @@ class TestParagraphDedup:
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+class TestRemoveFrequentSentences:
+    """CCNet/RefinedWeb frequency-threshold boilerplate removal
+    (remove_frequent_sentences): over-frequent sentences are removed
+    from EVERY doc, including the first occurrence."""
+
+    def _run(self, spark, rows, schema="doc_id long, sentences array<string>",
+             **kw):
+        from news_rss_spark.operators.text_dedup import (
+            remove_frequent_sentences)
+        d = spark.createDataFrame(rows, schema)
+        return {r["doc_id"]: (r["clean_text"], r["n_kept"])
+                for r in remove_frequent_sentences(d, **kw).collect()}
+
+    def test_over_threshold_removed_everywhere(self, spark):
+        got = self._run(spark, [
+            (0, ["banner", "alpha"]),
+            (1, ["beta", "banner"]),
+            (2, ["banner", "gamma"]),   # 3 docs > max_doc_freq=2
+            (3, ["banner"]),            # 4th doc, all boilerplate
+        ], max_doc_freq=2)
+        assert got[0] == ("alpha", 1)   # FIRST occurrence removed too
+        assert got[1] == ("beta", 1)
+        assert got[2] == ("gamma", 1)
+        assert 3 not in got             # fully-boilerplate doc vanishes
+
+    def test_at_threshold_kept(self, spark):
+        got = self._run(spark, [
+            (0, ["shared", "a"]),
+            (1, ["shared", "b"]),       # 2 docs == max_doc_freq: kept
+        ], max_doc_freq=2)
+        assert got[0] == ("shared a", 2)
+        assert got[1] == ("shared b", 2)
+
+    def test_within_doc_repeats_count_one_doc(self, spark):
+        # the same sentence 5x in ONE doc is doc_freq=1, not 5
+        got = self._run(spark, [(0, ["x"] * 5 + ["y"])], max_doc_freq=2)
+        assert got[0] == ("x x x x x y", 6)
+
+    def test_normalized_matching_preserves_original_text(self, spark):
+        got = self._run(spark, [
+            (0, ["Click HERE", "a"]),
+            (1, ["click here", "b"]),
+            (2, ["  click here  ", "c"]),  # lower(trim) all one key
+        ], max_doc_freq=2)
+        assert got[0] == ("a", 1)
+        assert got[1] == ("b", 1)
+        assert got[2] == ("c", 1)
+
+    def test_group_scoped_threshold(self, spark):
+        rows = [
+            (0, "A", ["promo", "a0"]), (1, "A", ["promo", "a1"]),
+            (2, "A", ["promo", "a2"]),          # 3 A-docs: hot in A
+            (3, "B", ["promo", "b0"]),          # 1 B-doc: kept in B
+        ]
+        got = self._run(
+            spark, rows,
+            schema="doc_id long, source string, sentences array<string>",
+            group_col="source", max_doc_freq=2)
+        assert got[0] == ("a0", 1) and got[2] == ("a2", 1)
+        assert got[3] == ("promo b0", 2)
+
+    def test_order_preserved_and_no_bnlj(self, spark):
+        from news_rss_spark.operators.text_dedup import (
+            remove_frequent_sentences)
+        got = self._run(spark, [
+            (0, ["hot"]), (1, ["hot"]), (2, ["hot"]),
+            (3, ["p", "hot", "q", "hot", "r"]),
+        ], max_doc_freq=2)
+        assert got[3] == ("p q r", 3)
+        d = spark.createDataFrame([(0, ["a"])],
+                                  "doc_id long, sentences array<string>")
+        plan = remove_frequent_sentences(d)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 class TestDuplicatedGramSpans:
     """Full ExactSubstr semantics (duplicated_gram_spans): maximal
     duplicated-span reconstruction from duplicated k-gram starts must
