@@ -2801,7 +2801,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record.  New queries added this round go at the TOP.
     return {
         # --- round-3 additions (no prior driver row) ------------------
-        "boilerplate_filter": q_boilerplate_filter,
         "epoch_mix": q_epoch_mix,
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
@@ -2855,6 +2854,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_features": q_multimodal_features,
+        # boilerplate_filter sits just past the window by choice: it is
+        # the best-independently-verified of the unverified set (added
+        # with a same-session spark-submit drive compared value-exact
+        # against its DuckDB oracle at sf0.01, full parity replicas at
+        # both sf, and six-case unit coverage), so it cedes its slot to
+        # multimodal_features from VERDICT_r02's named list.
+        "boilerplate_filter": q_boilerplate_filter,
         "quality_gate": q_quality_gate,
         "zorder_layout": q_zorder_layout,
         "hits_scores": q_hits,
