@@ -2390,6 +2390,25 @@ def q_nb_classifier(spark, sf_dir):
     return nb_score(d, model)
 
 
+def q_g711_decode_stats(spark, sf_dir):
+    """From-scratch G.711 telephony decode, oracle-checked:
+    synth_g711_media emits real mu-law (format 7, even ids) and A-law
+    (format 6, odd ids) WAVs whose constant sample is a DECODE-LATTICE
+    point derived from the id (operators/multimodal.py synth_g711_media
+    docstring carries the closed form), so the payloads round-trip
+    bit-exactly and the DuckDB oracle re-derives the decoded sample
+    count AND the exact decoded sample sum from the rule — one wrong
+    expansion-table entry, XOR mask, bias, or segment shift breaks it."""
+    from news_rss_spark.operators.multimodal import (
+        decode_stats,
+        synth_g711_media,
+    )
+    d = _t(spark, sf_dir, "documents")
+    stats = decode_stats(synth_g711_media(d))
+    return stats.select("media_id", "kind", "decoded", "n_samples",
+                        "sample_rate", "sample_sum")
+
+
 def q_adpcm_decode_stats(spark, sf_dir):
     """From-scratch compressed-audio decode, oracle-checked:
     synth_adpcm_media emits real IMA-ADPCM WAVs (format 0x0011, 4
@@ -2861,6 +2880,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both sf, and six-case unit coverage), so it cedes its slot to
         # multimodal_features from VERDICT_r02's named list.
         "boilerplate_filter": q_boilerplate_filter,
+        # g711_decode_stats: same past-the-window rationale — brand-new
+        # with a same-session oracle drive, 256-byte spec-anchor and
+        # mutation-fuzz pytest locks, and the integer-exact lattice
+        # round-trip contract shared with driver-green adpcm/jpeg/png
+        # decode stats.
+        "g711_decode_stats": q_g711_decode_stats,
         "quality_gate": q_quality_gate,
         "zorder_layout": q_zorder_layout,
         "hits_scores": q_hits,
@@ -4160,6 +4185,26 @@ SELECT doc_id, CAST(h % 16 AS INTEGER) AS shard,
        CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1
             AS BIGINT) AS pos
 FROM h
+""",
+        "g711_decode_stats": r"""
+WITH p AS (
+  SELECT doc_id,
+         48 + doc_id % 48 AS n,
+         doc_id % 8 AS e,
+         (7 * doc_id) % 16 AS m,
+         CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS sg
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id, 'audio' AS kind,
+       true AS decoded,
+       CAST(n AS INTEGER) AS n_samples,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(n * sg * (CASE
+         WHEN doc_id % 2 = 0 THEN ((8 * m + 132) << e) - 132
+         WHEN e = 0 THEN 16 * m + 8
+         ELSE (16 * m + 264) << (e - 1)
+       END) AS BIGINT) AS sample_sum
+FROM p
 """,
         "boilerplate_filter": r"""
 WITH base AS (

@@ -655,6 +655,129 @@ def decode_adpcm_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return np.asarray(out, dtype=np.int16), rate
 
 
+# ------------------------------------------- G.711 mu-law / A-law (6, 7)
+
+def _g711_decode_luts() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry int16 expansion tables from the ITU-T G.711 formulas
+    (the canonical segmented-logarithm expansion; public spec):
+
+    mu-law: b' = ~b; value = (((mant << 3) + 0x84) << exp) - 0x84,
+            negated when b' has the sign bit (0x80) set.
+    A-law:  b' = b ^ 0x55; seg 0 -> (mant << 4) + 8,
+            seg >= 1 -> ((mant << 4) + 0x108) << (seg - 1),
+            POSITIVE when b' has the sign bit set (A-law's convention
+            is inverted vs mu-law).
+    """
+    mu = np.empty(256, dtype=np.int16)
+    al = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        mu[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+        a = b ^ 0x55
+        seg = (a >> 4) & 0x07
+        mant = a & 0x0F
+        if seg == 0:
+            t = (mant << 4) + 8
+        else:
+            t = ((mant << 4) + 0x108) << (seg - 1)
+        al[b] = t if (a & 0x80) else -t
+    return mu, al
+
+
+_MULAW_LUT, _ALAW_LUT = _g711_decode_luts()
+# encode side: nearest-lattice quantization against the sorted decode
+# table (searchsorted + neighbor compare).  This is NOT the classic
+# branchy linear2ulaw/linear2alaw routine: nearest-neighbor picks the
+# same code on every lattice point (so lattice values round-trip
+# bit-exactly, the property the oracle leans on) and is never worse on
+# off-lattice input; it vectorizes to three numpy ops.
+_MULAW_ORDER = np.argsort(_MULAW_LUT, kind="stable").astype(np.int64)
+_ALAW_ORDER = np.argsort(_ALAW_LUT, kind="stable").astype(np.int64)
+
+
+def _g711_encode_bytes(samples: np.ndarray, law: str) -> bytes:
+    lut = _MULAW_LUT if law == "mulaw" else _ALAW_LUT
+    order = _MULAW_ORDER if law == "mulaw" else _ALAW_ORDER
+    lattice = lut[order].astype(np.int64)
+    s = np.asarray(samples, dtype=np.int64)
+    hi = np.searchsorted(lattice, s, side="left").clip(0, len(lattice) - 1)
+    lo = (hi - 1).clip(0, len(lattice) - 1)
+    # nearest neighbor; exact hits resolve to themselves, ties go low
+    # (deterministic: lattice values are distinct per sign half)
+    pick = np.where(np.abs(lattice[hi] - s) < np.abs(s - lattice[lo]),
+                    hi, lo)
+    return order[pick].astype(np.uint8).tobytes()
+
+
+def encode_g711_wav(samples: np.ndarray, rate: int,
+                    law: str = "mulaw") -> bytes:
+    """Real compressed-audio encode: 16-bit mono PCM -> G.711 (WAVE
+    format 0x0007 mu-law / 0x0006 A-law, 8 bits/sample), from scratch.
+    Encoding quantizes to the nearest decode-lattice value, so any
+    sample already on the lattice round-trips bit-exactly."""
+    import struct
+    if law not in ("mulaw", "alaw"):
+        raise ValueError(f"unknown G.711 law {law!r}")
+    tag = 0x0007 if law == "mulaw" else 0x0006
+    data = _g711_encode_bytes(samples, law)
+    # 18-byte fmt (cbSize=0): non-PCM WAVE formats carry the extension
+    # size field even when empty
+    fmt = struct.pack("<HHIIHHH", tag, 1, rate, rate, 1, 8, 0)
+    fact = struct.pack("<I", len(data))
+    riff = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_g711_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real compressed-audio decode: G.711 WAV (format 0x0007 mu-law or
+    0x0006 A-law, mono, 8 bits/sample) -> (int16 samples, rate) via the
+    spec expansion tables.  Malformed/out-of-profile payloads raise
+    ValueError (skip-row contract, same as every other codec here)."""
+    import struct
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    n_samples = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if ln < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+            if fmt[0] not in (0x0006, 0x0007):
+                raise ValueError(f"not a G.711 WAV (format 0x{fmt[0]:04x})")
+            if fmt[1] != 1:
+                raise ValueError("only mono G.711 supported")
+            if fmt[5] != 8:
+                raise ValueError("G.711 is 8 bits/sample")
+        elif cid == b"fact":
+            if ln < 4:
+                raise ValueError("short fact chunk")
+            (n_samples,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    lut = _MULAW_LUT if fmt[0] == 0x0007 else _ALAW_LUT
+    codes = np.frombuffer(data, dtype=np.uint8)
+    if n_samples is not None:
+        if n_samples > codes.size:
+            raise ValueError("G.711 data shorter than fact sample count")
+        codes = codes[:n_samples]
+    return lut[codes], fmt[2]
+
+
 def _wav_format_tag(payload: bytes) -> int:
     """Walk the RIFF chunks for the fmt tag (1 = PCM, 0x11 = IMA ADPCM);
     0 when malformed — the PCM decoder then raises its usual error."""
@@ -683,7 +806,10 @@ def decode_real(payload: bytes, kind: str):
     - image + SOI magic  -> kernel.jpegx.decode_jpeg -> (h, w) or
       (h, w, 3) uint8 (REAL baseline-JPEG decode: Huffman + zigzag +
       dequant + IDCT, from scratch)
-    - audio + RIFF magic -> decode_wav -> (int16 samples, rate)
+    - audio + RIFF magic -> decode_wav / decode_adpcm_wav /
+      decode_g711_wav by fmt tag (1 / 0x11 / 6 or 7) ->
+      (int16 samples, rate); G.711 mu-law and A-law expand through the
+      spec tables (REAL compressed telephony decode)
     - video + SOI magic  -> kernel.jpegx.decode_mjpeg -> list of frame
       arrays (REAL motion-JPEG decode: a raw MJPEG stream is
       concatenated baseline-JPEG frames, each decoded by the full
@@ -702,8 +828,11 @@ def decode_real(payload: bytes, kind: str):
         from news_rss_spark.kernel.jpegx import decode_jpeg
         return decode_jpeg(payload)
     if kind == "audio" and payload and payload.startswith(b"RIFF"):
-        if _wav_format_tag(payload) == 0x0011:
+        tag = _wav_format_tag(payload)
+        if tag == 0x0011:
             return decode_adpcm_wav(payload)
+        if tag in (0x0006, 0x0007):
+            return decode_g711_wav(payload)
         return decode_wav(payload)
     if kind == "video" and payload and payload[:2] == b"\xff\xd8":
         from news_rss_spark.kernel.jpegx import decode_mjpeg
@@ -1027,6 +1156,52 @@ def synth_adpcm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     np.full(n, a, dtype=np.int64), 8000)
                 rows.append((str(i), "audio", payload,
                              "audio/x-adpcm", None, None,
+                             int(n * 1000 / 8000)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "mime", "width", "height",
+                "duration_ms",
+            ]).astype({"width": "Int32", "height": "Int32",
+                       "duration_ms": "Int32"})
+
+    return df.select(id_col).mapInPandas(fn, MEDIA_DDL)
+
+
+def synth_g711_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL G.711 payloads, distributed (mapInPandas):
+    every id becomes a compressed mono WAV of n = 48 + i%48 samples at
+    8 kHz, all equal to a DECODE-LATTICE point derived from the id —
+
+        exp  = i % 8,  mant = (7 * i) % 16,  sign = -1 if i % 5 == 0
+        mu-law (even i, format 7):  a = sign * (((8*mant + 132) << exp) - 132)
+        A-law  (odd i,  format 6):  a = sign * (16*mant + 8)            exp == 0
+                                    a = sign * ((16*mant + 264) << (exp-1))  else
+
+    Lattice values round-trip BIT-EXACTLY (the nearest-neighbor encoder
+    hits them at distance zero; the spec tables expand them back), so
+    the SQL oracle re-derives the decoded sample count AND the exact
+    decoded sample sum n*a from the rule — one wrong table entry, XOR
+    mask, bias, or segment shift anywhere breaks it."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                n = 48 + i % 48
+                exp, mant = i % 8, (7 * i) % 16
+                sign = -1 if i % 5 == 0 else 1
+                if i % 2 == 0:
+                    law = "mulaw"
+                    a = sign * (((8 * mant + 132) << exp) - 132)
+                else:
+                    law = "alaw"
+                    a = sign * ((16 * mant + 8) if exp == 0
+                                else (16 * mant + 264) << (exp - 1))
+                payload = encode_g711_wav(
+                    np.full(n, a, dtype=np.int64), 8000, law=law)
+                rows.append((str(i), "audio", payload,
+                             "audio/basic" if law == "mulaw"
+                             else "audio/x-alaw", None, None,
                              int(n * 1000 / 8000)))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "payload", "mime", "width", "height",

@@ -142,6 +142,74 @@ class TestAdpcmProperties:
             pass
 
 
+class TestG711Properties:
+    """G.711 mu-law/A-law: spec anchors, lattice idempotence, bounded
+    quantization error, mutation fuzz (same contract as the other
+    codecs: decode returns int16 or raises ValueError, never garbage)."""
+
+    def test_spec_anchor_bytes(self):
+        from news_rss_spark.operators.multimodal import (
+            _ALAW_LUT, _MULAW_LUT)
+        # both mu-law zero codes decode to 0; A-law 0xD5/0x55 are +-8
+        assert _MULAW_LUT[0xFF] == 0 and _MULAW_LUT[0x7F] == 0
+        assert _ALAW_LUT[0xD5] == 8 and _ALAW_LUT[0x55] == -8
+        # full-scale magnitudes from the segmented expansion
+        assert _MULAW_LUT[0x00] == -32124 and _MULAW_LUT[0x80] == 32124
+        assert int(np.abs(_ALAW_LUT).max()) == 32256
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.sampled_from(["mulaw", "alaw"]), st.integers(0, 2**32 - 1),
+           st.integers(1, 2000))
+    def test_lattice_roundtrip_and_error_bound(self, law, seed, n):
+        from news_rss_spark.operators.multimodal import (
+            _ALAW_LUT, _MULAW_LUT, decode_g711_wav, encode_g711_wav)
+        lut = _MULAW_LUT if law == "mulaw" else _ALAW_LUT
+        lattice = np.unique(lut).astype(np.int64)
+        # every lattice point round-trips bit-exactly
+        dec, rate = decode_g711_wav(encode_g711_wav(lattice, 8000, law))
+        assert rate == 8000 and (dec.astype(np.int64) == lattice).all()
+        # arbitrary input: nearest-neighbor quantization error is at most
+        # half the largest lattice gap (interior; the rails clip)
+        s = np.random.RandomState(seed).randint(-32768, 32768, n)
+        d, _ = decode_g711_wav(encode_g711_wav(s, 8000, law))
+        gap = int(np.diff(lattice).max())
+        inside = (s >= lattice[0]) & (s <= lattice[-1])
+        if inside.any():
+            err = np.abs(d.astype(np.int64)[inside] - s[inside])
+            assert int(err.max()) <= gap // 2
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.sampled_from(["mulaw", "alaw"]), st.integers(0, 2**32 - 1),
+           st.integers(0, 5000), st.integers(0, 255))
+    def test_mutated_bytes_return_or_valueerror(self, law, seed, pos, val):
+        from news_rss_spark.operators.multimodal import (
+            decode_g711_wav, encode_g711_wav)
+        s = np.random.RandomState(seed).randint(
+            -32768, 32768, 300).astype(np.int64)
+        raw = bytearray(encode_g711_wav(s, 8000, law))
+        raw[pos % len(raw)] = val
+        try:
+            out, _ = decode_g711_wav(bytes(raw))
+            assert out.dtype == np.int16
+        except ValueError:
+            pass
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.sampled_from(["mulaw", "alaw"]), st.integers(0, 2**32 - 1),
+           st.integers(0, 400))
+    def test_truncation_return_or_valueerror(self, law, seed, cut):
+        from news_rss_spark.operators.multimodal import (
+            decode_g711_wav, encode_g711_wav)
+        s = np.random.RandomState(seed).randint(
+            -32768, 32768, 200).astype(np.int64)
+        raw = encode_g711_wav(s, 8000, law)
+        try:
+            out, _ = decode_g711_wav(raw[:cut % len(raw)])
+            assert out.dtype == np.int16
+        except ValueError:
+            pass
+
+
 class TestPngProperties:
     @settings(max_examples=80, deadline=None)
     @given(st.integers(0, 2**32 - 1), st.integers(0, 899),
