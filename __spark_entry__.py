@@ -976,6 +976,49 @@ def q_script_profile(spark, sf_dir):
     return script_profile(injected)
 
 
+def q_cdc_shared_chunks(spark, sf_dir):
+    """Shift-robust shared-passage index (operators/cdc.py
+    cdc_shared_chunks): a 300-char passage is appended to every
+    doc_id%6==1 document, so its interior content-defined chunks hash
+    identically across all carriers after boundary resync; chunks of
+    len>=24 appearing in >1 document surface with their carrier count.
+    One map-side-combined hash agg over the chunk relation.  The oracle
+    replays injection, anchors, slicing, and the aggregation."""
+    from news_rss_spark.operators.cdc import cdc_shared_chunks
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 1,
+               F.concat(F.col("text"), F.lit(_CDC_SHARED_PASSAGE)))
+         .otherwise(F.col("text")).alias("text"))
+    return cdc_shared_chunks(aug, w=16, divisor=64, min_len=24)
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """Local-overlap pair mining over winnowing fingerprints
+    (operators/winnow.py winnow_overlap_pairs): every doc_id%4==1
+    document gets a 22-token passage keyed by its doc_id div 8 block —
+    exactly two docs per block share it (doc_id = 8k+1 and 8k+5), so
+    they must share fingerprints (winnow guarantees any run >= w+k-1=6
+    tokens fingerprints identically).  Fingerprints in more than
+    max_df=50 docs are pruned as boilerplate BEFORE the self-join
+    (bounded fan-out); pairs sharing >= 2 distinct hashes report.  The
+    oracle replays injection, 3-grams, window minima, prune, and join."""
+    from news_rss_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 1,
+               F.concat(F.col("text"), F.lit(_WINNOW_SHARED_TOKENS),
+                        F.expr("cast(doc_id div 8 as string)")))
+         .otherwise(F.col("text")).alias("text"))
+    fps = winnow_fingerprints(aug, k=3, w=4)
+    return winnow_overlap_pairs(fps, min_shared=2, max_df=50)
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprints (operators/winnow.py — the MOSS local
     fingerprinting scheme): per window of w=4 consecutive 3-gram 60-bit
@@ -1556,6 +1599,19 @@ def q_exact_substring_spans(spark, sf_dir):
 
 
 _PARA_BOILER = "follow us on social media for breaking news and updates"
+
+# ~300 chars so the appended passage contains interior CDC anchors
+# (expected chunk length 64) that re-share across carriers
+_CDC_SHARED_PASSAGE = (
+    " the council convened at dawn to review the flood defenses along the"
+    " northern embankment and agreed to publish the full engineering"
+    " assessment before the next session so residents could compare the"
+    " projected water levels against the revised evacuation routes and"
+    " file objections within thirty days")
+
+_WINNOW_SHARED_TOKENS = (
+    " shared passage alpha beta gamma delta epsilon zeta eta theta iota"
+    " kappa lambda mu nu xi omicron pi rho sigma tau upsilon block ")
 
 
 def q_boilerplate_filter(spark, sf_dir):
@@ -2886,6 +2942,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-trip contract shared with driver-green adpcm/jpeg/png
         # decode stats.
         "g711_decode_stats": q_g711_decode_stats,
+        # cdc_shared_chunks / winnow_overlap: same rationale — their
+        # chunk/fingerprint substrates are the driver-checked cdc_chunks
+        # and (replica-green) winnow_fingerprints relations; only the
+        # final aggregation/join is new, fully replayed by the oracle.
+        "cdc_shared_chunks": q_cdc_shared_chunks,
+        "winnow_overlap": q_winnow_overlap,
         "quality_gate": q_quality_gate,
         "zorder_layout": q_zorder_layout,
         "hits_scores": q_hits,
@@ -3436,6 +3498,72 @@ SELECT x.doc_id AS a, y.doc_id AS b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM p x JOIN p y ON x.chunk_md5 = y.chunk_md5 AND x.doc_id < y.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3"""
+
+
+def _winnow_overlap_sql(min_shared: int = 2, max_df: int = 50) -> str:
+    """Full replay of q_winnow_overlap: inject the block-keyed shared
+    passage, rebuild k=3/w=4 winnowing fingerprints (same chain as the
+    winnow_fingerprints oracle), prune document-frequency > max_df
+    hashes, then the self-join pair count."""
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 1
+              THEN text || '{_WINNOW_SHARED_TOKENS}'
+                   || CAST(doc_id // 8 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM corpus
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15)
+              AS BIGINT) AS h
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+),
+ng AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+starts AS (
+  SELECT doc_id, s - 1 AS s
+  FROM ng, UNNEST(generate_series(1, greatest(n - 3, 1))) AS u(s)
+),
+wins AS (
+  SELECT st.doc_id, st.s, min({{'h': g.h, 'nj': -g.pos}}) AS m
+  FROM starts st
+  JOIN g ON g.doc_id = st.doc_id AND g.pos BETWEEN st.s AND st.s + 3
+  GROUP BY st.doc_id, st.s
+),
+fp AS (SELECT DISTINCT doc_id, m.h AS h FROM wins),
+dfc AS (SELECT h, count(*) AS nd FROM fp GROUP BY h),
+pr AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfc USING (h)
+       WHERE nd <= {max_df})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM pr x JOIN pr y ON x.h = y.h AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
+
+
+_CDC_SHARED_PREFIX = f"""corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 1 THEN text || '{_CDC_SHARED_PASSAGE}'
+              ELSE text END AS text
+  FROM documents
+),
+"""
+
+_CDC_SHARED_TAIL = """,
+sh AS (
+  SELECT md5(substr(text, chunk_start, chunk_len)) AS chunk_md5,
+         chunk_len, doc_id
+  FROM b WHERE chunk_len >= 24
+)
+SELECT chunk_md5, CAST(chunk_len AS INT) AS chunk_len,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM sh GROUP BY chunk_md5, chunk_len HAVING count(DISTINCT doc_id) > 1"""
 
 
 def _cdc_gear_sql(divisor: int = 64) -> str:
@@ -5018,6 +5146,10 @@ FROM l WHERE prev_w IS NOT NULL
         "cdc_revision_pairs": _cdc_sql(
             w=16, divisor=64, src="corpus",
             prefix=_CDC_REVISION_PREFIX, tail=_CDC_REVISION_TAIL),
+        "cdc_shared_chunks": _cdc_sql(
+            w=16, divisor=64, src="corpus",
+            prefix=_CDC_SHARED_PREFIX, tail=_CDC_SHARED_TAIL),
+        "winnow_overlap": _winnow_overlap_sql(),
         "dedup_audit": _dedup_audit_sql(threshold=0.4, sample_mod=5),
         "table_stats": _table_stats_sql(),
         "skew_profile": """
