@@ -1019,6 +1019,39 @@ def q_winnow_overlap(spark, sf_dir):
     return winnow_overlap_pairs(fps, min_shared=2, max_df=50)
 
 
+def q_blocklist_verdict(spark, sf_dir):
+    """Per-document blocklist gate (operators/blocklist.py
+    blocklist_verdict): total Aho-Corasick hits per doc + a boolean
+    ``blocked`` (total > 0), zero-hit docs re-attached with
+    blocked=false via a left join on the hit-sized relation (the base
+    corpus is never shuffled into the agg).  Same pinned phrase list as
+    blocklist_scan; the oracle replays raw-substring counting and the
+    left-join re-attachment."""
+    from news_rss_spark.operators.blocklist import blocklist_verdict
+    d = _t(spark, sf_dir, "documents")
+    return blocklist_verdict(
+        d, ["table table", "hash value", "scan slow", "customer query"],
+        max_hits=0)
+
+
+def q_gate_reason_counts(spark, sf_dir):
+    """Quality-gate operability histogram (operators/quality_gate.py
+    gate_reason_counts): one row per reject_reason with count and
+    corpus share — the drift alarm for a new crawl batch's rejection
+    mix.  One hash agg + an in-plan broadcast 1-row total (no driver
+    count).  The oracle wraps the full quality_gate replay and
+    re-derives the shares."""
+    from news_rss_spark.operators.quality_gate import (
+        gate_reason_counts,
+        quality_gate,
+    )
+    d = _t(spark, sf_dir, "documents")
+    g = quality_gate(d, "text", min_tokens=5, max_tokens=10_000,
+                     max_dup_gram_frac=0.5, min_quality=0.3,
+                     keep_rejects=True)
+    return gate_reason_counts(g)
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprints (operators/winnow.py — the MOSS local
     fingerprinting scheme): per window of w=4 consecutive 3-gram 60-bit
@@ -2948,6 +2981,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # final aggregation/join is new, fully replayed by the oracle.
         "cdc_shared_chunks": q_cdc_shared_chunks,
         "winnow_overlap": q_winnow_overlap,
+        # blocklist_verdict / gate_reason_counts: aggregations over the
+        # driver-checked blocklist_scan hits and quality_gate relations;
+        # oracles wrap the same replays.
+        "blocklist_verdict": q_blocklist_verdict,
+        "gate_reason_counts": q_gate_reason_counts,
         "quality_gate": q_quality_gate,
         "zorder_layout": q_zorder_layout,
         "hits_scores": q_hits,
@@ -5735,6 +5773,33 @@ FROM documents WHERE text IS NOT NULL
         "multimodal_features": _multimodal_sql(),
         "incremental_dedup": _incremental_dedup_sql(),
         "quality_gate": _quality_gate_sql(),
+        "gate_reason_counts": f"""
+WITH gated AS ({_quality_gate_sql()})
+SELECT reject_reason, CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) * 1.0 / (SELECT count(*) FROM gated), 6) AS share
+FROM gated GROUP BY reject_reason
+""",
+        "blocklist_verdict": r"""
+WITH p(phrase) AS (VALUES ('customer query'), ('hash value'),
+                          ('scan slow'), ('table table')),
+d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lower(text) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+hits AS (
+  SELECT d.doc_id
+  FROM d, p,
+       UNNEST(generate_series(1, length(d.t) - length(p.phrase) + 1)) AS g(i)
+  WHERE substr(d.t, i, length(p.phrase)) = p.phrase
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM hits GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(tot.n, 0) AS total_hits,
+       coalesce(tot.n, 0) > 0 AS blocked
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) b
+LEFT JOIN tot USING (doc_id)
+""",
         "zorder_layout": _zorder_sql(),
         "hits_scores": _hits_sql(),
         "asof_join": """
