@@ -31,8 +31,9 @@ no Python on the md5 path.  Downstream dedup is the standard
 ``chunk_md5`` hash aggregation.  The md5-per-position cost is O(doc
 chars) hashes of w-char grams (measured end-to-end: 212 docs/s at
 20 KB docs vs 35 before the chars-array rewrite, linear in doc length
-now; ~25% slower at 2 KB where allocation overhead dominates —
-accepted for the unbounded-length safety); the throughput path is
+now; short docs keep the substring probe via the
+``_CDC_SEEK_SWITCH`` length switch so 1-2 KB corpora pay no
+allocation penalty); the throughput path is
 :func:`cdc_chunks_gear` (same contract, vectorized rolling hash,
 47.8k docs/s at 2 KB / 5.2k at 20 KB on local[32]).
 """
@@ -46,6 +47,12 @@ from pyspark.sql import functions as F
 
 __all__ = ["GEAR", "cdc_chunks", "cdc_chunks_gear", "cdc_revision_pairs",
            "cdc_shared_chunks", "gear_anchors_py"]
+
+# Anchor-scan break-even (chars): substring's O(p) UTF8 seek still beats
+# the chars-array slice's per-position allocation below ~2 KB (measured
+# 2x at 1 KB, ~1.4x at 2 KB, loses 5.8x by 20 KB).  Docs at or under
+# this length probe with substring; longer docs slice the array.
+_CDC_SEEK_SWITCH = 2048
 
 
 def _explode_chunks(prepared: DataFrame, id_col: str) -> DataFrame:
@@ -104,24 +111,35 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"cdc_chunks: w/divisor must be >= 1, "
                          f"got w={w} divisor={divisor}")
     t = F.col(text_col)
-    # The w-gram is sliced from a PROJECTED chars array, not substring'd
-    # from the text: substring(text, p, w) re-walks the UTF8 bytes to
-    # codepoint p on every probe — an O(n^2) anchor scan (the same
-    # defect fixed in operators/sentences.py).  Measured A/B: break-even
-    # at ~2 KB docs (md5 cost dominates there), 5.8x at 20 KB
-    # (35 -> 203 docs/s), growing quadratically beyond.  The array is
-    # referenced at least twice (sequence bound + lambda body) so
-    # CollapseProject cannot inline the single-use split() back into
-    # the per-element HOF body, which would re-split per position.
-    anchor_key = (f"cast(conv(substring(md5(array_join("
-                  f"slice(_cdc_chars, p, {w}), '')), "
-                  f"1, 15), 16, 10) as bigint)")
+    # Length-switched anchor scan, identical output on both branches.
+    # substring(text, p, w) re-walks the UTF8 bytes to codepoint p on
+    # every probe — an O(n^2) scan that loses quadratically on long
+    # docs (35 -> 212 docs/s at 20 KB when switched to array slices,
+    # and it only gets worse).  But slicing a projected chars array
+    # pays a fixed per-position allocation (slice + array_join) that
+    # the short-seek substring beats on small docs (measured 2x at the
+    # 1 KB probe corpus, ~1.4x at 2 KB).  So: substring probes up to
+    # _CDC_SEEK_SWITCH chars, chars-array slices beyond — CaseWhen
+    # evaluates exactly one branch per row.  The chars array is
+    # projected either way (the exploding back half needs it) and is
+    # referenced >= twice so CollapseProject cannot inline the
+    # single-use split() into a per-element HOF body.
+    sub_key = (f"cast(conv(substring(md5(substring({text_col}, p, {w})), "
+               f"1, 15), 16, 10) as bigint)")
+    arr_key = (f"cast(conv(substring(md5(array_join("
+               f"slice(_cdc_chars, p, {w}), '')), "
+               f"1, 15), 16, 10) as bigint)")
     # anchors exist only when len >= w + 1 (guard: sequence(2, 1) would
     # count DOWN); position 1 is always a start, so anchors begin at 2
     anchors = F.when(
         F.size(F.col("_cdc_chars")) >= w + 1,
-        F.expr(f"filter(sequence(2, size(_cdc_chars) - {w} + 1), "
-               f"p -> {anchor_key} % {divisor} = 0)"),
+        F.when(
+            F.length(t) <= _CDC_SEEK_SWITCH,
+            F.expr(f"filter(sequence(2, size(_cdc_chars) - {w} + 1), "
+                   f"p -> {sub_key} % {divisor} = 0)"),
+        ).otherwise(
+            F.expr(f"filter(sequence(2, size(_cdc_chars) - {w} + 1), "
+                   f"p -> {arr_key} % {divisor} = 0)")),
     ).otherwise(F.expr("array()").cast("array<int>"))
     prepared = (
         df.filter(F.length(t) > 0)
