@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 PINNED_NOW = datetime(2025, 1, 15, 12, 0, 0)
 
+from news_rss_spark.operators.snm import snm_numkey_sql as _snm_numkey_sql  # noqa: E402
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -2590,6 +2592,21 @@ def q_edit_distance_near_dup(spark, sf_dir):
                                         rows_per_band=2, shingle_n=2)
 
 
+def q_snm_near_dup(spark, sf_dir):
+    """Sorted-neighborhood near-dup (operators/snm.py, Hernandez &
+    Stolfo's merge/purge): the SORT-based blocking alternative to the
+    MinHash/SimHash/LSH hash-banding family.  Corpus ranked by an
+    order-preserving int64 packing of the normalized 10-char text
+    prefix (two-phase distributed rank, never a global window), each
+    row compared to its 8 rank successors via ONE bucket equi-join,
+    survivors verified by thresholded exact Levenshtein <= 12.  The
+    oracle replays the identical key packing and a naive global-window
+    rank + rank-distance join + full-DP levenshtein."""
+    from news_rss_spark.operators.snm import snm_near_dup
+    return snm_near_dup(_t(spark, sf_dir, "documents"),
+                        window=8, max_dist=12)
+
+
 def q_hybrid_search(spark, sf_dir):
     """Hybrid retrieval: reciprocal-rank fusion (operators/search.py::
     rrf_fusion, Cormack et al. SIGIR'09) of the BM25 lexical top-20 and
@@ -3053,6 +3070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "dedup_keep_best": q_dedup_keep_best,
         "gif_decode_stats": q_gif_decode_stats,
+        # snm_near_dup: verify leg shares the driver-green
+        # edit_distance_near_dup Levenshtein contract; rank/window legs
+        # locked against a sequential Python reference in test_snm.py
+        "snm_near_dup": q_snm_near_dup,
         "cms_token_counts": q_cms_token_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         # audio/video near-dup legs: compositions over in-window oracled
@@ -4308,6 +4329,25 @@ SELECT m.media_id, 'image' AS kind, true AS decoded,
 FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
+""",
+        "snm_near_dup": f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {_snm_numkey_sql(
+             "regexp_replace(lower(substring(text, 1, 256)), "
+             "'[^a-z0-9]', '', 'g')")} AS nk
+  FROM documents WHERE text IS NOT NULL
+), ranked AS (
+  SELECT doc_id, text,
+         row_number() OVER (ORDER BY nk, doc_id) AS rn
+  FROM base
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(levenshtein(x.text, y.text) AS INT) AS dist
+FROM ranked x JOIN ranked y
+  ON y.rn > x.rn AND y.rn <= x.rn + 8
+WHERE abs(length(x.text) - length(y.text)) <= 12
+  AND levenshtein(x.text, y.text) <= 12
 """,
         "epoch_mix": """
 WITH base AS (
