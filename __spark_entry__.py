@@ -2592,6 +2592,22 @@ def q_edit_distance_near_dup(spark, sf_dir):
                                         rows_per_band=2, shingle_n=2)
 
 
+def q_bitext_margin(spark, sf_dir):
+    """Margin-based bitext mining (operators/bitext.py, Artetxe &
+    Schwenk's ratio margin / the CCMatrix recipe): mutually-top-1
+    cross-set pairs scored by cos(x,y) over the mean of both sides'
+    top-4 neighborhood cosines — the hub-suppressing alternative to raw
+    nearest-neighbor matching.  Sides = even/odd label over the fixed
+    vec_id < 1000 cap (the engine's standard brute-baseline contract);
+    the cosine is rounded to an exact int64 (round(cos*1e6)) before any
+    aggregation so both engines' top-k sums match bit-exactly; the
+    scale path is margin_mining_lsh (bucket equi-join candidates)."""
+    from news_rss_spark.operators.bitext import margin_mining
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return margin_mining(e.filter(F.col("label") % 2 == 0),
+                         e.filter(F.col("label") % 2 == 1), k=4)
+
+
 def q_snm_near_dup(spark, sf_dir):
     """Sorted-neighborhood near-dup (operators/snm.py, Hernandez &
     Stolfo's merge/purge): the SORT-based blocking alternative to the
@@ -3074,6 +3090,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # edit_distance_near_dup Levenshtein contract; rank/window legs
         # locked against a sequential Python reference in test_snm.py
         "snm_near_dup": q_snm_near_dup,
+        # bitext_margin: cosine leg shares the driver-green
+        # embedding_near_dup double-cast/round contract; rank/margin/
+        # mutual-top-1 tail locked against a numpy reference (incl.
+        # planted-translation and hub-suppression cases) in
+        # test_bitext.py
+        "bitext_margin": q_bitext_margin,
         "cms_token_counts": q_cms_token_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         # audio/video near-dup legs: compositions over in-window oracled
@@ -4329,6 +4351,31 @@ SELECT m.media_id, 'image' AS kind, true AS decoded,
 FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
+""",
+        "bitext_margin": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+           FROM embeddings WHERE vec_id < 1000),
+p AS (
+  SELECT x.vec_id AS x, y.vec_id AS y,
+         CAST(round(list_dot_product(x.v, y.v) /
+                    (sqrt(list_dot_product(x.v, x.v)) *
+                     sqrt(list_dot_product(y.v, y.v))) * 1000000, 0)
+              AS BIGINT) AS rc
+  FROM e x, e y
+  WHERE x.label % 2 = 0 AND y.label % 2 = 1
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY x ORDER BY rc DESC, y) AS rx,
+         row_number() OVER (PARTITION BY y ORDER BY rc DESC, x) AS ry
+  FROM p
+), s AS (
+  SELECT *,
+         sum(CASE WHEN rx <= 4 THEN rc END) OVER (PARTITION BY x) AS sx,
+         sum(CASE WHEN ry <= 4 THEN rc END) OVER (PARTITION BY y) AS sy
+  FROM r
+)
+SELECT x, y, round(8.0 * rc / (sx + sy), 6) AS margin
+FROM s WHERE rx = 1 AND ry = 1 AND sx + sy > 0
 """,
         "snm_near_dup": f"""
 WITH base AS (
