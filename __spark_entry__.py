@@ -2592,6 +2592,43 @@ def q_edit_distance_near_dup(spark, sf_dir):
                                         rows_per_band=2, shingle_n=2)
 
 
+def _scored_labeled_docs(spark, sf_dir):
+    """Shared input for the filter-evaluation metrics: quality_score as
+    the ranker (driver-green arithmetic), pred_lang == 'en' as the
+    ground-truth label (driver-green lang_id).  Both columns are 6-dp
+    cross-engine-exact already, so the metric grid quantization
+    (decimals=6) is the identity rounding both engines agree on."""
+    from news_rss_spark.operators.text_analysis import (lang_id,
+                                                        quality_features)
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    q = quality_features(d, "text").select("doc_id", "quality_score")
+    lg = lang_id(d, "text").select(
+        "doc_id",
+        (F.col("pred_lang") == "en").cast("int").alias("label"))
+    return q.join(lg, "doc_id")
+
+
+def q_pr_curve(spark, sf_dir):
+    """Precision/recall/F1 curve of the quality-score filter against
+    the is-English label (operators/eval_metrics.py): ONE corpus-sized
+    hash agg onto the quantized score grid, curve assembly on the
+    bounded grid relation.  Exact int64 confusion counts; ratios are
+    single divisions rounded to 6 dp."""
+    from news_rss_spark.operators.eval_metrics import pr_curve
+    return pr_curve(_scored_labeled_docs(spark, sf_dir),
+                    "quality_score", "label", decimals=6)
+
+
+def q_roc_auc(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC (midrank Mann-Whitney) of the
+    quality score as an is-English ranker: every intermediate an exact
+    int64 (2*sum of positive midranks), one final division — no float
+    accumulation anywhere, so both engines agree bit-exactly."""
+    from news_rss_spark.operators.eval_metrics import roc_auc
+    return roc_auc(_scored_labeled_docs(spark, sf_dir),
+                   "quality_score", "label", decimals=6)
+
+
 def q_bitext_margin(spark, sf_dir):
     """Margin-based bitext mining (operators/bitext.py, Artetxe &
     Schwenk's ratio margin / the CCMatrix recipe): mutually-top-1
@@ -3096,6 +3133,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # planted-translation and hub-suppression cases) in
         # test_bitext.py
         "bitext_margin": q_bitext_margin,
+        # pr_curve / roc_auc: score + label legs are the driver-green
+        # quality_score and lang_id arithmetic verbatim; the exact-int64
+        # confusion/midrank tail is locked against naive per-pair
+        # references (incl. an AUC==pairwise-definition fuzz) in
+        # test_eval_metrics.py
+        "pr_curve": q_pr_curve,
+        "roc_auc": q_roc_auc,
         "cms_token_counts": q_cms_token_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         # audio/video near-dup legs: compositions over in-window oracled
@@ -4351,6 +4395,63 @@ SELECT m.media_id, 'image' AS kind, true AS decoded,
 FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
+""",
+        "pr_curve": f"""
+WITH q AS (SELECT * FROM ({_quality_sql()})),
+l AS (SELECT * FROM ({_lang_id_sql()})),
+scored AS (
+  SELECT q.doc_id, q.quality_score AS score,
+         CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM q JOIN l USING (doc_id)
+), grid AS (
+  SELECT round(score, 6) AS threshold, count(*) AS n,
+         sum(label) AS p
+  FROM scored GROUP BY 1
+), cum AS (
+  SELECT threshold,
+         sum(p) OVER (ORDER BY threshold DESC
+                      ROWS UNBOUNDED PRECEDING) AS tp,
+         sum(n) OVER (ORDER BY threshold DESC
+                      ROWS UNBOUNDED PRECEDING) AS kept,
+         sum(p) OVER () AS npos, sum(n) OVER () - sum(p) OVER () AS nneg
+  FROM grid
+)
+SELECT threshold, CAST(tp AS BIGINT) AS tp,
+       CAST(kept - tp AS BIGINT) AS fp,
+       CAST(npos - tp AS BIGINT) AS fn,
+       round(CAST(tp AS DOUBLE) / kept, 6) AS precision,
+       round(CAST(tp AS DOUBLE) / npos, 6) AS recall,
+       round(2.0 * tp / (2 * tp + (kept - tp) + (npos - tp)), 6) AS f1
+FROM cum
+""",
+        "roc_auc": f"""
+WITH q AS (SELECT * FROM ({_quality_sql()})),
+l AS (SELECT * FROM ({_lang_id_sql()})),
+scored AS (
+  SELECT q.doc_id, q.quality_score AS score,
+         CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM q JOIN l USING (doc_id)
+), grid AS (
+  SELECT round(score, 6) AS threshold, count(*) AS n,
+         sum(label) AS p
+  FROM scored GROUP BY 1
+), started AS (
+  SELECT *, COALESCE(sum(n) OVER (ORDER BY threshold ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS start
+  FROM grid
+), tot AS (
+  SELECT sum(p * (2 * start + n + 1)) AS twice_rank_sum,
+         sum(p) AS npos, sum(n) AS total
+  FROM started
+)
+SELECT CAST(npos AS BIGINT) AS npos,
+       CAST(total - npos AS BIGINT) AS nneg,
+       CASE WHEN npos > 0 AND total - npos > 0 THEN
+         round((twice_rank_sum - npos * (npos + 1)) /
+               (2.0 * npos * (total - npos)), 6)
+       END AS auc
+FROM tot
 """,
         "bitext_margin": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
