@@ -2608,6 +2608,24 @@ def _scored_labeled_docs(spark, sf_dir):
     return q.join(lg, "doc_id")
 
 
+def q_unimax_select(spark, sf_dir):
+    """UniMax budgeted language sampling (operators/unimax.py, Chung et
+    al. ICLR'23): ascending-size budget allocation with a hard
+    2-epoch repetition cap (exact int64 arithmetic, driver loop over
+    the tiny per-language totals == the oracle's recursive CTE), then
+    the greedy md5-draw-ordered doc prefix per language within its
+    allocation.  Languages from driver-green lang_id, tokens from the
+    driver-green token_count contract."""
+    from news_rss_spark.operators.text_analysis import (lang_id,
+                                                        token_count)
+    from news_rss_spark.operators.unimax import unimax_select
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = lang_id(d, "text", out="lang").select(
+        "doc_id", "lang",
+        token_count(F.col("text")).cast("long").alias("tok"))
+    return unimax_select(d, budget=10_000, max_epochs=2)
+
+
 def q_pr_curve(spark, sf_dir):
     """Precision/recall/F1 curve of the quality-score filter against
     the is-English label (operators/eval_metrics.py): ONE corpus-sized
@@ -3140,6 +3158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_eval_metrics.py
         "pr_curve": q_pr_curve,
         "roc_auc": q_roc_auc,
+        # unimax_select: lang/token legs are driver-green lang_id /
+        # token_count verbatim; the integer allocator + greedy prefix
+        # are locked against a sequential reference in test_unimax.py
+        "unimax_select": q_unimax_select,
         "cms_token_counts": q_cms_token_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         # audio/video near-dup legs: compositions over in-window oracled
@@ -4395,6 +4417,43 @@ SELECT m.media_id, 'image' AS kind, true AS decoded,
 FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
+""",
+        "unimax_select": f"""
+WITH RECURSIVE
+docs AS (
+  SELECT d.doc_id, l.pred_lang AS lang,
+         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+           AS tok
+  FROM documents d JOIN ({_lang_id_sql()}) l USING (doc_id)
+  WHERE length(trim(d.text)) > 0
+),
+langs AS (SELECT lang, sum(tok) AS c FROM docs GROUP BY lang),
+ordered AS (
+  SELECT lang, c, row_number() OVER (ORDER BY c, lang) AS i,
+         count(*) OVER () AS k
+  FROM langs
+),
+alloc AS (
+  SELECT 0 AS i, CAST(NULL AS VARCHAR) AS lang, CAST(0 AS BIGINT) AS c,
+         CAST(0 AS BIGINT) AS a, CAST(10000 AS BIGINT) AS brem,
+         (SELECT max(k) FROM ordered) AS k
+  UNION ALL
+  SELECT o.i, o.lang, o.c,
+         least(2 * o.c, al.brem // (al.k - al.i)),
+         al.brem - least(2 * o.c, al.brem // (al.k - al.i)),
+         al.k
+  FROM alloc al JOIN ordered o ON o.i = al.i + 1
+),
+sel AS (
+  SELECT d.lang, d.doc_id, d.tok, a.a AS alloc,
+         sum(d.tok) OVER (
+           PARTITION BY d.lang
+           ORDER BY md5('unimax-v1:' || CAST(d.doc_id AS VARCHAR)),
+                    d.doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM docs d JOIN alloc a ON a.lang = d.lang
+)
+SELECT lang, doc_id, tok, alloc FROM sel WHERE cum <= alloc
 """,
         "pr_curve": f"""
 WITH q AS (SELECT * FROM ({_quality_sql()})),
