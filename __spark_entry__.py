@@ -2608,6 +2608,33 @@ def _scored_labeled_docs(spark, sf_dir):
     return q.join(lg, "doc_id")
 
 
+def q_k_core(spark, sf_dir):
+    """k-core decomposition by bulk peeling (operators/kcore.py,
+    Seidman 1983): nodes surviving 6 bounded rounds of drop-below-3
+    peeling on the UNDIRECTED simple projection of the pagerank link
+    graph, with their induced degree.  Exact set/integer arithmetic
+    end-to-end; Spark early-exits at the fixpoint (identical output —
+    remaining rounds are no-ops), the oracle unrolls all 6 rounds.
+    A 20-node 4-neighbor ring lattice (every doc_id < 20 links its
+    next four ids mod 20) is planted so the 3-core is non-trivial at
+    every sf -- the organic link graph alone peels to nothing at
+    sf <= 0.01."""
+    from news_rss_spark.operators.kcore import k_core
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.filter(F.expr("doc_id % 4 > 0"))
+    e = (d.select(F.col("doc_id").alias("src"),
+                  F.explode(F.expr(
+                      "sequence(1, CAST(doc_id % 4 AS INT))")).alias("j"))
+         .select("src",
+                 ((F.col("src") * 31 + F.col("j") * 97) % 1000).alias("dst")))
+    ring = (docs.filter(F.col("doc_id") < 20)
+            .select(F.col("doc_id").alias("src"),
+                    F.explode(F.expr("sequence(1, 4)")).alias("m"))
+            .select("src",
+                    ((F.col("src") + F.col("m")) % 20).alias("dst")))
+    return k_core(e.unionAll(ring), k=3, rounds=6)
+
+
 def q_unimax_select(spark, sf_dir):
     """UniMax budgeted language sampling (operators/unimax.py, Chung et
     al. ICLR'23): ascending-size budget allocation with a hard
@@ -3162,6 +3189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token_count verbatim; the integer allocator + greedy prefix
         # are locked against a sequential reference in test_unimax.py
         "unimax_select": q_unimax_select,
+        # k_core: edge synthesis is the driver-green pagerank link
+        # graph verbatim; the peel itself is exact set arithmetic
+        # locked against a sequential reference (classic fixtures +
+        # fuzz) in test_kcore.py
+        "k_core": q_k_core,
         "cms_token_counts": q_cms_token_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         # audio/video near-dup legs: compositions over in-window oracled
@@ -4418,6 +4450,19 @@ FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
 """,
+        "k_core": _kcore_sql(k=3, rounds=6, edges_sql="""
+link_edges AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 31 + i * 97) % 1000 AS dst
+  FROM documents, UNNEST(generate_series(1, doc_id % 4)) AS g(i)
+  WHERE doc_id % 4 > 0
+),
+edges AS (
+  SELECT src, dst FROM link_edges
+  UNION ALL
+  SELECT doc_id AS src, (doc_id + m) % 20 AS dst
+  FROM documents, UNNEST(generate_series(1, 4)) AS g(m)
+  WHERE doc_id < 20
+)"""),
         "unimax_select": f"""
 WITH RECURSIVE
 docs AS (
@@ -6546,6 +6591,37 @@ edges AS (
   FROM documents, UNNEST(generate_series(1, doc_id % 4)) AS g(i)
   WHERE doc_id % 4 > 0
 )"""
+
+
+def _kcore_sql(k: int = 3, rounds: int = 6,
+               edges_sql: str = _PR_LINK_EDGES) -> str:
+    """Mirror of operators/kcore.py: the undirected simple projection
+    of ``edges(src, dst)``, then ``rounds`` unrolled bulk peels (degree
+    -> drop-below-k -> induce), final induced degrees filtered to
+    >= k.  Exact integer arithmetic throughout, so the unroll needs no
+    rounding contract."""
+    # AS MATERIALIZED: each CTE is referenced 2-3x by the next round;
+    # DuckDB's default inlining would expand the unroll exponentially
+    parts = ["WITH " + edges_sql.strip().removeprefix("WITH").strip() +
+             """,
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst)"""]
+    for r in range(rounds):
+        parts.append(f"""
+k{r} AS MATERIALIZED (SELECT node FROM (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e{r} UNION ALL SELECT b AS node FROM e{r})
+  GROUP BY node) WHERE deg >= {k}),
+e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e
+  JOIN k{r} x ON e.a = x.node JOIN k{r} y ON e.b = y.node)""")
+    parts.append(f"""
+SELECT node, CAST(deg AS BIGINT) AS degree FROM (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e{rounds}
+    UNION ALL SELECT b AS node FROM e{rounds})
+  GROUP BY node) WHERE deg >= {k}""")
+    return ",".join(parts[:1] + parts[1:-1]) + parts[-1]
 
 
 def _pagerank_sql(iters: int = 3, damping: float = 0.85,
