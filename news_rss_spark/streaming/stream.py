@@ -352,6 +352,41 @@ def streaming_cms_estimate(spark: SparkSession, counter_path: str,
     return cms_estimate(counters, candidates, value_col, d, w)
 
 
+def streaming_enrichment_join(left: DataFrame, right: DataFrame,
+                              key_col: str = "doc_id",
+                              left_ts: str = "doc_ts",
+                              right_ts: str = "media_ts",
+                              max_lag: str = "1 hour",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-STREAM inner join — the enrichment shape the
+    reference performs synchronously (article fetch -> photo fetch in
+    one loop body, src/feeds/rss_feeds/mod.rs:194-211) decoupled into
+    two independent streams: a ``right`` row (media fetch result)
+    enriches the ``left`` row (article) with the same ``key_col`` whose
+    event time it follows by at most ``max_lag``.
+
+    Both sides carry watermarks and the join predicate bounds
+    ``right_ts`` to ``[left_ts, left_ts + max_lag]`` — the two
+    conditions Structured Streaming needs to know when a buffered left
+    row can never match again, so join STATE is evicted at the
+    watermark horizon instead of growing with stream history (the same
+    bounded-state story as the TTL dedup and windowed counts).  A right
+    row arriving later than the watermark behind the stream's max event
+    time finds its left side already evicted and joins nothing — late
+    media is dropped, never paired with a resurrected article.  Inner
+    join: articles whose media never arrives produce no row here (the
+    batch path's NULL-photo articles); append-mode sinks see each
+    matched pair exactly once.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    return lw.join(rw, F.expr(
+        f"l.{key_col} = r.{key_col} AND "
+        f"r.{right_ts} >= l.{left_ts} AND "
+        f"r.{right_ts} <= l.{left_ts} + interval {max_lag}"
+    )).drop(rw[key_col])
+
+
 DOCUMENTS_DDL = ("doc_id bigint, text string, lang string, "
                  "source string, n_chars bigint")
 
