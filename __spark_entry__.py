@@ -2635,6 +2635,23 @@ def q_k_core(spark, sf_dir):
     return k_core(e.unionAll(ring), k=3, rounds=6)
 
 
+def q_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negative sampling
+    (operators/contrastive.py): up to 4 md5-drawn uniform negatives per
+    document, excluding the anchor itself, id-space holes, and the
+    MinHash near-dup positives (the driver-green minhash_pairs
+    relation) in both orientations.  Collisions drop rather than
+    re-draw (a re-draw chain is sequential state neither engine can
+    express as a column); slot index j records survivors."""
+    from news_rss_spark.operators.contrastive import negative_samples
+    from news_rss_spark.operators.text_dedup import minhash_candidate_pairs
+    d = _t(spark, sf_dir, "documents")
+    dd = d.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
+    pos = minhash_candidate_pairs(dd, n_hashes=4, rows_per_band=2,
+                                  shingle_n=2)
+    return negative_samples(d, pos, k=4)
+
+
 def q_unimax_select(spark, sf_dir):
     """UniMax budgeted language sampling (operators/unimax.py, Chung et
     al. ICLR'23): ascending-size budget allocation with a hard
@@ -3194,6 +3211,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locked against a sequential reference (classic fixtures +
         # fuzz) in test_kcore.py
         "k_core": q_k_core,
+        # negative_samples: positives leg is driver-green minhash_pairs
+        # verbatim; the draw/exclusion tail is locked against a
+        # sequential reference (holes, both-orientation positives,
+        # partitioning invariance) in test_contrastive.py
+        "negative_samples": q_negative_samples,
         "cms_token_counts": q_cms_token_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         # audio/video near-dup legs: compositions over in-window oracled
@@ -4449,6 +4471,30 @@ SELECT m.media_id, 'image' AS kind, true AS decoded,
 FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
+""",
+        "negative_samples": f"""
+WITH {_SHINGLES_CTE},
+{_MINHASH_BANDED_CTE},
+pos AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+),
+posu AS (SELECT a, b FROM pos UNION ALL SELECT b, a FROM pos),
+nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+draws AS (
+  SELECT d.doc_id, t.j,
+         CAST('0x' || substr(md5('neg-v1:' || CAST(d.doc_id AS VARCHAR)
+              || ':' || CAST(t.j AS VARCHAR)), 1, 15) AS BIGINT)
+           % (SELECT n FROM nn) AS neg_id
+  FROM documents d, generate_series(0, 3) AS t(j)
+)
+SELECT dr.doc_id, dr.neg_id, CAST(dr.j AS INT) AS j
+FROM draws dr
+JOIN documents e ON e.doc_id = dr.neg_id
+LEFT JOIN posu p ON p.a = dr.doc_id AND p.b = dr.neg_id
+WHERE dr.neg_id <> dr.doc_id AND p.a IS NULL
 """,
         "k_core": _kcore_sql(k=3, rounds=6, edges_sql="""
 link_edges AS (
