@@ -2652,6 +2652,18 @@ def q_negative_samples(spark, sf_dir):
     return negative_samples(d, pos, k=4)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Cross-class hard-negative mining (operators/contrastive.py,
+    the FaceNet/DPR triplet recipe): each anchor's 4 nearest
+    DIFFERENT-label vectors by the exact-int64 scaled cosine (the
+    bitext rc contract), ranked per anchor with id tie-break.  Brute
+    within the standard vec_id < 1000 cap — the exact verify; the
+    scale path swaps in the LSH/IVF candidate generators."""
+    from news_rss_spark.operators.contrastive import hard_negatives
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return hard_negatives(e, k=4)
+
+
 def q_unimax_select(spark, sf_dir):
     """UniMax budgeted language sampling (operators/unimax.py, Chung et
     al. ICLR'23): ascending-size budget allocation with a hard
@@ -3216,6 +3228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sequential reference (holes, both-orientation positives,
         # partitioning invariance) in test_contrastive.py
         "negative_samples": q_negative_samples,
+        # hard_negatives: cosine leg is the bitext_margin exact-int64
+        # rc contract; rank/exclusion tail locked vs a numpy reference
+        # (incl. a planted boundary vector) in test_contrastive.py
+        "hard_negatives": q_hard_negatives,
         "cms_token_counts": q_cms_token_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         # audio/video near-dup legs: compositions over in-window oracled
@@ -4471,6 +4487,24 @@ SELECT m.media_id, 'image' AS kind, true AS decoded,
 FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
+""",
+        "hard_negatives": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+           FROM embeddings WHERE vec_id < 1000),
+p AS (
+  SELECT x.vec_id AS x, y.vec_id AS y,
+         CAST(round(list_dot_product(x.v, y.v) /
+                    (sqrt(list_dot_product(x.v, x.v)) *
+                     sqrt(list_dot_product(y.v, y.v))) * 1000000, 0)
+              AS BIGINT) AS rc
+  FROM e x JOIN e y
+    ON x.vec_id <> y.vec_id AND x.label <> y.label
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY x ORDER BY rc DESC, y) AS rk
+  FROM p
+)
+SELECT x, y AS neg_id, rc, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 4
 """,
         "negative_samples": f"""
 WITH {_SHINGLES_CTE},

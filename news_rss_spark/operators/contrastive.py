@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["negative_samples"]
+__all__ = ["hard_negatives", "negative_samples"]
 
 
 def negative_samples(df: DataFrame, positives: DataFrame, k: int = 4,
@@ -73,3 +73,43 @@ def negative_samples(df: DataFrame, positives: DataFrame, k: int = 4,
                F.col("a").cast("long").alias("neg_id"))))
     return (existing.join(pos, [id_col, "neg_id"], "left_anti")
             .select(id_col, "neg_id", F.col("j").cast("int").alias("j")))
+
+
+def hard_negatives(df: DataFrame, k: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """``(x, neg_id, rc, rank)`` — each anchor's ``k`` NEAREST
+    different-label vectors by cosine: the cross-class hard negatives
+    that make contrastive training informative (a random negative is
+    usually trivially far; the hardest ones sit just across the class
+    boundary — the triplet-mining recipe of FaceNet/DPR).
+
+    ``rc`` is the exact-int64 scaled cosine (``round(cos * 1e6)``, the
+    bitext contract — reused from :mod:`bitext` so both operators rank
+    by identical arithmetic); rank ties break on the neighbor id.
+    Same-label pairs (the positives) are excluded by construction.
+
+    Deliberately O(n^2) within a caller-capped input (the
+    embedding_near_dup brute-baseline contract): this IS the exact
+    verify; the scale path swaps the pair generator for the LSH/IVF
+    candidate routes and keeps the filter/rank tail, exactly as
+    margin_mining_lsh does.
+    """
+    from news_rss_spark.operators.bitext import scaled_cosine_pairs
+    from pyspark.sql import Window
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    labels = df.select(F.col(id_col).cast("long").alias("_id"),
+                       F.col(label_col).alias("_lbl"))
+    pairs = (scaled_cosine_pairs(df, df, id_col, vec_col)
+             .filter(F.col("x") != F.col("y"))
+             .join(labels.select(F.col("_id").alias("x"),
+                                 F.col("_lbl").alias("_lx")), "x")
+             .join(labels.select(F.col("_id").alias("y"),
+                                 F.col("_lbl").alias("_ly")), "y")
+             .filter(F.col("_lx") != F.col("_ly")))
+    w = Window.partitionBy("x").orderBy(F.desc("rc"), F.asc("y"))
+    return (pairs.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select("x", F.col("y").alias("neg_id"), "rc",
+                    F.col("_rk").cast("int").alias("rank")))

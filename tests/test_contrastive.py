@@ -90,3 +90,75 @@ def test_at_most_k_and_slot_semantics(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         negative_samples(_ids(spark, [1]), _pairs(spark, []), k=0)
+
+
+# ------------------------------------------------- hard negatives
+
+def _vdf(spark, vecs, labels):
+    rows = [(i, [float(x) for x in v], int(l))
+            for i, (v, l) in enumerate(zip(vecs, labels))]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+
+
+def _hard_ref(vecs, labels, k):
+    import math
+    import numpy as np
+
+    def rc(a, b):
+        ad, bd = a.astype(np.float64), b.astype(np.float64)
+        cos = float(ad @ bd) / (math.sqrt(float(ad @ ad)) *
+                                math.sqrt(float(bd @ bd)))
+        s = cos * 1e6
+        return int(math.floor(s + 0.5)) if s >= 0 else int(math.ceil(s - 0.5))
+
+    out = []
+    for i in range(len(vecs)):
+        cands = sorted(((-rc(vecs[i], vecs[j]), j) for j in range(len(vecs))
+                        if j != i and labels[j] != labels[i]))
+        for r, (neg_rc, j) in enumerate(cands[:k], 1):
+            out.append((i, j, -neg_rc, r))
+    return sorted(out)
+
+
+def test_hard_negatives_match_reference(spark):
+    import numpy as np
+    rng = np.random.RandomState(21)
+    vecs = rng.randn(15, 6).astype(np.float32)
+    labels = [i % 3 for i in range(15)]
+    from news_rss_spark.operators.contrastive import hard_negatives
+    got = sorted(tuple(r) for r in hard_negatives(
+        _vdf(spark, vecs, labels), k=3).collect())
+    assert got == _hard_ref(vecs, labels, 3)
+    assert got
+    # never a same-label neighbor, exactly rank 1..3 per anchor
+    by_anchor = {}
+    for x, neg, _, rank in got:
+        assert labels[x] != labels[neg]
+        by_anchor.setdefault(x, []).append(rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_anchor.values())
+
+
+def test_hard_negatives_planted_boundary_vector(spark):
+    import numpy as np
+    rng = np.random.RandomState(22)
+    base = rng.randn(6).astype(np.float32)
+    # anchor 0 (label 0); vector 1 (label 1) is nearly identical ->
+    # must be anchor 0's rank-1 hard negative
+    vecs = np.stack([base,
+                     base + rng.randn(6).astype(np.float32) * 0.01]
+                    + [rng.randn(6).astype(np.float32) for _ in range(8)])
+    labels = [0, 1] + [i % 2 for i in range(8)]
+    from news_rss_spark.operators.contrastive import hard_negatives
+    got = {(r["x"], r["rank"]): r["neg_id"] for r in hard_negatives(
+        _vdf(spark, vecs, labels), k=2).collect()}
+    assert got[(0, 1)] == 1
+
+
+def test_hard_negatives_validation(spark):
+    import numpy as np
+    from news_rss_spark.operators.contrastive import hard_negatives
+    with pytest.raises(ValueError):
+        hard_negatives(_vdf(spark, np.zeros((2, 3), dtype=np.float32),
+                            [0, 1]), k=0)
