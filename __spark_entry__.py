@@ -2652,6 +2652,20 @@ def q_negative_samples(spark, sf_dir):
     return negative_samples(d, pos, k=4)
 
 
+def q_vocab_divergence(spark, sf_dir):
+    """Corpus drift metrology (operators/drift.py): add-one-smoothed
+    union-vocab KL both ways + Jensen-Shannon divergence between the
+    even- and odd-doc_id corpus halves.  Per-token terms are rounded
+    to exact scaled int64 BEFORE the aggregation (float sums are
+    association-order-dependent; integer sums are not), one final
+    rescale — ln/division parity on identical doubles is already
+    load-bearing for the driver-green bm25/lm_score oracles."""
+    from news_rss_spark.operators.drift import vocab_divergence
+    d = _t(spark, sf_dir, "documents")
+    return vocab_divergence(d.filter(F.expr("doc_id % 2 = 0")),
+                            d.filter(F.expr("doc_id % 2 = 1")))
+
+
 def q_hard_negatives(spark, sf_dir):
     """Cross-class hard-negative mining (operators/contrastive.py,
     the FaceNet/DPR triplet recipe): each anchor's 4 nearest
@@ -3232,6 +3246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rc contract; rank/exclusion tail locked vs a numpy reference
         # (incl. a planted boundary vector) in test_contrastive.py
         "hard_negatives": q_hard_negatives,
+        # vocab_divergence: token leg is the driver-green token_count
+        # split contract; smoothing/scaled-int-sum arithmetic locked vs
+        # a sequential reference (identity-zero, JS symmetry/bounds,
+        # drift monotonicity, fuzz) in test_drift.py
+        "vocab_divergence": q_vocab_divergence,
         "cms_token_counts": q_cms_token_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         # audio/video near-dup legs: compositions over in-window oracled
@@ -4487,6 +4506,42 @@ SELECT m.media_id, 'image' AS kind, true AS decoded,
 FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
+""",
+        "vocab_divergence": r"""
+WITH ta AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+), tb AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
+), ca AS (SELECT token, count(*) AS na FROM ta WHERE token <> ''
+          GROUP BY token),
+cb AS (SELECT token, count(*) AS nb FROM tb WHERE token <> ''
+       GROUP BY token),
+j AS (
+  SELECT COALESCE(ca.token, cb.token) AS token,
+         COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+  FROM ca FULL OUTER JOIN cb USING (token)
+), sc AS (
+  SELECT count(*) AS v, sum(na) AS taa, sum(nb) AS tbb FROM j
+), terms AS (
+  SELECT sc.v, sc.taa, sc.tbb,
+         (na + 1) / CAST(taa + v AS DOUBLE) AS p,
+         (nb + 1) / CAST(tbb + v AS DOUBLE) AS q
+  FROM j, sc
+)
+SELECT CAST(max(v) AS BIGINT) AS n_vocab,
+       CAST(max(taa) AS BIGINT) AS tokens_a,
+       CAST(max(tbb) AS BIGINT) AS tokens_b,
+       round(sum(CAST(round(p * ln(p / q) * 1000000000, 0) AS BIGINT))
+             / 1000000000, 6) AS kl_ab,
+       round(sum(CAST(round(q * ln(q / p) * 1000000000, 0) AS BIGINT))
+             / 1000000000, 6) AS kl_ba,
+       round(sum(CAST(round((p * ln(p / ((p + q) / 2)) / 2
+                             + q * ln(q / ((p + q) / 2)) / 2)
+                            * 1000000000, 0) AS BIGINT))
+             / 1000000000, 6) AS js
+FROM terms
 """,
         "hard_negatives": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
