@@ -2652,6 +2652,18 @@ def q_negative_samples(spark, sf_dir):
     return negative_samples(d, pos, k=4)
 
 
+def q_corruption_spans(spark, sf_dir):
+    """T5/UL2 span-corruption mask construction
+    (operators/corruption.py): reproducible mask islands from the
+    content-stable md5 draw (1/20 start rate, 3-token spans, clipped,
+    adjacent islands merged via a per-doc gaps-and-islands window) —
+    the rand(seed)-free way to regenerate byte-identical denoising
+    targets on any partitioning or resume."""
+    from news_rss_spark.operators.corruption import corruption_spans
+    return corruption_spans(_t(spark, sf_dir, "documents"),
+                            span_len=3, den=20)
+
+
 def q_vocab_divergence(spark, sf_dir):
     """Corpus drift metrology (operators/drift.py): add-one-smoothed
     union-vocab KL both ways + Jensen-Shannon divergence between the
@@ -3251,6 +3263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a sequential reference (identity-zero, JS symmetry/bounds,
         # drift monotonicity, fuzz) in test_drift.py
         "vocab_divergence": q_vocab_divergence,
+        # corruption_spans: draw is the engine's md5 contract; island
+        # merge locked vs a sequential reference (adjacency, clipping,
+        # rate band, repartition determinism) in test_corruption.py
+        "corruption_spans": q_corruption_spans,
         "cms_token_counts": q_cms_token_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         # audio/video near-dup legs: compositions over in-window oracled
@@ -4506,6 +4522,37 @@ SELECT m.media_id, 'image' AS kind, true AS decoded,
 FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
+""",
+        "corruption_spans": r"""
+WITH base AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents WHERE length(trim(text)) > 0
+),
+cand AS (
+  SELECT doc_id, t.p AS s, least(t.p + 2, n) AS e
+  FROM base, UNNEST(generate_series(1, n)) AS t(p)
+  WHERE CAST('0x' || substr(md5('t5-v1:' || CAST(doc_id AS VARCHAR)
+             || ':' || CAST(t.p AS VARCHAR)), 1, 15) AS BIGINT)
+        % 20 = 0
+),
+prevd AS (
+  SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev_end
+  FROM cand
+),
+isl AS (
+  SELECT *, sum(CASE WHEN prev_end IS NULL OR s > prev_end + 1
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS UNBOUNDED PRECEDING) AS island
+  FROM prevd
+)
+SELECT doc_id, CAST(island AS INT) AS span_idx,
+       CAST(min(s) AS INT) AS span_start,
+       CAST(max(e) AS INT) AS span_end,
+       CAST(max(e) - min(s) + 1 AS INT) AS n_masked
+FROM isl GROUP BY doc_id, island
 """,
         "vocab_divergence": r"""
 WITH ta AS (
