@@ -2652,6 +2652,33 @@ def q_negative_samples(spark, sf_dir):
     return negative_samples(d, pos, k=4)
 
 
+def q_url_trap_patterns(spark, sf_dir):
+    """Crawl-trap template mining (operators/url_ops.py
+    url_trap_patterns): URLs grouped by host + path template (numeric
+    segments -> <d>, digit-bearing -> <m>); a template covering >= 10
+    distinct URLs is a spider-trap suspect (calendar/session/pagination
+    explosions).  Synthesized mix per doc: a calendar trap family
+    (/cal/<yyyy>/<m>/event<id>), a bounded news-slug family, and a
+    static /about page — one hash agg keyed by template."""
+    from news_rss_spark.operators.url_ops import url_trap_patterns
+    d = _t(spark, sf_dir, "documents")
+    did, src = F.col("doc_id"), F.col("source")
+    url = (F.when(did % 4 == 0,
+                  F.concat(F.lit("https://"), src,
+                           F.lit(".example.org/cal/"),
+                           (2020 + did % 5).cast("string"), F.lit("/"),
+                           (1 + did % 12).cast("string"),
+                           F.lit("/event"), did.cast("string")))
+           .when(did % 4 == 1,
+                 F.concat(F.lit("https://"), src,
+                          F.lit(".example.org/news/story-"),
+                          (did % 7).cast("string")))
+           .otherwise(F.concat(F.lit("https://"), src,
+                               F.lit(".example.org/about"))))
+    return url_trap_patterns(d.select("doc_id", url.alias("url")),
+                             min_distinct=10)
+
+
 def q_corruption_spans(spark, sf_dir):
     """T5/UL2 span-corruption mask construction
     (operators/corruption.py): reproducible mask islands from the
@@ -3267,6 +3294,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge locked vs a sequential reference (adjacency, clipping,
         # rate band, repartition determinism) in test_corruption.py
         "corruption_spans": q_corruption_spans,
+        # url_trap_patterns: host/path grammar single-sourced with the
+        # driver-green url_canonicalize family (kernel/urls.py); the
+        # template classing + flag locked in test_url_ops.py
+        "url_trap_patterns": q_url_trap_patterns,
         "cms_token_counts": q_cms_token_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         # audio/video near-dup legs: compositions over in-window oracled
@@ -4522,6 +4553,41 @@ SELECT m.media_id, 'image' AS kind, true AS decoded,
 FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
+""",
+        "url_trap_patterns": """
+WITH u AS (
+  SELECT doc_id, lower(trim(CASE
+    WHEN doc_id % 4 = 0 THEN 'https://' || source ||
+      '.example.org/cal/' || CAST(2020 + doc_id % 5 AS VARCHAR) ||
+      '/' || CAST(1 + doc_id % 12 AS VARCHAR) ||
+      '/event' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 4 = 1 THEN 'https://' || source ||
+      '.example.org/news/story-' || CAST(doc_id % 7 AS VARCHAR)
+    ELSE 'https://' || source || '.example.org/about' END)) AS url
+  FROM documents
+),
+parts AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+           AS host,
+         regexp_extract(regexp_extract(url,
+             '^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)', 1),
+             '^([^?]*)', 1) AS path
+  FROM u WHERE regexp_matches(url, '^[a-z][a-z0-9+.-]*://')
+),
+pat AS (
+  SELECT host || '/' || array_to_string(list_transform(
+           list_filter(string_split(path, '/'), s -> s <> ''),
+           s -> CASE WHEN regexp_full_match(s, '[0-9]+') THEN '<d>'
+                     WHEN regexp_matches(s, '[0-9]') THEN '<m>'
+                     ELSE s END), '/') AS pattern,
+         url
+  FROM parts
+)
+SELECT pattern, count(*) AS n_urls,
+       count(DISTINCT url) AS n_distinct,
+       count(DISTINCT url) >= 10 AS is_trap
+FROM pat GROUP BY pattern
 """,
         "corruption_spans": r"""
 WITH base AS (

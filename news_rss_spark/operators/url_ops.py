@@ -142,3 +142,51 @@ def fetch_schedule(frontier: DataFrame, url_col: str = "url",
     w = Window.partitionBy(domain_col).orderBy(url_col)
     wave = F.floor((F.row_number().over(w) - 1) / per_wave).cast("int")
     return frontier.withColumn("wave", wave)
+
+
+def url_trap_patterns(df: DataFrame, url_col: str = "url",
+                      min_distinct: int = 10) -> DataFrame:
+    """Crawl-trap template mining: ``(pattern, n_urls, n_distinct,
+    is_trap)`` — URLs grouped by their PATH TEMPLATE (host + path with
+    numeric segments classed ``<d>`` and digit-bearing segments
+    ``<m>``), flagged when one template covers >= ``min_distinct``
+    distinct URLs.
+
+    Calendar pages, session ids, pagination, and faceted-search
+    explosions all share one signature: a single path template
+    generating unbounded distinct URLs (``/cal/2024/01/15/...`` forever
+    — the classic spider trap).  Per-URL filters cannot see it; the
+    TEMPLATE aggregate can, and the flagged patterns become frontier
+    blocklist rules (compose with ``filter_urls`` /
+    ``sitemap.crawl_frontier``).
+
+    Scale shape: one projection (regexp host/path extraction + a
+    ``transform`` over the split segments — all JVM exprs, no shuffle)
+    then ONE hash aggregation keyed by template; map-side combine
+    absorbs the hot templates (the templates ARE the skew, that is the
+    point).  Distinct-URL counting rides the same agg as
+    ``count_distinct`` — exact, because the flag is a blocklist rule,
+    not a telemetry estimate (swap in the HLL sketch if approximate is
+    acceptable at extreme cardinality).
+    """
+    u = F.lower(F.trim(F.col(url_col)))
+    host = F.regexp_extract(u, _HOST, 1)
+    after = F.regexp_extract(u, _AFTER_AUTH, 1)
+    path = F.regexp_extract(after, r"^([^?]*)", 1)
+    classes = F.expr(
+        "array_join(transform(filter(split(_trap_path, '/'), "
+        "s -> s != ''), s -> CASE WHEN s rlike '^[0-9]+$' THEN '<d>' "
+        "WHEN s rlike '[0-9]' THEN '<m>' ELSE s END), '/')")
+    pattern = F.concat(F.col("_trap_host"), F.lit("/"), classes)
+    return (df.filter(u.rlike(r"^[a-z][a-z0-9+.-]*://"))
+            .withColumn("_trap_host", host)
+            .withColumn("_trap_path", path)
+            .withColumn("_trap_url", u)
+            .select(pattern.alias("pattern"), F.col("_trap_url"))
+            .groupBy("pattern")
+            .agg(F.count("*").alias("n_urls"),
+                 F.count_distinct("_trap_url").alias("n_distinct"))
+            .select("pattern",
+                    F.col("n_urls").cast("long").alias("n_urls"),
+                    F.col("n_distinct").cast("long").alias("n_distinct"),
+                    (F.col("n_distinct") >= min_distinct).alias("is_trap")))

@@ -137,3 +137,40 @@ def test_fetch_schedule_politeness_waves(spark):
     assert {r["wave"] for r in out if r["domain"] == "c.com"} == {0}
     # deterministic: lexicographic url order within domain
     assert by_wave_domain[(0, "a.com")] == ["https://a.com/0", "https://a.com/1"]
+
+
+# ------------------------------------------------- trap patterns
+
+def test_trap_patterns_classification_and_flag(spark):
+    from news_rss_spark.operators.url_ops import url_trap_patterns
+    urls = (
+        # calendar trap: one template, 12 distinct urls
+        [(i, f"https://ex.org/cal/2024/{i % 12 + 1}/event{i}")
+         for i in range(12)]
+        # static page fetched repeatedly: 1 distinct url, 8 hits
+        + [(100 + i, "https://ex.org/about") for i in range(8)]
+        # mixed-segment news slugs: 3 distinct
+        + [(200 + i, f"https://ex.org/news/story-{i}") for i in range(3)]
+        # non-URL garbage ignored
+        + [(300, "not a url"), (301, None)]
+    )
+    df = spark.createDataFrame(urls, "doc_id bigint, url string")
+    got = {r["pattern"]: (r["n_urls"], r["n_distinct"], r["is_trap"])
+           for r in url_trap_patterns(df, min_distinct=10).collect()}
+    assert got["ex.org/cal/<d>/<d>/<m>"] == (12, 12, True)
+    assert got["ex.org/about"] == (8, 1, False)
+    assert got["ex.org/news/<m>"] == (3, 3, False)
+    assert len(got) == 3
+
+
+def test_trap_patterns_case_query_and_empty_segments(spark):
+    from news_rss_spark.operators.url_ops import url_trap_patterns
+    df = spark.createDataFrame(
+        [(1, "HTTPS://EX.org//a//123/?page=9"),
+         (2, "https://ex.org/a/456"),
+         (3, "https://ex.org/a/789#frag")],
+        "doc_id bigint, url string")
+    got = {r["pattern"]: r["n_distinct"]
+           for r in url_trap_patterns(df, min_distinct=3).collect()}
+    # case folded, query stripped, empty segments dropped -> one pattern
+    assert got == {"ex.org/a/<d>": 3}
