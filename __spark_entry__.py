@@ -2652,6 +2652,15 @@ def q_negative_samples(spark, sf_dir):
     return negative_samples(d, pos, k=4)
 
 
+def q_fim_splits(spark, sf_dir):
+    """Fill-in-the-middle split construction (operators/corruption.py
+    fim_splits, Bavarian et al. 2022): per-document PSM/SPM cut points
+    from the content-stable md5 draw — one projection, zero shuffle;
+    empty segments kept (drop-don't-redraw)."""
+    from news_rss_spark.operators.corruption import fim_splits
+    return fim_splits(_t(spark, sf_dir, "documents"))
+
+
 def q_url_trap_patterns(spark, sf_dir):
     """Crawl-trap template mining (operators/url_ops.py
     url_trap_patterns): URLs grouped by host + path template (numeric
@@ -3298,6 +3307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green url_canonicalize family (kernel/urls.py); the
         # template classing + flag locked in test_url_ops.py
         "url_trap_patterns": q_url_trap_patterns,
+        # fim_splits: same md5 draw contract; segment-partition
+        # invariants + reference parity in test_corruption.py
+        "fim_splits": q_fim_splits,
         "cms_token_counts": q_cms_token_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         # audio/video near-dup legs: compositions over in-window oracled
@@ -4553,6 +4565,32 @@ SELECT m.media_id, 'image' AS kind, true AS decoded,
 FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
+""",
+        "fim_splits": r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+  FROM documents WHERE length(trim(text)) > 0
+), d AS (
+  SELECT doc_id, n,
+         CAST('0x' || substr(md5('fim-v1:c1:' ||
+              CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % (n + 1)
+           AS d1,
+         CAST('0x' || substr(md5('fim-v1:c2:' ||
+              CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % (n + 1)
+           AS d2,
+         CAST('0x' || substr(md5('fim-v1:m:' ||
+              CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS dm
+  FROM base
+)
+SELECT doc_id, n AS n_tokens,
+       CAST(least(d1, d2) AS INT) AS cut1,
+       CAST(greatest(d1, d2) AS INT) AS cut2,
+       CASE WHEN dm = 0 THEN 'psm' ELSE 'spm' END AS mode,
+       CAST(least(d1, d2) AS INT) AS len_prefix,
+       CAST(greatest(d1, d2) - least(d1, d2) AS INT) AS len_middle,
+       CAST(n - greatest(d1, d2) AS INT) AS len_suffix
+FROM d
 """,
         "url_trap_patterns": """
 WITH u AS (

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["corruption_spans"]
+__all__ = ["corruption_spans", "fim_splits"]
 
 
 def corruption_spans(df: DataFrame, span_len: int = 3, den: int = 20,
@@ -89,3 +89,45 @@ def corruption_spans(df: DataFrame, span_len: int = 3, den: int = 20,
                     F.col("span_end").cast("int").alias("span_end"),
                     (F.col("span_end") - F.col("span_start") + 1)
                     .cast("int").alias("n_masked")))
+
+
+def fim_splits(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", salt: str = "fim-v1") -> DataFrame:
+    """Fill-in-the-middle split construction (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    ``(doc_id, n_tokens, cut1, cut2, mode, len_prefix, len_middle,
+    len_suffix)`` — the two token cut points and PSM/SPM document
+    order, drawn reproducibly per document.
+
+    Cuts: two independent md5 draws modulo ``n + 1`` (each in [0, n]),
+    sorted; prefix = tokens [1, cut1], middle = (cut1, cut2], suffix =
+    (cut2, n] — any segment may be empty (the paper keeps empty
+    segments rather than re-drawing; same drop-don't-redraw reasoning
+    as the span masks above).  ``mode`` is 'psm' or 'spm' by a third
+    draw's parity — the 50/50 order mix the paper trains with.
+
+    ONE projection, zero shuffle, no explode: the whole construction is
+    a fixed per-row expression tree over the token count.
+    """
+    t = F.col(text_col)
+    n = F.size(F.split(F.trim(t), r"\s+"))
+
+    def draw(tag: str):
+        return F.expr(
+            f"cast(conv(substring(md5(concat('{salt}:{tag}:', "
+            f"cast({id_col} as string))), 1, 15), 16, 10) as bigint)")
+
+    base = (df.filter(F.length(F.trim(t)) > 0)
+            .withColumn("_n", n.cast("long"))
+            .withColumn("_d1", draw("c1") % (F.col("_n") + 1))
+            .withColumn("_d2", draw("c2") % (F.col("_n") + 1)))
+    c1 = F.least("_d1", "_d2")
+    c2 = F.greatest("_d1", "_d2")
+    mode = F.when(draw("m") % 2 == 0, F.lit("psm")).otherwise(F.lit("spm"))
+    return base.select(
+        id_col, F.col("_n").alias("n_tokens"),
+        c1.cast("int").alias("cut1"), c2.cast("int").alias("cut2"),
+        mode.alias("mode"),
+        c1.cast("int").alias("len_prefix"),
+        (c2 - c1).cast("int").alias("len_middle"),
+        (F.col("_n") - c2).cast("int").alias("len_suffix"))

@@ -102,3 +102,44 @@ def test_validation(spark):
         corruption_spans(_df(spark, _mk_rows(1, 5)), span_len=0)
     with pytest.raises(ValueError):
         corruption_spans(_df(spark, _mk_rows(1, 5)), den=1)
+
+
+# ------------------------------------------------- FIM splits
+
+def _fim_ref(rows, salt="fim-v1"):
+    out = []
+    for doc_id, text in rows:
+        if text is None or not text.strip():
+            continue
+        n = len(text.strip().split())
+
+        def dr(tag):
+            h = hashlib.md5(f"{salt}:{tag}:{doc_id}".encode()).hexdigest()
+            return int(h[:15], 16)
+        d1, d2 = dr("c1") % (n + 1), dr("c2") % (n + 1)
+        c1, c2 = min(d1, d2), max(d1, d2)
+        mode = "psm" if dr("m") % 2 == 0 else "spm"
+        out.append((doc_id, n, c1, c2, mode, c1, c2 - c1, n - c2))
+    return sorted(out)
+
+
+def test_fim_matches_reference(spark):
+    from news_rss_spark.operators.corruption import fim_splits
+    rows = _mk_rows(60, 50) + [(1000, "one"), (1001, None), (1002, "  ")]
+    got = sorted(tuple(r) for r in fim_splits(_df(spark, rows)).collect())
+    assert got == _fim_ref(rows)
+    assert len(got) == 61  # 60 + the one-word doc; null/blank dropped
+
+
+def test_fim_segments_partition_document(spark):
+    from news_rss_spark.operators.corruption import fim_splits
+    rows = _mk_rows(80, 33)
+    modes = set()
+    for r in fim_splits(_df(spark, rows)).collect():
+        assert r["len_prefix"] + r["len_middle"] + r["len_suffix"] \
+            == r["n_tokens"]
+        assert 0 <= r["cut1"] <= r["cut2"] <= r["n_tokens"]
+        assert all(x >= 0 for x in
+                   (r["len_prefix"], r["len_middle"], r["len_suffix"]))
+        modes.add(r["mode"])
+    assert modes == {"psm", "spm"}  # both orders occur in 80 draws
