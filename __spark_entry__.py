@@ -2652,6 +2652,31 @@ def q_negative_samples(spark, sf_dir):
     return negative_samples(d, pos, k=4)
 
 
+def q_incremental_components(spark, sf_dir):
+    """Incremental connected components (operators/inc_components.py):
+    the persisted dedup-cluster label table folded forward with a new
+    edge batch, touching only affected components (old components
+    collapse to diameter-2 stars; batch CC runs on the small affected
+    subgraph; unaffected rows pass through verbatim).  Here the 60-bit
+    SimHash hamming<=4 pair graph is split deterministically — pairs
+    avoiding doc_id%10==7 are 'yesterday', pairs touching them are the
+    new batch — and the contract is byte-identical equivalence to
+    batch CC on the union, which is exactly what the oracle computes."""
+    from news_rss_spark.operators.components import connected_components
+    from news_rss_spark.operators.inc_components import (
+        incremental_components)
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    pairs = _pairs60h4(spark, sf_dir)
+    old_p = pairs.filter((F.col("a") % 10 != 7) & (F.col("b") % 10 != 7))
+    new_p = pairs.filter((F.col("a") % 10 == 7) | (F.col("b") % 10 == 7))
+    old_labels = connected_components(
+        d.select(F.col("doc_id").alias("node")), old_p,
+        id_col="node").select(
+        "node", F.col("comp").cast("long").alias("component"))
+    return (incremental_components(old_labels, new_p)
+            .select(F.col("node").alias("doc_id"), "component"))
+
+
 def q_fim_splits(spark, sf_dir):
     """Fill-in-the-middle split construction (operators/corruption.py
     fim_splits, Bavarian et al. 2022): per-document PSM/SPM cut points
@@ -3310,6 +3335,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fim_splits: same md5 draw contract; segment-partition
         # invariants + reference parity in test_corruption.py
         "fim_splits": q_fim_splits,
+        # incremental_components: pair graph + inner CC are the
+        # driver-green dedup_clusters machinery; the star-collapse /
+        # affected-set fold is locked by incremental==batch equivalence
+        # across merge shapes (incl. fuzz) in test_inc_components.py
+        "incremental_components": q_incremental_components,
         "cms_token_counts": q_cms_token_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         # audio/video near-dup legs: compositions over in-window oracled
@@ -4565,6 +4595,25 @@ SELECT m.media_id, 'image' AS kind, true AS decoded,
 FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
+""",
+        "incremental_components": f"""
+WITH RECURSIVE sim AS ({_simhash_sql(60)}),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION SELECT b, a FROM pairs
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM sim
+  UNION
+  SELECT e.src, w.comp FROM walk w JOIN edges e ON e.dst = w.node
+)
+SELECT node AS doc_id, min(comp) AS component
+FROM walk GROUP BY node
 """,
         "fim_splits": r"""
 WITH base AS (
