@@ -2652,6 +2652,30 @@ def q_negative_samples(spark, sf_dir):
     return negative_samples(d, pos, k=4)
 
 
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (operators/linkpred.py): unlinked
+    pairs ranked by shared-neighborhood mass with promiscuous
+    neighbors down-weighted (1/ln deg), hubs above degree 32 pruned
+    BEFORE the 2-path pair join (the quadratic-blowup guard — a
+    declared, oracle-replayed part of the contract).  Terms are scaled
+    exact int64 before summation.  Graph = the pagerank link graph +
+    the k_core ring lattice."""
+    from news_rss_spark.operators.linkpred import adamic_adar
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.filter(F.expr("doc_id % 4 > 0"))
+    e = (d.select(F.col("doc_id").alias("src"),
+                  F.explode(F.expr(
+                      "sequence(1, CAST(doc_id % 4 AS INT))")).alias("j"))
+         .select("src",
+                 ((F.col("src") * 31 + F.col("j") * 97) % 1000).alias("dst")))
+    ring = (docs.filter(F.col("doc_id") < 20)
+            .select(F.col("doc_id").alias("src"),
+                    F.explode(F.expr("sequence(1, 4)")).alias("m"))
+            .select("src",
+                    ((F.col("src") + F.col("m")) % 20).alias("dst")))
+    return adamic_adar(e.unionAll(ring), max_degree=32)
+
+
 def q_incremental_components(spark, sf_dir):
     """Incremental connected components (operators/inc_components.py):
     the persisted dedup-cluster label table folded forward with a new
@@ -3340,6 +3364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # affected-set fold is locked by incremental==batch equivalence
         # across merge shapes (incl. fuzz) in test_inc_components.py
         "incremental_components": q_incremental_components,
+        # adamic_adar: edge synthesis = driver-green pagerank/k_core
+        # graphs; prune/score tail locked vs a sequential reference
+        # (hub prune, linked-pair exclusion, fuzz) in test_linkpred.py
+        "adamic_adar": q_adamic_adar,
         "cms_token_counts": q_cms_token_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         # audio/video near-dup legs: compositions over in-window oracled
@@ -4595,6 +4623,38 @@ SELECT m.media_id, 'image' AS kind, true AS decoded,
 FROM m, generate_series(0, 47) AS t(k)
 WHERE t.k < m.w * m.h
 GROUP BY m.media_id, m.w, m.h
+""",
+        "adamic_adar": """
+WITH raw AS (
+  SELECT doc_id AS src, (doc_id * 31 + i * 97) % 1000 AS dst
+  FROM documents, UNNEST(generate_series(1, doc_id % 4)) AS g(i)
+  WHERE doc_id % 4 > 0
+  UNION ALL
+  SELECT doc_id AS src, (doc_id + m) % 20 AS dst
+  FROM documents, UNNEST(generate_series(1, 4)) AS g(m)
+  WHERE doc_id < 20
+),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+inc AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n
+        FROM e),
+deg AS (SELECT z, count(*) AS deg FROM inc GROUP BY z),
+kept AS (
+  SELECT inc.z, inc.n, CAST(round(1000000000.0 / ln(deg.deg), 0)
+                            AS BIGINT) AS t
+  FROM inc JOIN deg ON inc.z = deg.z
+  WHERE deg.deg BETWEEN 2 AND 32
+),
+pairs AS (
+  SELECT x.n AS a, y.n AS b, count(*) AS common_neighbors,
+         sum(x.t) AS aa
+  FROM kept x JOIN kept y ON x.z = y.z AND x.n < y.n
+  GROUP BY x.n, y.n
+)
+SELECT p.a, p.b, CAST(common_neighbors AS BIGINT) AS common_neighbors,
+       round(aa / 1000000000.0, 6) AS aa_score
+FROM pairs p LEFT JOIN e ON e.a = p.a AND e.b = p.b
+WHERE e.a IS NULL
 """,
         "incremental_components": f"""
 WITH RECURSIVE sim AS ({_simhash_sql(60)}),
