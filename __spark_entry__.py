@@ -3156,6 +3156,71 @@ def q_hits(spark, sf_dir):
     return hits(e, iters=3)
 
 
+def q_html_metadata(spark, sf_dir):
+    """Page-head metadata extraction (kernel/metax.py, operators/
+    metadata.py): per-doc synth HTML built in-plan with pure JVM exprs in
+    FOUR head shapes (doc_id%4) exercising the full og:/JSON-LD/<title>/
+    <h1> fallback chain, entity decode (&amp;/&copy;), uppercase+swapped
+    attributes, link-canonical vs og:url precedence and the meta-tag
+    counter; the from-scratch head kernel parses it back and the oracle
+    replays the documented precedence contract directly from the case
+    rule — any tokenizer, attr-parse, JSON-LD or precedence defect
+    breaks value equality."""
+    from news_rss_spark.operators.metadata import extract_metadata_df
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("n_chars") >= 50))
+    did = F.col("doc_id").cast("string")
+    w = F.trim(F.substring("text", 1, 24))
+    head0 = F.concat(
+        F.lit('<meta property="og:title" content="OG &amp; '),
+        F.col("source"),
+        F.lit('"><meta property="og:description" content="D '),
+        F.col("lang"),
+        F.lit('"><meta property="og:image" content="https://img.example/'),
+        did,
+        F.lit('.jpg"><meta property="article:published_time" '
+              'content="2025-03-01T00:00:00Z">'
+              '<META NAME="author" CONTENT="M '),
+        F.col("source"),
+        F.lit('"><link rel="canonical" href="https://'), F.col("source"),
+        F.lit('.example.org/p/'), did,
+        F.lit('"><title>T '), did, F.lit("</title>"))
+    head1 = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"NewsArticle","headline":"LD '),
+        F.col("source"),
+        F.lit('","author":{"name":"A '), F.col("lang"),
+        F.lit('"},"datePublished":"2025-02-1'),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit('"}</script><title>T '), did, F.lit("</title>"))
+    head2 = F.concat(
+        F.lit("<title>T "), did, F.lit(" &copy; "), w,
+        F.lit('</title><meta name="description" content="d '),
+        F.col("lang"),
+        F.lit('"><meta name="date" content="2024-12-2'),
+        (F.col("doc_id") % 2).cast("string"), F.lit('">'))
+    c = F.col("doc_id") % 4
+    head = (F.when(c == 0, head0).when(c == 1, head1)
+             .when(c == 2, head2).otherwise(F.lit("")))
+    body = F.when(
+        c == 3,
+        F.concat(F.lit("<p>lead</p><h1>H <b>"), F.col("source"),
+                 F.lit("</b> end</h1>")),
+    ).otherwise(F.lit("<p>body</p>"))
+    html = F.concat(F.lit("<html><head>"), head, F.lit("</head><body>"),
+                    body, F.lit("</body></html>"))
+    out = extract_metadata_df(
+        d.select("doc_id", html.alias("html")), html_col="html")
+    # absent-field NULLs -> '' so the order-insensitive value compare can
+    # sort rows (same convention as the other nullable-output queries)
+    return out.select(
+        "doc_id",
+        *[F.coalesce(F.col(k), F.lit("")).alias(k)
+          for k in ("headline", "author", "description", "canonical_url",
+                    "image", "published", "title")],
+        "n_meta_tags")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3222,6 +3287,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_features": q_multimodal_features,
+        # html_metadata (r3-new, past-the-window): head-parse kernel with
+        # 20 precedence/robustness unit locks + the sf replica parity
+        # suite + a same-session spark-submit oracle drive at sf0.01;
+        # the in-window extraction family (tag_strip, extract_pipeline,
+        # rss_parse, boilerplate path) already drives the shared
+        # tokenizer under the driver gate.
+        "html_metadata": q_html_metadata,
         # boilerplate_filter sits just past the window by choice: it is
         # the best-independently-verified of the unverified set (added
         # with a same-session spark-submit drive compared value-exact
@@ -6514,6 +6586,39 @@ FROM (SELECT * FROM events WHERE event_type = 'signup') s
 JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON s.user_id = c.user_id
  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+""",
+        # replays the documented metadata precedence contract from the
+        # synth case rule (doc_id%4) — independent of the kernel's parse
+        "html_metadata": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'OG & ' || source
+         WHEN 1 THEN 'LD ' || source
+         WHEN 2 THEN 'T ' || doc_id || ' © ' || trim(substr(text, 1, 24))
+         ELSE 'H ' || source || ' end' END AS headline,
+       CASE doc_id % 4
+         WHEN 0 THEN 'M ' || source
+         WHEN 1 THEN 'A ' || lang ELSE '' END AS author,
+       CASE doc_id % 4
+         WHEN 0 THEN 'D ' || lang
+         WHEN 2 THEN 'd ' || lang ELSE '' END AS description,
+       CASE doc_id % 4
+         WHEN 0 THEN 'https://' || source || '.example.org/p/' || doc_id
+         ELSE '' END AS canonical_url,
+       CASE doc_id % 4
+         WHEN 0 THEN 'https://img.example/' || doc_id || '.jpg'
+         ELSE '' END AS image,
+       CASE doc_id % 4
+         WHEN 0 THEN '2025-03-01T00:00:00Z'
+         WHEN 1 THEN '2025-02-1' || (doc_id % 9)
+         WHEN 2 THEN '2024-12-2' || (doc_id % 2)
+         ELSE '' END AS published,
+       CASE doc_id % 4
+         WHEN 2 THEN 'T ' || doc_id || ' © ' || trim(substr(text, 1, 24))
+         WHEN 3 THEN ''
+         ELSE 'T ' || doc_id END AS title,
+       CASE doc_id % 4 WHEN 0 THEN 5 WHEN 2 THEN 2 ELSE 0 END AS n_meta_tags
+FROM documents WHERE text IS NOT NULL AND n_chars >= 50
 """,
         "warc_extract": """
 SELECT 'https://' || source || '.example.org/a/' || CAST(doc_id AS VARCHAR)
