@@ -3221,6 +3221,38 @@ def q_html_metadata(spark, sf_dir):
         "n_meta_tags")
 
 
+def q_table_extract(spark, sf_dir):
+    """HTML table extraction to a flat cell grid (kernel/tablex.py,
+    operators/tables.py): per-doc synth pages built in-plan — a 3x3
+    header+data table (th vs td, nested <b> markup, numeric casts) plus,
+    for every 5th doc, a SECOND table with an entity-bearing cell, so
+    table indexing, header detection, markup flattening and entity decode
+    are all driver-checked; the oracle replays the exact cell grid from a
+    VALUES lattice.  Stage is scan-shaped (mapInPandas, no shuffle)."""
+    from news_rss_spark.operators.tables import extract_tables_df
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("n_chars") >= 50))
+    did = F.col("doc_id").cast("string")
+    t0 = F.concat(
+        F.lit("<table><tr><th>Name</th><th>Lang</th><th>Chars</th></tr>"
+              "<tr><td>"), F.col("source"),
+        F.lit("</td><td>"), F.col("lang"),
+        F.lit("</td><td>"), F.col("n_chars").cast("string"),
+        F.lit("</td></tr><tr><td>w "),
+        F.trim(F.substring("text", 1, 12)),
+        F.lit("</td><td><b>"), F.upper(F.col("lang")),
+        F.lit("</b></td><td>"), (F.col("doc_id") % 97).cast("string"),
+        F.lit("</td></tr></table>"))
+    t1 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("<table><tr><td>x &amp; "), did,
+                 F.lit("</td></tr></table>")),
+    ).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><body><p>lead</p>"), t0, t1,
+                    F.lit("</body></html>"))
+    return extract_tables_df(d.select("doc_id", html.alias("html")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3294,6 +3326,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rss_parse, boilerplate path) already drives the shared
         # tokenizer under the driver gate.
         "html_metadata": q_html_metadata,
+        # table_extract (r3-new, past-the-window): same verification
+        # posture as html_metadata — 10 kernel unit locks (autoclose
+        # quirks, nested-table exclusion, entity decode) + replica parity
+        # + a same-session sf0.01 oracle drive; shares the driver-gated
+        # tokenizer/DOM with the in-window extraction family.
+        "table_extract": q_table_extract,
         # boilerplate_filter sits just past the window by choice: it is
         # the best-independently-verified of the unverified set (added
         # with a same-session spark-submit drive compared value-exact
@@ -6586,6 +6624,26 @@ FROM (SELECT * FROM events WHERE event_type = 'signup') s
 JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON s.user_id = c.user_id
  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+""",
+        # replays the synth cell grid from a VALUES lattice — independent
+        # of the kernel's tokenizer/DOM walk
+        "table_extract": """
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, 0 AS table_idx, g.r AS row_idx,
+       g.c AS col_idx, g.r = 0 AS is_header,
+       CASE g.r * 3 + g.c
+         WHEN 0 THEN 'Name' WHEN 1 THEN 'Lang' WHEN 2 THEN 'Chars'
+         WHEN 3 THEN d.source WHEN 4 THEN d.lang
+         WHEN 5 THEN CAST(d.n_chars AS VARCHAR)
+         WHEN 6 THEN 'w ' || trim(substr(d.text, 1, 12))
+         WHEN 7 THEN upper(d.lang)
+         ELSE CAST(d.doc_id % 97 AS VARCHAR) END AS cell_text
+FROM documents d,
+     (VALUES (0,0),(0,1),(0,2),(1,0),(1,1),(1,2),(2,0),(2,1),(2,2)) g(r,c)
+WHERE d.text IS NOT NULL AND d.n_chars >= 50
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 1, 0, 0, FALSE, 'x & ' || doc_id
+FROM documents
+WHERE doc_id % 5 = 0 AND text IS NOT NULL AND n_chars >= 50
 """,
         # replays the documented metadata precedence contract from the
         # synth case rule (doc_id%4) — independent of the kernel's parse
