@@ -3253,6 +3253,53 @@ def q_table_extract(spark, sf_dir):
     return extract_tables_df(d.select("doc_id", html.alias("html")))
 
 
+def _links_df(spark, sf_dir):
+    """Shared synth-outlink relation for link_extract / anchor_index:
+    per-doc HTML with an absolute hub link, a relative link (RFC 3986
+    merge), and a nofollow parent-directory link with an entity-bearing
+    anchor; pseudo-links (#fragment) must be dropped by the kernel."""
+    from news_rss_spark.operators.links import extract_links_df
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("n_chars") >= 50))
+    base = F.concat(F.lit("https://"), F.col("source"),
+                    F.lit(".example.org/sec/"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit("/page.html"))
+    html = F.concat(
+        F.lit('<p><a href="https://hub.example/t/'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('">hub '), F.col("lang"),
+        F.lit('</a> <a href="item'), (F.col("doc_id") % 10).cast("string"),
+        F.lit('.html"><b>rel</b> '), F.col("source"),
+        F.lit('</a> <a href="../top" rel="ugc nofollow">A &amp; B '),
+        F.col("source"),
+        F.lit('</a> <a href="#skip">not a link</a></p>'))
+    return extract_links_df(
+        d.select("doc_id", html.alias("html"), base.alias("base_url")))
+
+
+def q_link_extract(spark, sf_dir):
+    """Outlink mining (kernel/linkx.py, operators/links.py): tokenizer
+    walk -> anchor flatten (entities, nested markup, HTML5 a-autoclose)
+    -> RFC 3986 relative resolution (merge + dot segments, fragment
+    strip); the oracle replays resolution arithmetic from the synth
+    rule.  Scan-shaped, no shuffle."""
+    return _links_df(spark, sf_dir)
+
+
+def q_anchor_index(spark, sf_dir):
+    """Anchor-text index over the outlink relation: per-target link and
+    distinct-doc counts, nofollow tally, and the sorted distinct anchor
+    set (joined to one string for the cross-engine hash) — the classic
+    web-search target-description signal.  ONE map-side-combining
+    hash-agg shuffle of compact link rows."""
+    from news_rss_spark.operators.links import anchor_text_index
+    idx = anchor_text_index(_links_df(spark, sf_dir))
+    return idx.select(
+        "target_url", "n_links", "n_docs", "n_nofollow",
+        F.array_join("anchors", "|").alias("anchors_joined"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3332,6 +3379,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + a same-session sf0.01 oracle drive; shares the driver-gated
         # tokenizer/DOM with the in-window extraction family.
         "table_extract": q_table_extract,
+        # link_extract / anchor_index (r3-new, past-the-window): 32
+        # kernel unit locks (RFC 3986 table, autoclose, entities,
+        # pseudo-link drops) + replica parity + same-session sf0.01
+        # oracle drives; the aggregation is a plain oracled hash-agg.
+        "link_extract": q_link_extract,
+        "anchor_index": q_anchor_index,
         # boilerplate_filter sits just past the window by choice: it is
         # the best-independently-verified of the unverified set (added
         # with a same-session spark-submit drive compared value-exact
@@ -6624,6 +6677,54 @@ FROM (SELECT * FROM events WHERE event_type = 'signup') s
 JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON s.user_id = c.user_id
  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+""",
+        # replays the outlink synth rule + RFC 3986 resolution arithmetic
+        # (merge against /sec/<m7>/page.html) — independent of the kernel
+        "link_extract": """
+WITH links AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'https://hub.example/t/' || (doc_id % 50) AS target_url,
+         'hub ' || lang AS anchor_text, FALSE AS nofollow
+  FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR),
+         'https://' || source || '.example.org/sec/' || (doc_id % 7)
+           || '/item' || (doc_id % 10) || '.html',
+         'rel ' || source, FALSE
+  FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR),
+         'https://' || source || '.example.org/sec/top',
+         'A & B ' || source, TRUE
+  FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+)
+SELECT * FROM links
+""",
+        # same replayed link relation, then the plain SQL aggregation
+        "anchor_index": """
+WITH links AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'https://hub.example/t/' || (doc_id % 50) AS target_url,
+         'hub ' || lang AS anchor_text, FALSE AS nofollow
+  FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR),
+         'https://' || source || '.example.org/sec/' || (doc_id % 7)
+           || '/item' || (doc_id % 10) || '.html',
+         'rel ' || source, FALSE
+  FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR),
+         'https://' || source || '.example.org/sec/top',
+         'A & B ' || source, TRUE
+  FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+)
+SELECT target_url, count(*) AS n_links,
+       count(DISTINCT doc_id) AS n_docs,
+       sum(CASE WHEN nofollow THEN 1 ELSE 0 END) AS n_nofollow,
+       string_agg(DISTINCT anchor_text, '|' ORDER BY anchor_text)
+         AS anchors_joined
+FROM links GROUP BY target_url
 """,
         # replays the synth cell grid from a VALUES lattice — independent
         # of the kernel's tokenizer/DOM walk
