@@ -132,6 +132,32 @@ def main() -> None:
         "cells": c["cells"], "headers": c["headers"],
         "exact": c["cells"] == 6 * n_landed
                  and c["headers"] == 3 * n_landed}), flush=True)
+
+    # fused one-pass bundle (adds the body-span extractor on top of the
+    # three products above) vs the separate stages measured separately
+    from news_rss_spark.operators.full_page import extract_page_bundle_df
+    t6 = time.time()
+    bundle = extract_page_bundle_df(docs)
+    b = bundle.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("headline").startswith("OG "), 1).otherwise(0))
+         .alias("og"),
+        F.sum(F.size("links")).alias("links"),
+        F.sum("n_table_cells").alias("cells"),
+        F.sum(F.size("spans")).alias("spans")).collect()[0]
+    t7 = time.time()
+    sep_total = round((t1 - t0) + (t3 - t2) + (t5 - t4), 1)
+    print(json.dumps({
+        "stage": "fused_bundle", "docs": n_landed,
+        "sec": round(t7 - t6, 1),
+        "docs_per_sec": round(n_landed / (t7 - t6)),
+        "separate_stages_sec": sep_total,
+        "fusion_speedup": round(sep_total / (t7 - t6), 2),
+        "rows": b["rows"], "og_headlines": b["og"], "links": b["links"],
+        "cells": b["cells"], "spans": b["spans"],
+        "exact": b["rows"] == n_landed == b["og"]
+                 and b["links"] == 3 * n_landed
+                 and b["cells"] == 6 * n_landed}), flush=True)
     spark.stop()
 
 

@@ -3169,6 +3169,30 @@ def q_html_metadata(spark, sf_dir):
     from news_rss_spark.operators.metadata import extract_metadata_df
     d = _t(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.col("n_chars") >= 50))
+    head = _synth_meta_head()
+    c = F.col("doc_id") % 4
+    body = F.when(
+        c == 3,
+        F.concat(F.lit("<p>lead</p><h1>H <b>"), F.col("source"),
+                 F.lit("</b> end</h1>")),
+    ).otherwise(F.lit("<p>body</p>"))
+    html = F.concat(F.lit("<html><head>"), head, F.lit("</head><body>"),
+                    body, F.lit("</body></html>"))
+    out = extract_metadata_df(
+        d.select("doc_id", html.alias("html")), html_col="html")
+    # absent-field NULLs -> '' so the order-insensitive value compare can
+    # sort rows (same convention as the other nullable-output queries)
+    return out.select(
+        "doc_id",
+        *[F.coalesce(F.col(k), F.lit("")).alias(k)
+          for k in ("headline", "author", "description", "canonical_url",
+                    "image", "published", "title")],
+        "n_meta_tags")
+
+
+def _synth_meta_head():
+    """The four-shape synth head shared by html_metadata and page_bundle
+    (documented case rule doc_id%4; oracles replay it directly)."""
     did = F.col("doc_id").cast("string")
     w = F.trim(F.substring("text", 1, 24))
     head0 = F.concat(
@@ -3200,25 +3224,8 @@ def q_html_metadata(spark, sf_dir):
         F.lit('"><meta name="date" content="2024-12-2'),
         (F.col("doc_id") % 2).cast("string"), F.lit('">'))
     c = F.col("doc_id") % 4
-    head = (F.when(c == 0, head0).when(c == 1, head1)
+    return (F.when(c == 0, head0).when(c == 1, head1)
              .when(c == 2, head2).otherwise(F.lit("")))
-    body = F.when(
-        c == 3,
-        F.concat(F.lit("<p>lead</p><h1>H <b>"), F.col("source"),
-                 F.lit("</b> end</h1>")),
-    ).otherwise(F.lit("<p>body</p>"))
-    html = F.concat(F.lit("<html><head>"), head, F.lit("</head><body>"),
-                    body, F.lit("</body></html>"))
-    out = extract_metadata_df(
-        d.select("doc_id", html.alias("html")), html_col="html")
-    # absent-field NULLs -> '' so the order-insensitive value compare can
-    # sort rows (same convention as the other nullable-output queries)
-    return out.select(
-        "doc_id",
-        *[F.coalesce(F.col(k), F.lit("")).alias(k)
-          for k in ("headline", "author", "description", "canonical_url",
-                    "image", "published", "title")],
-        "n_meta_tags")
 
 
 def q_table_extract(spark, sf_dir):
@@ -3298,6 +3305,57 @@ def q_anchor_index(spark, sf_dir):
     return idx.select(
         "target_url", "n_links", "n_docs", "n_nofollow",
         F.array_join("anchors", "|").alias("anchors_joined"))
+
+
+def q_page_bundle(spark, sf_dir):
+    """Fused full-page extraction (operators/full_page.py): ONE Arrow
+    pass produces body spans + head metadata + resolved outlinks + table
+    census from the same tokenize/DOM work (the 100 TB scan-fusion
+    shape; separate-stage equality locked in tests/test_full_page.py).
+    Synth pages reuse the html_metadata head case rule (doc_id%4), put
+    the document text first in the body (so the first span is the
+    full-text block), then an anchor paragraph and the 3x3+second-table
+    grid from table_extract.  The oracle replays headline/published from
+    the head case rule, link/nofollow counts, cell counts (9 or 10), and
+    the first span's text verbatim."""
+    from news_rss_spark.operators.full_page import extract_page_bundle_df
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("n_chars") >= 50))
+    did = F.col("doc_id").cast("string")
+    head = _synth_meta_head()
+    table = F.concat(
+        F.lit("<table><tr><th>Name</th><th>Lang</th><th>Chars</th></tr>"
+              "<tr><td>a</td><td>b</td><td>c</td></tr>"
+              "<tr><td>d</td><td>e</td><td>f</td></tr></table>"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("<table><tr><td>x</td></tr></table>"))
+         .otherwise(F.lit("")))
+    html = F.concat(
+        F.lit("<html><head>"), head, F.lit("</head><body><p>"),
+        F.col("text"),
+        F.lit('</p><p><a href="https://hub.example/t/'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('">hub</a> <a href="item'),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit('.html">rel</a> <a href="../top" rel="nofollow">up</a></p>'),
+        table, F.lit("</body></html>"))
+    base = F.concat(F.lit("https://"), F.col("source"),
+                    F.lit(".example.org/sec/"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit("/page.html"))
+    bundle = extract_page_bundle_df(
+        d.select("doc_id", html.alias("html"), base.alias("base_url")))
+    return bundle.select(
+        "doc_id",
+        F.coalesce("headline", F.lit("")).alias("headline"),
+        F.coalesce("published", F.lit("")).alias("published"),
+        F.size("links").alias("n_links"),
+        F.aggregate(
+            "links", F.lit(0),
+            lambda acc, x: acc + x["nofollow"].cast("int"),
+        ).alias("n_nofollow"),
+        F.col("n_table_cells"),
+        F.element_at(F.col("spans"), 1)["text"].alias("first_span_text"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3385,6 +3443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle drives; the aggregation is a plain oracled hash-agg.
         "link_extract": q_link_extract,
         "anchor_index": q_anchor_index,
+        # page_bundle (r3-new, past-the-window): the fused one-pass
+        # stage; separate-stage product equality is pytest-locked and
+        # every constituent kernel has its own oracled query above.
+        "page_bundle": q_page_bundle,
         # boilerplate_filter sits just past the window by choice: it is
         # the best-independently-verified of the unverified set (added
         # with a same-session spark-submit drive compared value-exact
@@ -6677,6 +6739,26 @@ FROM (SELECT * FROM events WHERE event_type = 'signup') s
 JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON s.user_id = c.user_id
  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+""",
+        # replays the fused bundle from the shared head case rule + the
+        # planted link/table cardinalities + the body-block contract
+        # (text paragraph is the only block that survives scoring)
+        "page_bundle": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'OG & ' || source
+         WHEN 1 THEN 'LD ' || source
+         WHEN 2 THEN 'T ' || doc_id || ' © ' || trim(substr(text, 1, 24))
+         ELSE '' END AS headline,
+       CASE doc_id % 4
+         WHEN 0 THEN '2025-03-01T00:00:00Z'
+         WHEN 1 THEN '2025-02-1' || (doc_id % 9)
+         WHEN 2 THEN '2024-12-2' || (doc_id % 2)
+         ELSE '' END AS published,
+       3 AS n_links, 1 AS n_nofollow,
+       CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 9 END AS n_table_cells,
+       trim(text) AS first_span_text
+FROM documents WHERE text IS NOT NULL AND n_chars >= 50
 """,
         # replays the outlink synth rule + RFC 3986 resolution arithmetic
         # (merge against /sec/<m7>/page.html) — independent of the kernel
