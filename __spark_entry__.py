@@ -3358,6 +3358,17 @@ def q_page_bundle(spark, sf_dir):
         F.element_at(F.col("spans"), 1)["text"].alias("first_span_text"))
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency OLS over the vocabulary head (drift.py):
+    token agg -> TakeOrderedAndProject(top 300) -> O(top_k) rank window
+    -> one sums agg.  Corpus-health metrology: the slope (~-1 natural
+    text) flags template flooding / vocabulary collapse as one
+    trendable number."""
+    from news_rss_spark.operators.drift import zipf_fit
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return zipf_fit(d, top_k=300)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3447,6 +3458,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stage; separate-stage product equality is pytest-locked and
         # every constituent kernel has its own oracled query above.
         "page_bundle": q_page_bundle,
+        # zipf_fit (r3-new, past-the-window): OLS replayed from scratch
+        # in pytest + full SQL oracle; shares the driver-green
+        # vocab_divergence token-agg substrate.
+        "zipf_fit": q_zipf_fit,
         # boilerplate_filter sits just past the window by choice: it is
         # the best-independently-verified of the unverified set (added
         # with a same-session spark-submit drive compared value-exact
@@ -6739,6 +6754,32 @@ FROM (SELECT * FROM events WHERE event_type = 'signup') s
 JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON s.user_id = c.user_id
  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+""",
+        # full OLS replay: same tokenization, same head cut (cnt desc,
+        # token asc), same closed-form sums
+        "zipf_fit": """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+), freq AS (
+  SELECT token, count(*) AS cnt FROM tok WHERE token <> '' GROUP BY token
+), head AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+  FROM freq ORDER BY cnt DESC, token ASC LIMIT 300
+), xy AS (
+  SELECT log10(CAST(rank AS DOUBLE)) AS x, log10(CAST(cnt AS DOUBLE)) AS y
+  FROM head
+), s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+         sum(x*y) AS sxy, sum(y*y) AS syy FROM xy
+)
+SELECT n AS n_terms,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) AS slope,
+       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 9)
+         AS intercept,
+       round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 9) AS r2
+FROM s
 """,
         # replays the fused bundle from the shared head case rule + the
         # planted link/table cardinalities + the body-block contract

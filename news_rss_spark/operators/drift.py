@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["vocab_divergence"]
+__all__ = ["vocab_divergence", "zipf_fit"]
 
 
 def _token_counts(df: DataFrame, text_col: str, out: str) -> DataFrame:
@@ -89,3 +89,52 @@ def vocab_divergence(df_a: DataFrame, df_b: DataFrame,
         F.round(F.col("_kl_ab") / 1e9, 6).alias("kl_ab"),
         F.round(F.col("_kl_ba") / 1e9, 6).alias("kl_ba"),
         F.round(F.col("_js") / 1e9, 6).alias("js"))
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             top_k: int = 1000) -> DataFrame:
+    """Zipf rank-frequency fit over the vocabulary head: one row
+    ``(n_terms, slope, intercept, r2)`` from an OLS fit of
+    ``log10(freq) ~ log10(rank)`` on the ``top_k`` most frequent tokens.
+
+    The Zipf slope (~-1 for natural language) is a cheap whole-corpus
+    health signal: a flattened head means template/boilerplate flooding,
+    a cliff means vocabulary collapse (e.g. one source swamping the
+    crawl) — the metrology companion to :func:`vocab_divergence`, as a
+    single trendable number per corpus slice.
+
+    Scale shape: ONE map-side-combined token aggregation (the same
+    vocabulary-sized shuffle as vocab_divergence), then
+    ``TakeOrderedAndProject`` bounds the global order to ``top_k`` rows
+    — the rank window runs on a relation that is O(top_k) BY
+    CONSTRUCTION (the rrf_fusion argument), never corpus-sized.  Fitting
+    the head is also statistically right: the Zipf tail is where the law
+    breaks down and ranks churn with corpus noise.
+
+    Determinism: total tie order (freq desc, token asc) pins both the
+    top-k cut and every rank; the OLS sums are doubles over <= top_k
+    head terms (magnitudes <= ~log10 corpus size), far inside the
+    6-decimal compare tolerance; outputs rounded to 9.
+    """
+    freq = _token_counts(df, text_col, "cnt")
+    head = freq.orderBy(F.desc("cnt"), F.asc("token")).limit(top_k)
+    from pyspark.sql.window import Window
+    ranked = head.select(
+        F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("token"))).alias("rank"),
+        "cnt")
+    xy = ranked.select(F.log10("rank").alias("x"), F.log10("cnt").alias("y"))
+    s = xy.agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
+               F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("x"))
+               .alias("sxx"), F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(cov / varx, 9).alias("slope"),
+        F.round((F.col("sy") - (cov / varx) * F.col("sx")) / n, 9)
+         .alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 9).alias("r2"))
