@@ -3369,6 +3369,20 @@ def q_zipf_fit(spark, sf_dir):
     return zipf_fit(d, top_k=300)
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Deterministic mergeable quantile sketch (sketch.py): bottom-k
+    md5(id) row sample (TakeOrderedAndProject — k rows per partition
+    move, no corpus sort) -> pinned nearest-rank estimates.  Chosen over
+    GK/KLL because those compactors are merge-order-sensitive; this
+    sketch is order-free, mergeable by union+re-limit, and the oracle
+    replays every sampled row and estimate EXACTLY."""
+    from news_rss_spark.operators.sketch import (
+        quantile_sample_sketch, sketch_quantile_estimates)
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    sk = quantile_sample_sketch(d, "n_chars", id_col="doc_id", k=256)
+    return sketch_quantile_estimates(sk)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3462,6 +3476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in pytest + full SQL oracle; shares the driver-green
         # vocab_divergence token-agg substrate.
         "zipf_fit": q_zipf_fit,
+        # quantile_sketch (r3-new, past-the-window): exact-replay
+        # estimator (no tolerance band) + 7 pytest locks incl. the
+        # python re-derivation and DKW rank-error bound; shares the
+        # driver-green md5-draw + bottom-k contracts.
+        "quantile_sketch": q_quantile_sketch,
         # boilerplate_filter sits just past the window by choice: it is
         # the best-independently-verified of the unverified set (added
         # with a same-session spark-submit drive compared value-exact
@@ -6754,6 +6773,23 @@ FROM (SELECT * FROM events WHERE event_type = 'signup') s
 JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON s.user_id = c.user_id
  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+""",
+        # replays the md5 bottom-k sample row-exactly, then the pinned
+        # nearest-rank pick — no tolerance band
+        "quantile_sketch": """
+WITH samp AS (
+  SELECT md5(CAST(doc_id AS VARCHAR)) AS h, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL
+  ORDER BY h, v LIMIT 256
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v, h) - 1 AS r,
+         count(*) OVER () AS n
+  FROM samp
+)
+SELECT CAST(q.q AS DOUBLE) AS q, ranked.v AS est
+FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) q(q)
+JOIN ranked ON ranked.r = CAST(floor(CAST(q.q AS DOUBLE) * (ranked.n - 1))
+                               AS BIGINT)
 """,
         # full OLS replay: same tokenization, same head cut (cnt desc,
         # token asc), same closed-form sums

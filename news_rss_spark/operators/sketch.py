@@ -216,3 +216,63 @@ def corpus_overlap_estimate(df_a: DataFrame, df_b: DataFrame,
             .select("k_used", "n_both",
                     F.round(F.col("n_both").cast("double")
                             / F.col("k_used"), 6).alias("est_jaccard")))
+
+
+def quantile_sample_sketch(df: DataFrame, value_col: str,
+                           id_col: str = "doc_id",
+                           k: int = 1024) -> DataFrame:
+    """Deterministic mergeable quantile sketch: the ``(h, v)`` pairs with
+    the k smallest ``md5(id)`` draws — a uniform k-sample of ROWS (ids
+    are unique, so the hash order is a deterministic random permutation
+    of the corpus; the same md5_draw32 replayability contract as
+    uniform_sample/corpus_shuffle, reused here for a SKETCH).
+
+    Why this shape instead of GK/KLL/t-digest: those compactors are
+    merge-ORDER-sensitive, which breaks the engine's bit-determinism
+    contract under Spark's nondeterministic partition merge tree.  A
+    bottom-k row sample is order-free (min-k of a set), mergeable
+    (union + re-limit = the sketch of the union, exactly like
+    bottomk_sketch/hll_registers), deterministic, and its estimator is
+    SQL-replayable EXACTLY — the oracle reproduces every sampled row and
+    every estimate, no tolerance band.  Rank error is O(sqrt(q(1-q)/k))
+    (Dvoretzky-Kiefer-Wolfowitz), vs KLL's O(1/k): for corpus metrology
+    (length/score/quality percentiles) k=4096 gives ~1% rank error for
+    64 KB shipped — the right trade for an exactly-verifiable engine.
+
+    Plan: one TakeOrderedAndProject (per-partition bottom-k, k-row
+    merge) — only k rows per partition ever move, no corpus sort.
+    """
+    return (df.filter(F.col(value_col).isNotNull())
+            .select(F.md5(F.col(id_col).cast("string")).alias("h"),
+                    F.col(value_col).cast("double").alias("v"))
+            .orderBy("h", "v").limit(k))
+
+
+def merge_quantile_sketches(*sketches: DataFrame, k: int = 1024) -> DataFrame:
+    """Union + re-limit = the sketch of the combined corpus (ids must be
+    globally unique across inputs, same contract as every md5-draw op)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("h", "v").limit(k)
+
+
+def sketch_quantile_estimates(sketch: DataFrame,
+                              qs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+                              ) -> DataFrame:
+    """``(q, est)`` per requested quantile from the sample: nearest-rank
+    rule ``r = floor(q * (n - 1)) + 1`` over the value-ordered sample
+    (0-indexed floor interpolation — pinned so both engines pick the
+    identical sample row).  The window runs on the k-row sketch — O(k)
+    by construction."""
+    from pyspark.sql.window import Window
+    ranked = sketch.select(
+        F.col("v"),
+        (F.row_number().over(Window.orderBy("v", "h")) - 1).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double")
+    pick = F.floor(F.col("q") * (F.col("n") - 1))
+    return (ranked.crossJoin(F.broadcast(qdf))
+            .filter(F.col("r") == pick)
+            .select("q", F.col("v").alias("est")))
