@@ -3383,6 +3383,59 @@ def q_quantile_sketch(spark, sf_dir):
     return sketch_quantile_estimates(sk)
 
 
+def q_jsonl_ingest(spark, sf_dir):
+    """JSONL ingest with error quarantine (sources/jsonl.py): JVM
+    from_json + try_parse_json validity — no Python in the parse path;
+    malformed lines (doc_id%13==0, truncated) and id-less lines (%13==1)
+    become typed skip rows, never failures.  Oracle replays the line
+    construction rule directly."""
+    from news_rss_spark.sources.jsonl import parse_jsonl_documents
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+        & F.col("source").isNotNull())
+    did = F.col("doc_id").cast("string")
+    good = F.concat(
+        F.lit('{"doc_id": "j'), did, F.lit('", "text": "'),
+        F.col("text"), F.lit('", "lang": "'), F.col("lang"),
+        F.lit('", "source": "'), F.col("source"),
+        F.lit('", "ts": "2025-01-0'),
+        (F.col("doc_id") % 9 + 1).cast("string"), F.lit('"}'))
+    noid = F.concat(F.lit('{"text": "orphan '), did, F.lit('"}'))
+    broken = F.concat(F.lit('{"doc_id": "j'), did, F.lit('", "text": "tr'))
+    c = F.col("doc_id") % 13
+    line = (F.when(c == 0, broken).when(c == 1, noid).otherwise(good))
+    parsed = parse_jsonl_documents(
+        d.select(F.col("doc_id").alias("orig_id"), line.alias("line")))
+    return parsed.select(
+        "status",
+        *[F.coalesce(F.col(k), F.lit("")).alias(k)
+          for k in ("error", "doc_id", "text", "lang", "source", "ts")])
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (operators/audit.py): equivalence classes over
+    (lang, source, length-bucket) quasi-identifiers with fewer than k=3
+    members — the rows re-identifiable by attribute combination after
+    direct-identifier redaction.  One hash agg + post-agg filter."""
+    from news_rss_spark.operators.audit import k_anonymity_report
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull())
+    d = d.select("lang", "source",
+                 (F.col("n_chars") % 16).alias("len_bucket"))
+    return k_anonymity_report(d, ["lang", "source", "len_bucket"], k=3)
+
+
+def q_k_anonymity_summary(spark, sf_dir):
+    """One-row k-anonymity rollup: class counts, violators, exposed rows
+    and the corpus's effective k (min class size)."""
+    from news_rss_spark.operators.audit import k_anonymity_summary
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull())
+    d = d.select("lang", "source",
+                 (F.col("n_chars") % 16).alias("len_bucket"))
+    return k_anonymity_summary(d, ["lang", "source", "len_bucket"], k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3481,6 +3534,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # python re-derivation and DKW rank-error bound; shares the
         # driver-green md5-draw + bottom-k contracts.
         "quantile_sketch": q_quantile_sketch,
+        # jsonl_ingest / k_anonymity family (r3-new, past-the-window):
+        # pure-JVM paths with straight SQL replays; unit suites cover
+        # the parse/audit edges.
+        "jsonl_ingest": q_jsonl_ingest,
+        "k_anonymity": q_k_anonymity,
+        "k_anonymity_summary": q_k_anonymity_summary,
         # boilerplate_filter sits just past the window by choice: it is
         # the best-independently-verified of the unverified set (added
         # with a same-session spark-submit drive compared value-exact
@@ -6773,6 +6832,40 @@ FROM (SELECT * FROM events WHERE event_type = 'signup') s
 JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON s.user_id = c.user_id
  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+""",
+        # replays the JSON-line construction rule (no JSON parse needed
+        # oracle-side — the synth fields ARE the parse result)
+        "jsonl_ingest": """
+SELECT CASE WHEN doc_id % 13 IN (0, 1) THEN 'skip' ELSE 'ok' END AS status,
+       CASE doc_id % 13 WHEN 0 THEN 'malformed_json'
+                        WHEN 1 THEN 'missing_doc_id' ELSE '' END AS error,
+       CASE WHEN doc_id % 13 IN (0, 1) THEN ''
+            ELSE 'j' || doc_id END AS doc_id,
+       CASE WHEN doc_id % 13 IN (0, 1) THEN '' ELSE text END AS text,
+       CASE WHEN doc_id % 13 IN (0, 1) THEN '' ELSE lang END AS lang,
+       CASE WHEN doc_id % 13 IN (0, 1) THEN '' ELSE source END AS source,
+       CASE WHEN doc_id % 13 IN (0, 1) THEN ''
+            ELSE '2025-01-0' || (doc_id % 9 + 1) END AS ts
+FROM documents
+WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+""",
+        "k_anonymity": """
+SELECT lang, source, n_chars % 16 AS len_bucket, count(*) AS class_n
+FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+GROUP BY lang, source, n_chars % 16
+HAVING count(*) < 3
+""",
+        "k_anonymity_summary": """
+WITH classes AS (
+  SELECT count(*) AS class_n
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source, n_chars % 16
+)
+SELECT count(*) AS n_classes,
+       sum(CASE WHEN class_n < 3 THEN 1 ELSE 0 END) AS n_violating,
+       sum(CASE WHEN class_n < 3 THEN class_n ELSE 0 END) AS exposed_rows,
+       min(class_n) AS effective_k
+FROM classes
 """,
         # replays the md5 bottom-k sample row-exactly, then the pinned
         # nearest-rank pick — no tolerance band

@@ -131,3 +131,41 @@ def table_column_stats(df: DataFrame, columns: list[str] | None = None,
         for c in cols
     ])).alias("s")
     return one.select(rows).select("s.*")
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
+                       k: int = 5) -> DataFrame:
+    """Per-equivalence-class k-anonymity audit over quasi-identifier
+    columns: every class (unique quasi-column combination) with fewer
+    than ``k`` members — the groups whose rows are re-identifiable by
+    joining the quasi attributes against an external dataset.  The
+    release-governance companion to pii_redact: redaction strips DIRECT
+    identifiers; this finds rows exposed by identifier COMBINATIONS.
+
+    Output: one row per violating class ``(quasi..., class_n)``,
+    ordered semantics-free (class values identify the row).  Plan: ONE
+    map-side-combining hash agg on the quasi key + a post-agg filter —
+    vocabulary-of-classes sized, never corpus sized; the common quasi
+    sets (language x region x bucketed length) are low-cardinality by
+    construction.  Skewed hot classes are exactly the ones the filter
+    DROPS (class_n >= k), so the output is bounded by the rare tail.
+    """
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("class_n"))
+            .filter(F.col("class_n") < k))
+
+
+def k_anonymity_summary(df: DataFrame, quasi_cols: list[str],
+                        k: int = 5) -> DataFrame:
+    """One-row rollup of the audit: total classes, violating classes,
+    exposed rows, and the minimum class size (the corpus's effective
+    k-anonymity level).  Same single-agg plan plus a scalar rollup."""
+    classes = (df.groupBy(*quasi_cols)
+               .agg(F.count(F.lit(1)).alias("class_n")))
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("class_n") < k, 1).otherwise(0))
+         .alias("n_violating"),
+        F.sum(F.when(F.col("class_n") < k, F.col("class_n"))
+               .otherwise(F.lit(0))).alias("exposed_rows"),
+        F.min("class_n").alias("effective_k"))
