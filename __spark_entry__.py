@@ -3436,6 +3436,40 @@ def q_k_anonymity_summary(spark, sf_dir):
     return k_anonymity_summary(d, ["lang", "source", "len_bucket"], k=3)
 
 
+def _hyperball_edges(spark, sf_dir):
+    """The deterministic link graph shared with pagerank/hits."""
+    d = _t(spark, sf_dir, "documents").filter(F.expr("doc_id % 4 > 0"))
+    return (d.select(F.col("doc_id").alias("src"),
+                     F.explode(F.expr(
+                         "sequence(1, CAST(doc_id % 4 AS INT))")).alias("j"))
+            .select("src",
+                    ((F.col("src") * 31 + F.col("j") * 97) % 1000)
+                    .alias("dst"))
+            .distinct())
+
+
+def q_hyperball(spark, sf_dir):
+    """HyperBall neighborhood function (operators/hyperball.py —
+    Boldi-Vigna 2013): per-node HLL ball sketches grown one hop per
+    round (union-max = HLL merge; ONE register-relation-sized shuffle
+    per round, states localCheckpoint'd).  Every register and estimate
+    is md5-deterministic, so the oracle replays N̂_t exactly from a
+    bounded-depth reachability CTE — no tolerance band."""
+    from news_rss_spark.operators.hyperball import hyperball
+    return hyperball(_hyperball_edges(spark, sf_dir), iters=2, p=6)
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Truncated harmonic centrality from the hyperball relation:
+    Σ_t (N̂_t - N̂_{t-1})/t — the web-graph centrality that stays finite
+    on disconnected graphs.  Per-node lag window over T+1 rows (bounded
+    by construction)."""
+    from news_rss_spark.operators.hyperball import (
+        harmonic_centrality, hyperball)
+    nf = hyperball(_hyperball_edges(spark, sf_dir), iters=2, p=6)
+    return harmonic_centrality(nf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3540,6 +3574,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": q_jsonl_ingest,
         "k_anonymity": q_k_anonymity,
         "k_anonymity_summary": q_k_anonymity_summary,
+        # hyperball family (r3-new, past-the-window): every register/
+        # estimate replayed exactly by a bounded-depth reachability
+        # oracle + a pure-python exact-ball replay in pytest; built on
+        # the driver-green hll register contract.
+        "hyperball": q_hyperball,
+        "harmonic_centrality": q_harmonic_centrality,
         # boilerplate_filter sits just past the window by choice: it is
         # the best-independently-verified of the unverified set (added
         # with a same-session spark-submit drive compared value-exact
@@ -6832,6 +6872,109 @@ FROM (SELECT * FROM events WHERE event_type = 'signup') s
 JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON s.user_id = c.user_id
  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+""",
+        # exact replay: bounded-depth reachability CTE -> the same md5
+        # register/estimate arithmetic as the driver-green hll oracle
+        # (p=6: kmax=55, m=64, alpha*m^2*2^55 literal below)
+        "hyperball": """
+WITH RECURSIVE
+edges AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 31 + i * 97) % 1000 AS dst
+  FROM documents, UNNEST(generate_series(1, doc_id % 4)) AS g(i)
+  WHERE doc_id % 4 > 0
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+reach AS (
+  SELECT node AS v, node AS u, 0 AS d FROM nodes
+  UNION
+  SELECT r.v, e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.u
+  WHERE r.d < 2
+),
+ball AS (
+  SELECT t.t, r.v, r.u
+  FROM (VALUES (0),(1),(2)) t(t) JOIN reach r ON r.d <= t.t
+  GROUP BY t.t, r.v, r.u
+),
+h AS (
+  SELECT t, v,
+         CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM ball
+),
+regs AS (
+  SELECT t, v, h % 64 AS bucket,
+         max(CASE WHEN (h >> 6) = 0 THEN 55
+                  ELSE 55 - length(bin(h >> 6)) END) AS register
+  FROM h GROUP BY t, v, h % 64
+),
+agg AS (
+  SELECT t, v, sum(1::BIGINT << (55 - register)) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY t, v
+)
+SELECT v AS node, t,
+       round(CASE WHEN raw <= 160.0 AND vv > 0
+                  THEN 64.0 * ln(64.0 / vv) ELSE raw END, 6) AS n_est
+FROM (SELECT t, v,
+             1.046802484394006e+20
+               / CAST(s_present + (64 - n_present) * (1::BIGINT << 55)
+                      AS DOUBLE) AS raw,
+             CAST(64 - n_present AS DOUBLE) AS vv
+      FROM agg)
+""",
+        # same replay + the per-node lag/t fold over the ROUNDED n_est
+        "harmonic_centrality": """
+WITH RECURSIVE
+edges AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 31 + i * 97) % 1000 AS dst
+  FROM documents, UNNEST(generate_series(1, doc_id % 4)) AS g(i)
+  WHERE doc_id % 4 > 0
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+reach AS (
+  SELECT node AS v, node AS u, 0 AS d FROM nodes
+  UNION
+  SELECT r.v, e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.u
+  WHERE r.d < 2
+),
+ball AS (
+  SELECT t.t, r.v, r.u
+  FROM (VALUES (0),(1),(2)) t(t) JOIN reach r ON r.d <= t.t
+  GROUP BY t.t, r.v, r.u
+),
+h AS (
+  SELECT t, v,
+         CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM ball
+),
+regs AS (
+  SELECT t, v, h % 64 AS bucket,
+         max(CASE WHEN (h >> 6) = 0 THEN 55
+                  ELSE 55 - length(bin(h >> 6)) END) AS register
+  FROM h GROUP BY t, v, h % 64
+),
+agg AS (
+  SELECT t, v, sum(1::BIGINT << (55 - register)) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY t, v
+),
+est AS (
+  SELECT v AS node, t,
+         round(CASE WHEN raw <= 160.0 AND vv > 0
+                    THEN 64.0 * ln(64.0 / vv) ELSE raw END, 6) AS n_est
+  FROM (SELECT t, v,
+               1.046802484394006e+20
+                 / CAST(s_present + (64 - n_present) * (1::BIGINT << 55)
+                        AS DOUBLE) AS raw,
+               CAST(64 - n_present AS DOUBLE) AS vv
+        FROM agg)
+),
+lagd AS (
+  SELECT node, t, n_est,
+         lag(n_est) OVER (PARTITION BY node ORDER BY t) AS prev
+  FROM est
+)
+SELECT node, round(sum((n_est - prev) / t), 6) AS harmonic
+FROM lagd WHERE t > 0 GROUP BY node
 """,
         # replays the JSON-line construction rule (no JSON parse needed
         # oracle-side — the synth fields ARE the parse result)

@@ -1,0 +1,90 @@
+"""HyperBall: per-node neighborhood function + harmonic centrality via
+HLL register propagation (Boldi & Vigna, "In-Core Computation of
+Geometric Centralities with HyperBall", 2013 — the algorithm behind the
+published web-graph centrality runs on billion-node crawls).
+
+Exact per-node ball sizes need all-pairs reachability — hopeless at web
+scale.  HyperBall keeps ONE mergeable HLL sketch per node (here the
+engine's open ``(node, bucket, register)`` relation from
+``operators/sketch.py`` — same md5 contract, so the whole computation is
+bit-deterministic and SQL-replayable) and grows balls by one hop per
+round:
+
+    ball_t(v)  =  {v}  ∪  ⋃_{(v,u) ∈ E} ball_{t-1}(u)      (OUT-balls)
+
+which in register space is a union-max — exactly the HLL merge, so one
+round = one equi-join of edges against the state + one max-agg: ONE
+shuffle per round, register-relation sized (m rows per node), never
+pairs-sized.  States are localCheckpoint'd per round (the pagerank/CC
+iteration contract — without it every round replays the whole lineage).
+
+Outputs: the per-node neighborhood function ``N̂_t(v)`` for t = 0..T
+(estimated ball cardinality at each radius — the distance-distribution /
+effective-diameter primitive), and harmonic centrality
+
+    H(v) = Σ_{t=1..T} (N̂_t(v) - N̂_{t-1}(v)) / t
+
+(each node at distance t contributes 1/t) — the centrality Boldi-Vigna
+recommend over closeness for disconnected web graphs, truncated at
+radius T.
+
+Determinism: md5 bucket/rho, max-merges, and integer harmonic sums are
+all order-free; the only floats are the estimate's single division and
+the final /t sum, both rounded — the DuckDB oracle replays every
+register, estimate and centrality EXACTLY from a bounded-depth
+reachability CTE.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from news_rss_spark.operators.sketch import hll_estimate, hll_registers
+
+__all__ = ["hyperball", "harmonic_centrality"]
+
+
+def hyperball(edges: DataFrame, iters: int = 3, p: int = 6,
+              src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """``(node, t, n_est)`` for t = 0..iters over the directed edge
+    relation — N̂_t(node) = estimated #nodes within t hops FORWARD."""
+    nodes = (edges.select(F.col(src_col).alias("node"))
+             .unionByName(edges.select(F.col(dst_col).alias("node")))
+             .distinct())
+    # t=0 ball = {v}: registers of the node's own hash
+    state = hll_registers(nodes, "node", "node", p=p) \
+        .localCheckpoint(eager=True)
+    ests = [hll_estimate(state, "node", p=p)
+            .select("node", F.lit(0).alias("t"), "n_est")]
+    e = edges.select(F.col(src_col).alias("e_src"),
+                     F.col(dst_col).alias("e_dst"))
+    for t in range(1, iters + 1):
+        contrib = (e.join(state, e["e_dst"] == state["node"])
+                   .select(F.col("e_src").alias("node"), "bucket",
+                           "register"))
+        state = (state.unionByName(contrib)
+                 .groupBy("node", "bucket")
+                 .agg(F.max("register").alias("register"))
+                 .localCheckpoint(eager=True))
+        ests.append(hll_estimate(state, "node", p=p)
+                    .select("node", F.lit(t).alias("t"), "n_est"))
+    return reduce(lambda a, b: a.unionByName(b), ests)
+
+
+def harmonic_centrality(neighborhood: DataFrame) -> DataFrame:
+    """``(node, harmonic)`` from a hyperball ``(node, t, n_est)``
+    relation: Σ_{t>=1} (N̂_t - N̂_{t-1}) / t, rounded to 6.  The lag
+    window partitions per node over T+1 rows — bounded by construction,
+    no global window."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("node").orderBy("t")
+    d = neighborhood.select(
+        "node", "t",
+        (F.col("n_est") - F.lag("n_est").over(w)).alias("delta"))
+    return (d.filter(F.col("t") > 0)
+            .groupBy("node")
+            .agg(F.round(F.sum(F.col("delta") / F.col("t")), 6)
+                 .alias("harmonic")))
