@@ -28,6 +28,8 @@ from news_rss_spark.operators.hyperball import harmonic_centrality, hyperball
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    topology = sys.argv[3] if len(sys.argv) > 3 else "expander"
     spark = (
         SparkSession.builder.appName("hyperball-scale")
         .config("spark.sql.shuffle.partitions", "64")
@@ -35,21 +37,29 @@ def main() -> None:
         .getOrCreate()
     )
     ids = spark.range(n).select(F.col("id").alias("src"))
-    edges = (
-        ids.select("src", ((F.col("src") * 2654435761) % n).alias("dst"))
-        .unionByName(ids.select("src", ((F.col("src") + 1) % n).alias("dst")))
-        .unionByName(
-            ids.filter(F.col("src") % 5 == 0)
-               .select("src", (F.col("src") % 8).alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-    )
+    if topology == "cycles":
+        # disjoint 5-cycles: every ball converges at radius 4, so rounds
+        # 5+ must be ~free — the frontier-pruning demonstration
+        edges = ids.select(
+            "src", (F.col("src") - F.col("src") % 5
+                    + (F.col("src") + 1) % 5).alias("dst"))
+    else:
+        edges = (
+            ids.select("src", ((F.col("src") * 2654435761) % n).alias("dst"))
+            .unionByName(ids.select("src",
+                                    ((F.col("src") + 1) % n).alias("dst")))
+            .unionByName(
+                ids.filter(F.col("src") % 5 == 0)
+                   .select("src", (F.col("src") % 8).alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+        )
     path = "/dev/shm/hyperball-edges"
     edges.write.mode("overwrite").parquet(path)
     e = spark.read.parquet(path)
     n_edges = e.count()
 
     t0 = time.time()
-    nf = hyperball(e, iters=3, p=6)
+    nf = hyperball(e, iters=iters, p=6)
     means = {int(r["t"]): (float(r["m"]), int(r["c"]))
              for r in nf.groupBy("t")
              .agg(F.round(F.avg("n_est"), 3).alias("m"),
@@ -60,8 +70,8 @@ def main() -> None:
         "n_est < 0.9 OR n_est > 1.1").count()
     print(json.dumps({
         "stage": "hyperball", "nodes": means[0][1], "edges": n_edges,
-        "iters": 3, "p": 6, "sec": round(t1 - t0, 1),
-        "edges_per_sec_per_round": round(3 * n_edges / (t1 - t0)),
+        "iters": iters, "p": 6, "sec": round(t1 - t0, 1),
+        "edges_per_sec_per_round": round(iters * n_edges / (t1 - t0)),
         "mean_ball_by_t": curve,
         "n0_outside_band": n0_band,
         "monotone": curve == sorted(curve)}), flush=True)
@@ -72,7 +82,7 @@ def main() -> None:
     t2 = time.time()
     nf_in = hyperball(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-        iters=3, p=6)
+        iters=iters, p=6)
     hc = harmonic_centrality(nf_in)
     top = [(int(r["node"]), float(r["harmonic"]))
            for r in hc.orderBy(F.desc("harmonic"), F.asc("node"))

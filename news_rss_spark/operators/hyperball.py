@@ -50,25 +50,62 @@ __all__ = ["hyperball", "harmonic_centrality"]
 def hyperball(edges: DataFrame, iters: int = 3, p: int = 6,
               src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """``(node, t, n_est)`` for t = 0..iters over the directed edge
-    relation — N̂_t(node) = estimated #nodes within t hops FORWARD."""
+    relation — N̂_t(node) = estimated #nodes within t hops FORWARD.
+
+    State: the open skinny ``(node, bucket, register)`` relation — only
+    NON-EMPTY registers exist as rows, so small balls ship small states
+    (a 64-wide packed-column layout was tried and measured 1.7x SLOWER
+    at 2M nodes: every row carried all m registers as zeros while the
+    mean ball filled ~11 of 64 — BENCH/BASELINE.md).
+
+    Frontier pruning (the HyperBall paper's systolic/"changed counters
+    only" optimization): state only GROWS, so a dst whose sketch did not
+    change in round t-1 contributes nothing new in round t — its last
+    contribution is already absorbed.  Each round therefore joins edges
+    against the CHANGED dst states only; change detection is an exact
+    node-sized ``(n_buckets, integer harmonic sum)`` signature pair (no
+    new bucket -> every term only decreases, so equal sums == unchanged;
+    new bucket -> count differs).  For radius-3 runs most nodes keep
+    changing; for effective-diameter runs (iters 10-20) the frontier
+    collapses and late rounds become nearly free.
+    """
+    kmax = 60 - p + 1
     nodes = (edges.select(F.col(src_col).alias("node"))
              .unionByName(edges.select(F.col(dst_col).alias("node")))
              .distinct())
     # t=0 ball = {v}: registers of the node's own hash
     state = hll_registers(nodes, "node", "node", p=p) \
         .localCheckpoint(eager=True)
+
+    def signature(state_df: DataFrame) -> DataFrame:
+        return state_df.groupBy("node").agg(
+            F.count(F.lit(1)).alias("sig_n"),
+            F.sum(F.expr(f"shiftleft(1L, {kmax} - register)"))
+             .alias("sig_s"))
+
     ests = [hll_estimate(state, "node", p=p)
             .select("node", F.lit(0).alias("t"), "n_est")]
     e = edges.select(F.col(src_col).alias("e_src"),
                      F.col(dst_col).alias("e_dst"))
+    changed = None  # None == all nodes (round 1)
+    sig = signature(state).localCheckpoint(eager=True)
     for t in range(1, iters + 1):
-        contrib = (e.join(state, e["e_dst"] == state["node"])
+        frontier = state if changed is None else \
+            state.join(changed, "node")
+        contrib = (e.join(frontier, e["e_dst"] == frontier["node"])
                    .select(F.col("e_src").alias("node"), "bucket",
                            "register"))
         state = (state.unionByName(contrib)
                  .groupBy("node", "bucket")
                  .agg(F.max("register").alias("register"))
                  .localCheckpoint(eager=True))
+        new_sig = signature(state).localCheckpoint(eager=True)
+        changed = (new_sig.alias("a")
+                   .join(sig.alias("b"), "node")
+                   .filter((F.col("a.sig_n") != F.col("b.sig_n"))
+                           | (F.col("a.sig_s") != F.col("b.sig_s")))
+                   .select("node"))
+        sig = new_sig
         ests.append(hll_estimate(state, "node", p=p)
                     .select("node", F.lit(t).alias("t"), "n_est"))
     return reduce(lambda a, b: a.unionByName(b), ests)

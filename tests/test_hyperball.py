@@ -86,6 +86,21 @@ class TestHyperball:
         assert sorted(map(tuple, nf.collect())) \
             == sorted(map(tuple, again.collect()))
 
+    def test_converged_frontier_rounds(self, spark):
+        # iters beyond the graph diameter: the changed-frontier collapses
+        # to empty and late rounds must be no-ops with stable estimates
+        e = spark.createDataFrame(EDGES, "src long, dst long")
+        nf6 = hyperball(e, iters=6, p=P)
+        rows = {}
+        for r in nf6.collect():
+            rows.setdefault(r["node"], {})[r["t"]] = r["n_est"]
+        want = balls(EDGES, 6)
+        for node, series in rows.items():
+            assert series[6] == pytest.approx(
+                hll_est_of(want[6][node]), abs=1e-6)
+            # past convergence the series is flat
+            assert series[5] == series[6]
+
     def test_small_ball_near_exact(self, nf):
         # linear-counting regime: tiny balls should estimate within ~5%
         got = {(r["node"], r["t"]): r["n_est"] for r in nf.collect()}
