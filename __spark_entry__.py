@@ -3470,6 +3470,16 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(nf)
 
 
+def q_effective_diameter(spark, sf_dir):
+    """Interpolated 90% effective diameter (ANF convention) from the
+    hyperball neighborhood function: corpus N(t) on exact scaled-int
+    sums, interpolation on a (T+1)-row relation."""
+    from news_rss_spark.operators.hyperball import (
+        effective_diameter, hyperball)
+    nf = hyperball(_hyperball_edges(spark, sf_dir), iters=2, p=6)
+    return effective_diameter(nf, fraction=0.9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3580,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver-green hll register contract.
         "hyperball": q_hyperball,
         "harmonic_centrality": q_harmonic_centrality,
+        "effective_diameter": q_effective_diameter,
         # boilerplate_filter sits just past the window by choice: it is
         # the best-independently-verified of the unverified set (added
         # with a same-session spark-submit drive compared value-exact
@@ -6975,6 +6986,72 @@ lagd AS (
 )
 SELECT node, round(sum((n_est - prev) / t), 6) AS harmonic
 FROM lagd WHERE t > 0 GROUP BY node
+""",
+        # same est replay + scaled-int corpus sums + the interpolation
+        "effective_diameter": """
+WITH RECURSIVE
+edges AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 31 + i * 97) % 1000 AS dst
+  FROM documents, UNNEST(generate_series(1, doc_id % 4)) AS g(i)
+  WHERE doc_id % 4 > 0
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+reach AS (
+  SELECT node AS v, node AS u, 0 AS d FROM nodes
+  UNION
+  SELECT r.v, e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.u
+  WHERE r.d < 2
+),
+ball AS (
+  SELECT t.t, r.v, r.u
+  FROM (VALUES (0),(1),(2)) t(t) JOIN reach r ON r.d <= t.t
+  GROUP BY t.t, r.v, r.u
+),
+h AS (
+  SELECT t, v,
+         CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM ball
+),
+regs AS (
+  SELECT t, v, h % 64 AS bucket,
+         max(CASE WHEN (h >> 6) = 0 THEN 55
+                  ELSE 55 - length(bin(h >> 6)) END) AS register
+  FROM h GROUP BY t, v, h % 64
+),
+agg AS (
+  SELECT t, v, sum(1::BIGINT << (55 - register)) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY t, v
+),
+est AS (
+  SELECT v AS node, t,
+         round(CASE WHEN raw <= 160.0 AND vv > 0
+                    THEN 64.0 * ln(64.0 / vv) ELSE raw END, 6) AS n_est
+  FROM (SELECT t, v,
+               1.046802484394006e+20
+                 / CAST(s_present + (64 - n_present) * (1::BIGINT << 55)
+                        AS DOUBLE) AS raw,
+               CAST(64 - n_present AS DOUBLE) AS vv
+        FROM agg)
+),
+nt AS (
+  SELECT t, sum(CAST(round(n_est * 1e6) AS BIGINT)) / 1e6 AS nt
+  FROM est GROUP BY t
+),
+stepped AS (
+  SELECT t, nt, lag(nt) OVER (ORDER BY t) AS prev,
+         (SELECT 0.9 * max(nt) FROM nt) AS target
+  FROM nt
+),
+hit AS (
+  SELECT * FROM stepped WHERE nt >= target ORDER BY t LIMIT 1
+)
+SELECT (SELECT max(t) FROM nt) AS t_max,
+       (SELECT round(max(nt), 6) FROM nt) AS reachable_pairs_max,
+       round(CASE WHEN prev IS NULL OR nt = prev THEN CAST(t AS DOUBLE)
+                  ELSE t - 1 + (target - prev) / (nt - prev) END, 6)
+         AS effective_diameter
+FROM hit
 """,
         # replays the JSON-line construction rule (no JSON parse needed
         # oracle-side — the synth fields ARE the parse result)

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from news_rss_spark.operators.sketch import hll_estimate, hll_registers
 
-__all__ = ["hyperball", "harmonic_centrality"]
+__all__ = ["hyperball", "harmonic_centrality", "effective_diameter"]
 
 
 def hyperball(edges: DataFrame, iters: int = 3, p: int = 6,
@@ -125,3 +125,45 @@ def harmonic_centrality(neighborhood: DataFrame) -> DataFrame:
             .groupBy("node")
             .agg(F.round(F.sum(F.col("delta") / F.col("t")), 6)
                  .alias("harmonic")))
+
+
+def effective_diameter(neighborhood: DataFrame,
+                       fraction: float = 0.9) -> DataFrame:
+    """One-row ``(t_max, reachable_pairs_max, effective_diameter)`` from
+    a hyperball ``(node, t, n_est)`` relation: the standard interpolated
+    effective diameter — the (fractional) radius at which the summed
+    neighborhood function reaches ``fraction`` of its maximum
+    (Palmer/Faloutsos ANF convention, the number reported for web-graph
+    "small world" measurements).
+
+    N(t) = Σ_v N̂_t(v) is corpus-level: ONE t-sized agg (t+1 rows),
+    then the interpolation runs driver-free on that tiny relation via a
+    lag window ordered by t.  Deterministic: the per-node estimates are
+    already 6-rounded, so the corpus sum runs on EXACT scaled int64
+    (round(n_est*1e6) — the drift.py order-free-summation contract);
+    result rounded to 6.
+    """
+    from pyspark.sql.window import Window
+    nt = (neighborhood.groupBy("t")
+          .agg((F.sum(F.round(F.col("n_est") * 1e6).cast("long"))
+                / F.lit(1e6)).alias("nt")))
+    w = Window.orderBy("t")
+    target = F.lit(fraction) * F.max("nt").over(
+        Window.partitionBy())
+    stepped = nt.select(
+        "t", "nt", F.lag("nt").over(w).alias("prev"),
+        target.alias("target"))
+    # first t whose N(t) crosses the target, linearly interpolated
+    # between (t-1, prev) and (t, nt)
+    hit = (stepped
+           .filter(F.col("nt") >= F.col("target"))
+           .orderBy("t").limit(1))
+    interp = F.when(
+        F.col("prev").isNull() | (F.col("nt") == F.col("prev")),
+        F.col("t").cast("double")).otherwise(
+        F.col("t") - 1 + (F.col("target") - F.col("prev"))
+        / (F.col("nt") - F.col("prev")))
+    totals = nt.agg(F.max("t").alias("t_max"),
+                    F.round(F.max("nt"), 6).alias("reachable_pairs_max"))
+    return totals.crossJoin(
+        hit.select(F.round(interp, 6).alias("effective_diameter")))

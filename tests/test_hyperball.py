@@ -101,6 +101,23 @@ class TestHyperball:
             # past convergence the series is flat
             assert series[5] == series[6]
 
+    def test_effective_diameter_replay(self, nf):
+        from news_rss_spark.operators.hyperball import effective_diameter
+        row = effective_diameter(nf, fraction=0.9).collect()[0]
+        want_balls = balls(EDGES, 3)
+        nt = {t: round(sum(round(hll_est_of(want_balls[t][n]) * 1e6)
+                           for n in want_balls[t]) / 1e6, 6)
+              for t in range(4)}
+        target = 0.9 * max(nt.values())
+        t_hit = min(t for t in range(4) if nt[t] >= target)
+        want = (float(t_hit) if t_hit == 0 else
+                t_hit - 1 + (target - nt[t_hit - 1])
+                / (nt[t_hit] - nt[t_hit - 1]))
+        assert row["t_max"] == 3
+        assert row["reachable_pairs_max"] == pytest.approx(
+            max(nt.values()), abs=1e-5)
+        assert row["effective_diameter"] == pytest.approx(want, abs=1e-5)
+
     def test_small_ball_near_exact(self, nf):
         # linear-counting regime: tiny balls should estimate within ~5%
         got = {(r["node"], r["t"]): r["n_est"] for r in nf.collect()}
