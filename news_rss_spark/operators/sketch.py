@@ -249,12 +249,15 @@ def quantile_sample_sketch(df: DataFrame, value_col: str,
 
 
 def merge_quantile_sketches(*sketches: DataFrame, k: int = 1024) -> DataFrame:
-    """Union + re-limit = the sketch of the combined corpus (ids must be
-    globally unique across inputs, same contract as every md5-draw op)."""
+    """Union + distinct + re-limit = the sketch of the combined corpus
+    (ids globally unique across inputs, same contract as every md5-draw
+    op; the distinct makes the merge idempotent for OVERLAPPING sketches
+    — e.g. a replayed stream batch — where duplicate (h, v) rows would
+    otherwise crowd real rows out of the bottom-k)."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.orderBy("h", "v").limit(k)
+    return out.distinct().orderBy("h", "v").limit(k)
 
 
 def sketch_quantile_estimates(sketch: DataFrame,

@@ -410,3 +410,70 @@ def run_streaming_hll(spark: SparkSession, input_path: str,
     q.awaitTermination(timeout_secs)
     if q.isActive:
         q.stop()
+
+
+def run_streaming_quantile(spark: SparkSession, input_path: str,
+                           sketch_path: str, checkpoint_path: str,
+                           value_col: str = "n_chars",
+                           id_col: str = "doc_id", k: int = 1024,
+                           schema: str = DOCUMENTS_DDL,
+                           timeout_secs: int = 300) -> None:
+    """availableNow tick: fold newly-landed documents into the running
+    bottom-k quantile sketch.  Read estimates any time with
+    ``streaming_quantile_estimate(spark, sketch_path, k)``."""
+    docs = spark.readStream.schema(schema).parquet(input_path)
+    q = (docs.writeStream
+         .foreachBatch(incremental_quantile_sink(sketch_path, value_col,
+                                                 id_col, k))
+         .option("checkpointLocation", checkpoint_path)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_secs)
+    if q.isActive:
+        q.stop()
+
+
+def incremental_quantile_sink(sketch_path: str, value_col: str,
+                              id_col: str = "doc_id", k: int = 1024):
+    """foreachBatch sink maintaining a running bottom-k quantile sketch
+    (operators/sketch.py::quantile_sample_sketch) — streaming corpus
+    percentiles without keeping the corpus.
+
+    Same crash-atomic protocol as incremental_hll_sink: each micro-batch
+    lands ITS OWN bottom-k rows in a ``batch_id=<n>`` partition via
+    dynamic overwrite (replay == identical overwrite of one partition;
+    history untouched).  The merge rule is min-k — order-free, so the
+    read side just re-limits the union (streaming_quantile_estimate):
+    <= k rows per batch, compactable with the same re-limit whenever
+    batch count matters."""
+    from news_rss_spark.operators.sketch import quantile_sample_sketch
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        sk = quantile_sample_sketch(batch_df, value_col, id_col, k)
+        (sk.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .option("compression", "lz4")
+         .partitionBy("batch_id")
+         .parquet(sketch_path))
+
+    return fn
+
+
+def streaming_quantile_estimate(spark: SparkSession, sketch_path: str,
+                                k: int = 1024,
+                                qs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9,
+                                             0.99)) -> DataFrame:
+    """Fold the batch-partitioned sketch table into quantile estimates:
+    union + re-limit (the min-k merge), then the pinned nearest-rank
+    estimator — equals the batch sketch over everything ingested so far
+    EXACTLY (the md5 draws don't care which batch a row arrived in)."""
+    from news_rss_spark.operators.sketch import sketch_quantile_estimates
+
+    # DISTINCT before the re-limit: a replayed/overwritten batch (or a
+    # wiped checkpoint re-ingesting history) overlaps older partitions,
+    # and duplicate (h, v) rows would crowd real rows out of the bottom-k
+    merged = (spark.read.parquet(sketch_path)
+              .select("h", "v").distinct().orderBy("h", "v").limit(k))
+    return sketch_quantile_estimates(merged, qs)

@@ -319,3 +319,49 @@ def test_incremental_cms_two_ticks_equals_batch_and_batch_replay_idempotent(
     sink(batch(400, 1000), 1)
     after = sorted(map(tuple, spark.read.parquet(counters_path).collect()))
     assert after == before
+
+
+def test_incremental_quantile_two_ticks_equals_batch_and_replays(
+        spark, tmp_path):
+    """Streaming bottom-k quantile sketch: two availableNow ticks land
+    batch_id-partitioned sketch rows; the folded estimate equals the
+    BATCH sketch over the union exactly (min-k merge is batch-split
+    blind), and survives a full checkpoint wipe unchanged."""
+    import shutil
+
+    from news_rss_spark.operators.sketch import (
+        quantile_sample_sketch,
+        sketch_quantile_estimates,
+    )
+    from news_rss_spark.streaming.stream import (
+        run_streaming_quantile,
+        streaming_quantile_estimate,
+    )
+
+    inp, sk, ckpt = (str(tmp_path / p) for p in ("in", "sk", "ckpt"))
+    ddl = ("doc_id bigint, text string, lang string, source string, "
+           "n_chars bigint")
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, "t", "en", "s", (i * 7919) % 10007)
+             for i in range(lo, hi)], ddl)
+
+    batch(0, 800).coalesce(1).write.mode("append").parquet(inp)
+    run_streaming_quantile(spark, inp, sk, ckpt, k=256)
+    batch(800, 2000).coalesce(1).write.mode("append").parquet(inp)
+    run_streaming_quantile(spark, inp, sk, ckpt, k=256)
+
+    streamed = {r["q"]: r["est"] for r in
+                streaming_quantile_estimate(spark, sk, k=256).collect()}
+    whole = spark.read.parquet(inp)
+    want = {r["q"]: r["est"] for r in sketch_quantile_estimates(
+        quantile_sample_sketch(whole, "n_chars", k=256)).collect()}
+    assert streamed == want
+
+    # wipe the checkpoint: ticks re-batch from scratch, estimates exact
+    shutil.rmtree(ckpt)
+    run_streaming_quantile(spark, inp, sk, ckpt, k=256)
+    again = {r["q"]: r["est"] for r in
+             streaming_quantile_estimate(spark, sk, k=256).collect()}
+    assert again == want
