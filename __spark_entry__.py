@@ -3480,6 +3480,32 @@ def q_effective_diameter(spark, sf_dir):
     return effective_diameter(nf, fraction=0.9)
 
 
+def q_streaming_quantile_estimate(spark, sf_dir):
+    """Streaming quantile arithmetic, driver-checkable: two deterministic
+    micro-batches through the EXACT incremental_quantile_sink protocol
+    (per-batch bottom-k rows into batch_id partitions), then the
+    distinct+re-limit min-k merge and pinned nearest-rank estimates.
+    Min-k merge is batch-split blind, so the result equals the one-shot
+    sketch over the whole corpus — the oracle re-derives exactly that."""
+    import os
+    import shutil
+
+    from news_rss_spark.streaming.stream import (
+        incremental_quantile_sink,
+        streaming_quantile_estimate,
+    )
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    path = os.path.join(
+        "/tmp", "nrs_q_streaming_quantile",
+        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(path, ignore_errors=True)  # local test path; sinks on
+    # object stores rely on the dynamic-overwrite replay protocol instead
+    sink = incremental_quantile_sink(path, "n_chars", "doc_id", k=256)
+    sink(d.filter(F.col("doc_id") % 2 == 0), 0)
+    sink(d.filter(F.col("doc_id") % 2 == 1), 1)
+    return streaming_quantile_estimate(spark, path, k=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3591,6 +3617,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball": q_hyperball,
         "harmonic_centrality": q_harmonic_centrality,
         "effective_diameter": q_effective_diameter,
+        # streaming_quantile_estimate: the streaming sink protocol's
+        # arithmetic surfaced batch-replayably (the VERDICT-r2 item 6
+        # pattern, as for streaming_hll_estimate) — min-k merge equals
+        # the one-shot sketch, which the oracle re-derives.
+        "streaming_quantile_estimate": q_streaming_quantile_estimate,
         # boilerplate_filter sits just past the window by choice: it is
         # the best-independently-verified of the unverified set (added
         # with a same-session spark-submit drive compared value-exact
@@ -7086,6 +7117,23 @@ SELECT count(*) AS n_classes,
        sum(CASE WHEN class_n < 3 THEN class_n ELSE 0 END) AS exposed_rows,
        min(class_n) AS effective_k
 FROM classes
+""",
+        # the min-k merge is batch-split blind: the oracle is the same
+        # one-shot bottom-k replay as quantile_sketch
+        "streaming_quantile_estimate": """
+WITH samp AS (
+  SELECT md5(CAST(doc_id AS VARCHAR)) AS h, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL
+  ORDER BY h, v LIMIT 256
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v, h) - 1 AS r,
+         count(*) OVER () AS n
+  FROM samp
+)
+SELECT CAST(q.q AS DOUBLE) AS q, ranked.v AS est
+FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) q(q)
+JOIN ranked ON ranked.r = CAST(floor(CAST(q.q AS DOUBLE) * (ranked.n - 1))
+                               AS BIGINT)
 """,
         # replays the md5 bottom-k sample row-exactly, then the pinned
         # nearest-rank pick — no tolerance band
