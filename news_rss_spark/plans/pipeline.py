@@ -319,3 +319,77 @@ def run_warc_extraction_job(
                                id_col=file_id_col)
     return run_extraction_job(spark, docs, sink_path, lineage_path,
                               now_utc, run_id, **job_kwargs)
+
+
+def run_page_bundle_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    sink_path: str,
+    lineage_path: str,
+    run_id: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    resume: bool = True,
+    extractor_version: str = EXTRACTOR_VERSION,
+) -> JobResult:
+    """The raw-page user story with the same idempotent checkpoint-resume
+    protocol as the flagship job: pages ``(doc_id, html, base_url)`` ->
+    ONE fused Arrow pass (body spans + head metadata + outlinks + table
+    census — ``operators/full_page.py``) -> bucketed dynamic-overwrite
+    sink + lineage ledger.
+
+    Reuses the flagship machinery verbatim: bucket assignment and resume
+    anti-filter (operators/lineage.py), orphan-staging GC, the
+    parallelism/clustering exchange, the landed-sink read-back ledger.
+    Differences, documented: the fused kernels never raise (empty
+    products, not failures), so lineage ``status`` is constant ``'ok'``
+    and ``byte_count`` records bytes EMITTED (span text) rather than the
+    article path's extracted-byte accounting; duplicate doc_ids are the
+    caller's contract (pre-deduped crawl tables), as re-running the pure
+    kernel on repeats is wasteful but harmless.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.parquet.compression.codec", "lz4")
+    from news_rss_spark.operators.full_page import extract_page_bundle_df
+
+    gc_staging = _gc_orphan_staging(spark, sink_path)
+    pages_b = with_bucket(pages, n_buckets=n_buckets)
+    lineage_prev = _read_optional(spark, lineage_path, LINEAGE_DDL)
+    completed = (completed_buckets(lineage_prev, extractor_version)
+                 if resume else None)
+    n_completed = completed.count() if completed is not None else 0
+    if n_completed:
+        pages_b = skip_completed(pages_b, completed)
+
+    target_parallelism = spark.sparkContext.defaultParallelism * 2
+    if pages_b.rdd.getNumPartitions() < max(target_parallelism, n_buckets):
+        pages_b = pages_b.repartition(
+            max(target_parallelism, n_buckets), "bucket")
+
+    bundle = extract_page_bundle_df(
+        pages_b.select("doc_id", "html", "base_url"))
+    bundle = with_bucket(bundle, n_buckets=n_buckets, key="doc_id")
+    (bundle.write.mode("overwrite")
+           .partitionBy("bucket")
+           .parquet(sink_path))
+
+    sink_now = spark.read.parquet(sink_path)
+    lin_src = sink_now.select(
+        "bucket", F.lit("ok").alias("status"),
+        F.octet_length(F.concat_ws(
+            "\n", F.transform("spans", lambda s: s["text"])))
+        .cast("bigint").alias("byte_count"))
+    lin = lineage_rows(lin_src, extractor_version, run_id)
+    lin_rows = lin.collect()
+    published = int(sum(r["ok_count"] for r in lin_rows))
+    done = ({r["bucket"] for r in completed.collect()}
+            if completed is not None and n_completed else set())
+    new_rows = [r for r in lin_rows if r["bucket"] not in done]
+    if new_rows:
+        spark.createDataFrame(new_rows, schema=lin.schema) \
+             .coalesce(1).write.mode("append").parquet(lineage_path)
+    return JobResult(
+        published_count=published,
+        skipped_buckets=n_completed,
+        lineage_buckets=len(new_rows),
+        gc_staging_dirs=gc_staging,
+    )

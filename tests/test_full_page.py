@@ -68,6 +68,48 @@ class TestFusedEqualsSeparate:
             got = [row.asDict() for row in bundle[did]["spans"]]
             assert got == want, did
 
+    def test_bundle_job_resume_idempotent(self, spark, tmp_path):
+        """run_page_bundle_job: full-run -> resume skips all buckets;
+        truncated lineage -> rerun restores a value-identical sink."""
+        from news_rss_spark.plans.pipeline import run_page_bundle_job
+        rows = [(f"d{i}",
+                 f'<html><head><title>T{i}</title></head><body><p>'
+                 + ("body text long enough to be kept by the scorer "
+                    * 3) + f'{i}</p><a href="/l{i % 7}">a</a>'
+                 "</body></html>",
+                 "https://s.example/x/") for i in range(200)]
+        pages = spark.createDataFrame(rows, SCHEMA)
+        sink = str(tmp_path / "sink")
+        lineage = str(tmp_path / "lin")
+
+        r1 = run_page_bundle_job(spark, pages, sink, lineage, "run1",
+                                 n_buckets=16)
+        assert r1.published_count == 200 and r1.lineage_buckets == 16
+
+        def sink_hash():
+            df = spark.read.parquet(sink)
+            return sorted(
+                (r["doc_id"], r["title"],
+                 tuple((s["kind"], s["text"]) for s in r["spans"]),
+                 tuple(x["target_url"] for x in r["links"]))
+                for r in df.collect())
+
+        h1 = sink_hash()
+        r2 = run_page_bundle_job(spark, pages, sink, lineage, "run2",
+                                 n_buckets=16)
+        assert r2.skipped_buckets == 16 and r2.lineage_buckets == 0
+        assert sink_hash() == h1
+
+        # crash simulation: drop lineage rows for half the buckets
+        lin = spark.read.parquet(lineage)
+        kept = lin.filter("bucket % 2 = 0")
+        kept.write.mode("overwrite").parquet(str(tmp_path / "lin2"))
+        r3 = run_page_bundle_job(spark, pages, sink,
+                                 str(tmp_path / "lin2"), "run3",
+                                 n_buckets=16)
+        assert r3.skipped_buckets == 8 and r3.lineage_buckets == 8
+        assert sink_hash() == h1
+
     def test_degradation_shape(self, bundle):
         assert bundle["p3"]["spans"] == []
         assert bundle["p3"]["links"] == []
