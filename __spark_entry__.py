@@ -3506,6 +3506,15 @@ def q_streaming_quantile_estimate(spark, sf_dir):
     return streaming_quantile_estimate(spark, path, k=256)
 
 
+def q_table_records(spark, sf_dir):
+    """Header-keyed melt of the extracted cell grid (tables.py::
+    table_records): data cells equi-joined to their header-row names,
+    positional fallback for the headerless second table.  The oracle
+    replays the melt from the same VALUES lattice as table_extract."""
+    from news_rss_spark.operators.tables import table_records
+    return table_records(q_table_extract(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3585,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + a same-session sf0.01 oracle drive; shares the driver-gated
         # tokenizer/DOM with the in-window extraction family.
         "table_extract": q_table_extract,
+        "table_records": q_table_records,
         # link_extract / anchor_index (r3-new, past-the-window): 32
         # kernel unit locks (RFC 3986 table, autoclose, entities,
         # pseudo-link drops) + replica parity + same-session sf0.01
@@ -7197,6 +7207,25 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 9 END AS n_table_cells,
        trim(text) AS first_span_text
 FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+""",
+        # melt replay from the same VALUES lattice as table_extract
+        "table_records": """
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, 0 AS table_idx, g.r AS row_idx,
+       CASE g.c WHEN 0 THEN 'Name' WHEN 1 THEN 'Lang'
+                ELSE 'Chars' END AS col_name,
+       CASE g.r * 3 + g.c
+         WHEN 3 THEN d.source WHEN 4 THEN d.lang
+         WHEN 5 THEN CAST(d.n_chars AS VARCHAR)
+         WHEN 6 THEN 'w ' || trim(substr(d.text, 1, 12))
+         WHEN 7 THEN upper(d.lang)
+         ELSE CAST(d.doc_id % 97 AS VARCHAR) END AS value
+FROM documents d,
+     (VALUES (1,0),(1,1),(1,2),(2,0),(2,1),(2,2)) g(r,c)
+WHERE d.text IS NOT NULL AND d.n_chars >= 50
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 1, 0, 'c0', 'x & ' || doc_id
+FROM documents
+WHERE doc_id % 5 = 0 AND text IS NOT NULL AND n_chars >= 50
 """,
         # replays the outlink synth rule + RFC 3986 resolution arithmetic
         # (merge against /sec/<m7>/page.html) — independent of the kernel

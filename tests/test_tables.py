@@ -73,6 +73,28 @@ class TestKernel:
         assert g[(0, 0, 0)] == (False, "v")
 
 
+class TestTableRecords:
+    def test_melt_with_headers_and_fallback(self, spark):
+        from news_rss_spark.operators.tables import (
+            extract_tables_df,
+            table_records,
+        )
+        data = [
+            ("a", "<table><tr><th>K</th><th>V</th></tr>"
+                  "<tr><td>k1</td><td>v1</td></tr>"
+                  "<tr><td>k2</td><td>v2</td></tr></table>"
+                  "<table><tr><td>naked</td></tr></table>"),
+        ]
+        df = spark.createDataFrame(data, "doc_id string, html string")
+        recs = {(r["table_idx"], r["row_idx"], r["col_name"]): r["value"]
+                for r in table_records(extract_tables_df(df)).collect()}
+        assert recs == {
+            (0, 1, "K"): "k1", (0, 1, "V"): "v1",
+            (0, 2, "K"): "k2", (0, 2, "V"): "v2",
+            (1, 0, "c0"): "naked",
+        }
+
+
 class TestSparkOperator:
     @pytest.fixture(scope="class")
     def rows(self, spark):
