@@ -3515,6 +3515,52 @@ def q_table_records(spark, sf_dir):
     return table_records(q_table_extract(spark, sf_dir))
 
 
+def q_feed_discovery(spark, sf_dir):
+    """RSS/Atom feed autodiscovery (metax.py::discover_feeds): the S1
+    source bootstrap — site page -> the feed URL a news-rss registry
+    stores.  Token-based rel matching, uppercase attrs, non-feed
+    alternates ignored; oracle replays the synth case rule."""
+    from news_rss_spark.operators.metadata import discover_feeds_df
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull())
+    c = F.col("doc_id") % 3
+    head = (F.when(c == 0, F.concat(
+        F.lit('<link rel="alternate" type="application/rss+xml" '
+              'href="/rss/'), F.col("source"),
+        F.lit('.xml" title="Feed '), F.col("lang"), F.lit('">')))
+        .when(c == 1, F.concat(
+            F.lit("<LINK REL='ALTERNATE' TYPE='application/atom+xml' "
+                  "HREF='/atom/"), F.col("source"),
+            F.lit(".xml'><link rel=\"alternate\" type=\"text/html\" "
+                  "href=\"/mobile\">")))
+        .otherwise(F.lit('<link rel="stylesheet" href="/s.css">')))
+    html = F.concat(F.lit("<html><head>"), head,
+                    F.lit("</head><body><p>b</p></body></html>"))
+    out = discover_feeds_df(d.select("doc_id", html.alias("html")))
+    return out.select("doc_id", "feed_url", "kind",
+                      F.coalesce("title", F.lit("")).alias("title"))
+
+
+def q_meta_robots_gate(spark, sf_dir):
+    """Meta-robots policy gate (metax.py::robots_directives): directive
+    booleans + the derived train_ok (publisher opt-out of indexing/ML
+    use) — the in-page counterpart of the RFC 9309 robots.txt gate;
+    oracle replays the case rule."""
+    from news_rss_spark.operators.metadata import page_policy_df
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("doc_id") % 5
+    head = (F.when(c == 0, F.lit(
+        '<meta name="robots" content="noindex, nofollow">'))
+        .when(c == 1, F.lit('<meta name="ROBOTS" content="noai">'))
+        .when(c == 2, F.lit('<meta name="googlebot" content="none">'))
+        .when(c == 3, F.lit('<meta name="viewport" content="noindex">'))
+        .otherwise(F.lit(
+            '<meta name="robots" content="noarchive NOSNIPPET">')))
+    html = F.concat(F.lit("<html><head>"), head,
+                    F.lit("</head><body><p>b</p></body></html>"))
+    return page_policy_df(d.select("doc_id", html.alias("html")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3595,6 +3641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer/DOM with the in-window extraction family.
         "table_extract": q_table_extract,
         "table_records": q_table_records,
+        "feed_discovery": q_feed_discovery,
+        "meta_robots_gate": q_meta_robots_gate,
         # link_extract / anchor_index (r3-new, past-the-window): 32
         # kernel unit locks (RFC 3986 table, autoclose, entities,
         # pseudo-link drops) + replica parity + same-session sf0.01
@@ -7207,6 +7255,31 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 9 END AS n_table_cells,
        trim(text) AS first_span_text
 FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+""",
+        # replays the autodiscovery synth case rule
+        "feed_discovery": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '/rss/' || source || '.xml' AS feed_url, 'rss' AS kind,
+       'Feed ' || lang AS title
+FROM documents
+WHERE doc_id % 3 = 0 AND source IS NOT NULL AND lang IS NOT NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), '/atom/' || source || '.xml', 'atom', ''
+FROM documents
+WHERE doc_id % 3 = 1 AND source IS NOT NULL AND lang IS NOT NULL
+""",
+        # replays the directive case rule incl. the 'none' expansion and
+        # the non-robots meta name that must NOT trip the gate
+        "meta_robots_gate": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       doc_id % 5 IN (0, 2) AS noindex,
+       doc_id % 5 IN (0, 2) AS nofollow,
+       doc_id % 5 = 4 AS noarchive,
+       doc_id % 5 = 4 AS nosnippet,
+       doc_id % 5 = 1 AS noai,
+       FALSE AS noimageai,
+       doc_id % 5 IN (3, 4) AS train_ok
+FROM documents
 """,
         # melt replay from the same VALUES lattice as table_extract
         "table_records": """

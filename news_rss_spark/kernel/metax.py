@@ -52,7 +52,8 @@ _SCRIPT_OPEN_RE = re.compile(
     r"""<script((?:[^>"']|"[^"]*"|'[^']*')*)>""", re.IGNORECASE)
 _SCRIPT_CLOSE_RE = re.compile(r"</script", re.IGNORECASE)
 
-__all__ = ["extract_metadata", "METADATA_FIELDS"]
+__all__ = ["extract_metadata", "METADATA_FIELDS", "discover_feeds",
+           "robots_directives"]
 
 # output field order (stable schema for the Arrow stage)
 METADATA_FIELDS = (
@@ -202,4 +203,77 @@ def extract_metadata(html: str | None) -> dict[str, Any]:
         or (ld_date.strip() if isinstance(ld_date, str) else None)
         or None
     )
+    return out
+
+
+_FEED_TYPES = {
+    "application/rss+xml": "rss",
+    "application/atom+xml": "atom",
+}
+
+
+def discover_feeds(html: str | None) -> list[tuple[str, str, str | None]]:
+    """RSS/Atom feed autodiscovery (the ``<link rel="alternate"
+    type="application/rss+xml">`` convention every browser/reader
+    implements): ``[(href, kind, title), ...]`` in document order, where
+    kind is ``'rss'``/``'atom'``.  This is the reference's S1 source
+    bootstrap — how a crawler turns a site URL into the feed URL the
+    news-rss registry stores (reference analog: the seeded source URLs in
+    ``migrations/20241025113452_fill.up.sql`` are exactly such feeds).
+
+    Never raises; rel matching is token-based (``rel="alternate
+    stylesheet"`` still counts) and case-insensitive."""
+    if not html:
+        return []
+    out: list[tuple[str, str, str | None]] = []
+    for tok in tokenize(html):
+        if tok[0] != "start" or tok[1] != "link":
+            continue
+        attrs = tok[2]
+        rel_tokens = {t.lower() for t in _REL_WS_RE.split(
+            attrs.get("rel", "")) if t}
+        if "alternate" not in rel_tokens:
+            continue
+        kind = _FEED_TYPES.get(attrs.get("type", "").strip().lower())
+        href = (attrs.get("href") or "").strip()
+        if kind and href:
+            out.append((href, kind, attrs.get("title") or None))
+    return out
+
+
+# meta-robots directive tokens recognized (comma/space separated,
+# case-insensitive).  noai/noimageai are the published opt-out convention
+# for ML-training use (adopted by several large publishers and tooling);
+# a training-data pipeline that ignores them ships data the publisher
+# explicitly refused — so they are first-class gates here.
+_DIRECTIVE_FIELDS = ("noindex", "nofollow", "noarchive", "nosnippet",
+                     "noai", "noimageai")
+_ROBOTS_META_NAMES = frozenset(("robots", "googlebot"))
+_TOKEN_SPLIT_RE = re.compile(r"[,\s]+")
+_REL_WS_RE = re.compile(r"\s+")
+
+
+def robots_directives(html: str | None) -> dict[str, bool]:
+    """Page-level robots policy from ``<meta name="robots">`` (and the
+    ``googlebot`` variant): dict of the recognized directive booleans,
+    plus ``none`` expanding to noindex+nofollow per the standard.  The
+    in-page counterpart of the RFC 9309 robots.txt gate
+    (``operators/robots.py``) — robots.txt decides FETCH, this decides
+    USE of the fetched page."""
+    out = {k: False for k in _DIRECTIVE_FIELDS}
+    if not html:
+        return out
+    for tok in tokenize(html):
+        if tok[0] != "start" or tok[1] != "meta":
+            continue
+        attrs = tok[2]
+        if attrs.get("name", "").strip().lower() not in _ROBOTS_META_NAMES:
+            continue
+        for token in _TOKEN_SPLIT_RE.split(
+                attrs.get("content", "").lower()):
+            if token in out:
+                out[token] = True
+            elif token == "none":
+                out["noindex"] = True
+                out["nofollow"] = True
     return out

@@ -40,3 +40,59 @@ def extract_metadata_df(df: DataFrame, html_col: str = "html",
 
     return df.select(F.col(id_col), F.col(html_col)) \
              .mapInPandas(fn, METADATA_DDL)
+
+
+FEEDS_DDL = "doc_id string, feed_url string, kind string, title string"
+
+
+def discover_feeds_df(df: DataFrame, html_col: str = "html",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Feed autodiscovery over pages: one row per ``<link
+    rel=alternate>`` RSS/Atom declaration — the S1 source-bootstrap
+    (site page -> the feed URL a news-rss registry stores).  Scan-shaped,
+    no shuffle; pages without feeds emit nothing."""
+    from news_rss_spark.kernel.metax import discover_feeds
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did, html in zip(pdf[id_col], pdf[html_col]):
+                for href, kind, title in discover_feeds(html):
+                    rows.append((str(did), href, kind, title))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "feed_url", "kind", "title"])
+
+    return df.select(F.col(id_col), F.col(html_col)) \
+             .mapInPandas(fn, FEEDS_DDL)
+
+
+POLICY_DDL = ("doc_id string, noindex boolean, nofollow boolean, "
+              "noarchive boolean, nosnippet boolean, noai boolean, "
+              "noimageai boolean, train_ok boolean")
+
+
+def page_policy_df(df: DataFrame, html_col: str = "html",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Meta-robots policy gate per page (kernel/metax.py::
+    robots_directives): the recognized directive booleans plus the
+    derived ``train_ok`` gate — False when the publisher opted the page
+    out of indexing or ML-training use (noindex or noai).  The in-page
+    counterpart of the robots.txt fetch gate; a corpus build filters on
+    ``train_ok`` right after extraction.  Scan-shaped, no shuffle."""
+    from news_rss_spark.kernel.metax import _DIRECTIVE_FIELDS, robots_directives
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did, html in zip(pdf[id_col], pdf[html_col]):
+                d = robots_directives(html)
+                rows.append((str(did),)
+                            + tuple(d[k] for k in _DIRECTIVE_FIELDS)
+                            + (not (d["noindex"] or d["noai"]),))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", *_DIRECTIVE_FIELDS, "train_ok"])
+
+    return df.select(F.col(id_col), F.col(html_col)) \
+             .mapInPandas(fn, POLICY_DDL)

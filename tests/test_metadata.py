@@ -159,3 +159,65 @@ class TestSparkOperator:
         assert result["c"]["headline"] is None
         assert result["a"]["n_meta_tags"] == 1
         assert result["b"]["n_meta_tags"] == 0
+
+
+class TestFeedDiscovery:
+    def test_kernel_cases(self):
+        from news_rss_spark.kernel.metax import discover_feeds
+        html = page(
+            '<link rel="alternate" type="application/rss+xml" '
+            'href="/rss.xml" title="Main">'
+            '<link REL="ALTERNATE" TYPE="application/atom+xml" '
+            "HREF='/atom.xml'/>"
+            '<link rel="alternate stylesheet" '
+            'type="application/rss+xml" href="/alt.xml">'
+            '<link rel="alternate" type="text/html" href="/mobile">'
+            '<link rel="stylesheet" href="/style.css">')
+        assert discover_feeds(html) == [
+            ("/rss.xml", "rss", "Main"),
+            ("/atom.xml", "atom", None),
+            ("/alt.xml", "rss", None),
+        ]
+        assert discover_feeds(None) == []
+        assert discover_feeds("<p>none</p>") == []
+
+    def test_spark_operator(self, spark):
+        from news_rss_spark.operators.metadata import discover_feeds_df
+        rows = [
+            ("a", page('<link rel="alternate" '
+                       'type="application/rss+xml" href="/f">')),
+            ("b", page("")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, html string")
+        got = [(r["doc_id"], r["feed_url"], r["kind"])
+               for r in discover_feeds_df(df).collect()]
+        assert got == [("a", "/f", "rss")]
+
+
+class TestRobotsDirectives:
+    def test_kernel_cases(self):
+        from news_rss_spark.kernel.metax import robots_directives
+        d = robots_directives(page(
+            '<meta name="robots" content="NOINDEX, nofollow noai">'))
+        assert d["noindex"] and d["nofollow"] and d["noai"]
+        assert not d["noarchive"] and not d["noimageai"]
+        d = robots_directives(page('<meta name="googlebot" content="none">'))
+        assert d["noindex"] and d["nofollow"]
+        d = robots_directives(page('<meta name="viewport" content="noindex">'))
+        assert not d["noindex"]
+        assert robots_directives(None) == {
+            k: False for k in ("noindex", "nofollow", "noarchive",
+                               "nosnippet", "noai", "noimageai")}
+
+    def test_train_ok_gate(self, spark):
+        from news_rss_spark.operators.metadata import page_policy_df
+        rows = [
+            ("ok", page("")),
+            ("ni", page('<meta name="robots" content="noindex">')),
+            ("na", page('<meta name="robots" content="noai">')),
+            ("nf", page('<meta name="robots" content="nofollow">')),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, html string")
+        got = {r["doc_id"]: r["train_ok"]
+               for r in page_policy_df(df).collect()}
+        assert got == {"ok": True, "ni": False, "na": False, "nf": True}
