@@ -3561,6 +3561,14 @@ def q_meta_robots_gate(spark, sf_dir):
     return page_policy_df(d.select("doc_id", html.alias("html")))
 
 
+def q_corpus_health(spark, sf_dir):
+    """One-row corpus dashboard (corpus_stats.py::corpus_health_report):
+    volume, diversity, exact duplicate rate, exact length percentiles —
+    one pass of map-side-combinable aggs."""
+    from news_rss_spark.operators.corpus_stats import corpus_health_report
+    return corpus_health_report(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3643,6 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_records": q_table_records,
         "feed_discovery": q_feed_discovery,
         "meta_robots_gate": q_meta_robots_gate,
+        "corpus_health": q_corpus_health,
         # link_extract / anchor_index (r3-new, past-the-window): 32
         # kernel unit locks (RFC 3986 table, autoclose, entities,
         # pseudo-link drops) + replica parity + same-session sf0.01
@@ -7255,6 +7264,19 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 9 END AS n_table_cells,
        trim(text) AS first_span_text
 FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+""",
+        "corpus_health": """
+SELECT count(*) AS n_docs,
+       sum(strlen(text)) AS total_bytes,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                   / count(*), 9) AS dup_rate,
+       CAST(percentile_disc(0.5) WITHIN GROUP
+              (ORDER BY strlen(text)) AS BIGINT) AS p50_bytes,
+       CAST(percentile_disc(0.9) WITHIN GROUP
+              (ORDER BY strlen(text)) AS BIGINT) AS p90_bytes
+FROM documents WHERE text IS NOT NULL
 """,
         # replays the autodiscovery synth case rule
         "feed_discovery": """

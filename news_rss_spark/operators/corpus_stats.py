@@ -228,3 +228,34 @@ def sampled_quantiles(df: DataFrame, group_col: str, value_col: str,
         raise ValueError(f"k must be >= 1; got {k}")
     sample = uniform_sample_k(df, group_col, k, id_col=id_col, salt=salt)
     return group_quantiles(sample, group_col, value_col, probs)
+
+
+def corpus_health_report(docs: DataFrame, text_col: str = "text",
+                         lang_col: str = "lang",
+                         source_col: str = "source") -> DataFrame:
+    """One-row corpus dashboard: the numbers an ingest operator checks
+    every morning — volume (docs, bytes), diversity (langs, sources),
+    exact duplicate rate (md5 distinct over text), and length p50/p90
+    (exact percentile_disc, both engines implement SQL percentile
+    semantics on sorted longs identically).
+
+    Plan: one pass of map-side-combinable aggs; the two distinct-counts
+    are the only wide states and stay bounded by the vocabulary of
+    langs/sources (distinct text hashes are corpus-sized — at 100 TB
+    swap that term for hll_distinct's register sketch; exact here, where
+    the gate wants value equality)."""
+    n = F.count(F.lit(1))
+    return docs.filter(F.col(text_col).isNotNull()).agg(
+        n.alias("n_docs"),
+        F.sum(F.octet_length(text_col)).alias("total_bytes"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.countDistinct(source_col).alias("n_sources"),
+        F.round(F.lit(1.0)
+                - F.countDistinct(F.md5(F.col(text_col))).cast("double")
+                / n.cast("double"), 9).alias("dup_rate"),
+        F.expr(f"percentile_disc(0.5) WITHIN GROUP "
+               f"(ORDER BY octet_length({text_col}))")
+         .cast("long").alias("p50_bytes"),
+        F.expr(f"percentile_disc(0.9) WITHIN GROUP "
+               f"(ORDER BY octet_length({text_col}))")
+         .cast("long").alias("p90_bytes"))

@@ -294,3 +294,21 @@ class TestSampledQuantiles:
                    sampled_quantiles(df.repartition(17), "g", "v",
                                      [0.5], k=32).collect())
         assert a == b
+
+
+class TestCorpusHealthReport:
+    def test_hand_checked(self, spark):
+        from news_rss_spark.operators.corpus_stats import corpus_health_report
+        rows = [
+            (1, "aaaa", "en", "s1"), (2, "aaaa", "en", "s1"),
+            (3, "bb", "fr", "s2"), (4, "cccccc", "en", "s1"),
+            (5, None, "de", "s3"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+        r = corpus_health_report(df).collect()[0]
+        assert r["n_docs"] == 4
+        assert r["total_bytes"] == 4 + 4 + 2 + 6
+        assert r["n_langs"] == 2 and r["n_sources"] == 2
+        assert r["dup_rate"] == 0.25  # 3 distinct texts over 4 docs
+        assert r["p50_bytes"] == 4 and r["p90_bytes"] == 6
