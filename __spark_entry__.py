@@ -3569,6 +3569,25 @@ def q_corpus_health(spark, sf_dir):
     return corpus_health_report(_t(spark, sf_dir, "documents"))
 
 
+def q_subtitle_parse(spark, sf_dir):
+    """SRT caption parsing (kernel/subx.py): synth two-cue SRT files
+    built in-plan (markup in cue text, deterministic timestamps),
+    parsed to time-aligned spans; oracle replays the construction rule
+    (cue ordinals, millisecond arithmetic, tag strip)."""
+    from news_rss_spark.operators.subtitles import parse_subtitles_df
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull())
+    a = (F.col("doc_id") % 5).cast("string")
+    c = (F.col("doc_id") % 9).cast("string")
+    srt = F.concat(
+        F.lit("1\n00:00:0"), a, F.lit(",000 --> 00:00:0"),
+        (F.col("doc_id") % 5 + 5).cast("string"),
+        F.lit(",500\nCue one "), F.col("source"),
+        F.lit("\n\n2\n00:01:00,000 --> 00:01:0"), c,
+        F.lit(",000\n<i>Cue</i> two "), F.col("lang"), F.lit("\n"))
+    return parse_subtitles_df(d.select("doc_id", srt.alias("content")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3652,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_discovery": q_feed_discovery,
         "meta_robots_gate": q_meta_robots_gate,
         "corpus_health": q_corpus_health,
+        "subtitle_parse": q_subtitle_parse,
         # link_extract / anchor_index (r3-new, past-the-window): 32
         # kernel unit locks (RFC 3986 table, autoclose, entities,
         # pseudo-link drops) + replica parity + same-session sf0.01
@@ -7264,6 +7284,19 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 9 END AS n_table_cells,
        trim(text) AS first_span_text
 FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+""",
+        # replays the SRT synth rule: ordinals, ms arithmetic, markup
+        # strip — independent of the kernel's line scanner
+        "subtitle_parse": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS cue_idx,
+       (doc_id % 5) * 1000 AS start_ms,
+       (doc_id % 5 + 5) * 1000 + 500 AS end_ms,
+       'Cue one ' || source AS text
+FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 1, 60000,
+       60000 + (doc_id % 9) * 1000, 'Cue two ' || lang
+FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
 """,
         "corpus_health": """
 SELECT count(*) AS n_docs,
