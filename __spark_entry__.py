@@ -3588,6 +3588,23 @@ def q_subtitle_parse(spark, sf_dir):
     return parse_subtitles_df(d.select("doc_id", srt.alias("content")))
 
 
+def q_exif_extract(spark, sf_dir):
+    """EXIF provenance + GPS-PII extraction (kernel/exifx.py): synth
+    JPEG+APP1 payloads built per doc (fields from id arithmetic, GPS on
+    every 3rd doc, byte order alternating per id so BOTH endian decode
+    paths run under the gate); the oracle replays every field — incl.
+    the DMS->signed-decimal conversion — from the id rule."""
+    from news_rss_spark.operators.multimodal import (
+        extract_exif_df, synth_exif_documents)
+    d = _t(spark, sf_dir, "documents")
+    payloads = synth_exif_documents(d.select("doc_id"))
+    out = extract_exif_df(payloads)
+    return out.select(
+        "doc_id", "make", "model", "orientation", "datetime",
+        F.coalesce(F.col("gps_lat"), F.lit(-999.0)).alias("gps_lat"),
+        F.coalesce(F.col("gps_lon"), F.lit(-999.0)).alias("gps_lon"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3672,6 +3689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots_gate": q_meta_robots_gate,
         "corpus_health": q_corpus_health,
         "subtitle_parse": q_subtitle_parse,
+        "exif_extract": q_exif_extract,
         # link_extract / anchor_index (r3-new, past-the-window): 32
         # kernel unit locks (RFC 3986 table, autoclose, entities,
         # pseudo-link drops) + replica parity + same-session sf0.01
@@ -7284,6 +7302,24 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 9 END AS n_table_cells,
        trim(text) AS first_span_text
 FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+""",
+        # replays the EXIF synth id-rule incl. DMS -> decimal degrees
+        "exif_extract": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'Mk' || (doc_id % 7) AS make,
+       'Md' || (doc_id % 5) AS model,
+       CAST(doc_id % 8 + 1 AS INT) AS orientation,
+       '2025:0' || (doc_id % 9 + 1) || ':0' || (doc_id % 7 + 1)
+         || ' 10:00:00' AS datetime,
+       CASE WHEN doc_id % 3 = 0 THEN
+         round((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+               * ((doc_id % 90) + (doc_id % 60) / 60.0), 6)
+       ELSE -999.0 END AS gps_lat,
+       CASE WHEN doc_id % 3 = 0 THEN
+         round((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+               * ((doc_id % 180) + (doc_id % 60) / 60.0), 6)
+       ELSE -999.0 END AS gps_lon
+FROM documents
 """,
         # replays the SRT synth rule: ordinals, ms arithmetic, markup
         # strip — independent of the kernel's line scanner

@@ -1618,3 +1618,62 @@ def frame_share_pairs(frames: DataFrame, min_share: float = 0.5,
             .filter(F.col("shared") / union >= F.lit(min_share))
             .select("a", "b", F.col("shared").cast("long").alias("shared"),
                     "jaccard"))
+
+
+EXIF_DDL = ("doc_id string, make string, model string, orientation int, "
+            "datetime string, datetime_original string, "
+            "gps_lat double, gps_lon double")
+
+
+def extract_exif_df(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "doc_id") -> DataFrame:
+    """JPEG payloads -> EXIF provenance columns (kernel/exifx.py: APP1
+    marker walk + TIFF IFD parse, both endiannesses).  GPS coordinates
+    surface as signed decimal degrees — media-side PII for the
+    governance gates (pii_redact/k_anonymity handle the text side).
+    Scan-shaped, no shuffle, never raises."""
+    from news_rss_spark.kernel.exifx import EXIF_FIELDS, extract_exif
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = extract_exif(bytes(payload)
+                                 if payload is not None else None)
+                rows.append((str(did),) + tuple(m[k] for k in EXIF_FIELDS))
+            yield pd.DataFrame(rows, columns=["doc_id", *EXIF_FIELDS])
+
+    return df.select(F.col(id_col), F.col(payload_col)) \
+             .mapInPandas(fn, EXIF_DDL)
+
+
+def synth_exif_documents(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (id, payload) JPEG+EXIF table from doc ids: fields
+    derived from the id, GPS on every third doc, byte order alternating
+    per id — so the oracle can replay every extracted value from id
+    arithmetic alone."""
+    from news_rss_spark.kernel.exifx import synth_exif_jpeg
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                i = int(did)
+                kwargs = dict(
+                    make=f"Mk{i % 7}", model=f"Md{i % 5}",
+                    orientation=i % 8 + 1,
+                    datetime_str=f"2025:0{i % 9 + 1}:0{i % 7 + 1} 10:00:00",
+                    little_endian=(i % 2 == 0))
+                if i % 3 == 0:
+                    kwargs.update(
+                        lat=((i % 90, 1), (i % 60, 1), (0, 1)),
+                        lat_ref="N" if i % 2 == 0 else "S",
+                        lon=((i % 180, 1), (i % 60, 1), (0, 1)),
+                        lon_ref="E" if i % 2 == 0 else "W")
+                rows.append((str(i), synth_exif_jpeg(**kwargs)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col)).mapInPandas(
+        fn, "doc_id string, payload binary")
