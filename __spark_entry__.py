@@ -3605,6 +3605,17 @@ def q_exif_extract(spark, sf_dir):
         F.coalesce(F.col("gps_lon"), F.lit(-999.0)).alias("gps_lon"))
 
 
+def q_id3_extract(spark, sf_dir):
+    """ID3 audio-tag extraction (kernel/id3x.py): tag flavor rotates
+    v2.3/v2.4/v1 by id so all three parse paths (plain + sync-safe
+    frame sizes, v1 trailer) run under the gate; oracle replays the id
+    rule."""
+    from news_rss_spark.operators.multimodal import (
+        extract_id3_df, synth_id3_documents)
+    d = _t(spark, sf_dir, "documents")
+    return extract_id3_df(synth_id3_documents(d.select("doc_id")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3690,6 +3701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_health": q_corpus_health,
         "subtitle_parse": q_subtitle_parse,
         "exif_extract": q_exif_extract,
+        "id3_extract": q_id3_extract,
         # link_extract / anchor_index (r3-new, past-the-window): 32
         # kernel unit locks (RFC 3986 table, autoclose, entities,
         # pseudo-link drops) + replica parity + same-session sf0.01
@@ -7302,6 +7314,17 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 9 END AS n_table_cells,
        trim(text) AS first_span_text
 FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+""",
+        # replays the ID3 synth id-rule incl. the version rotation
+        "id3_extract": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'Ti' || (doc_id % 11) AS title,
+       'Ar' || (doc_id % 7) AS artist,
+       'Al' || (doc_id % 5) AS album,
+       CAST(1990 + doc_id % 30 AS VARCHAR) AS year,
+       CASE doc_id % 3 WHEN 0 THEN 'id3v2.3' WHEN 1 THEN 'id3v2.4'
+            ELSE 'id3v1' END AS tag_version
+FROM documents
 """,
         # replays the EXIF synth id-rule incl. DMS -> decimal degrees
         "exif_extract": """

@@ -1677,3 +1677,51 @@ def synth_exif_documents(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return df.select(F.col(id_col)).mapInPandas(
         fn, "doc_id string, payload binary")
+
+
+ID3_DDL = ("doc_id string, title string, artist string, album string, "
+           "year string, tag_version string")
+
+
+def extract_id3_df(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Audio payloads -> ID3 tag columns (kernel/id3x.py: v2.3/v2.4
+    frames + v1 trailer fallback) — attribution/dedup metadata without
+    decoding audio.  Scan-shaped, never raises."""
+    from news_rss_spark.kernel.id3x import ID3_FIELDS, extract_id3
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = extract_id3(bytes(payload)
+                                if payload is not None else None)
+                rows.append((str(did),) + tuple(m[k] for k in ID3_FIELDS))
+            yield pd.DataFrame(rows, columns=["doc_id", *ID3_FIELDS])
+
+    return df.select(F.col(id_col), F.col(payload_col)) \
+             .mapInPandas(fn, ID3_DDL)
+
+
+def synth_id3_documents(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (id, payload) audio table: tag flavor rotates
+    v2.3/v2.4/v1 by id so all three parse paths run under the gate;
+    fields from id arithmetic for oracle replay."""
+    from news_rss_spark.kernel.id3x import synth_id3_mp3
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                i = int(did)
+                version = ("v2.3", "v2.4", "v1")[i % 3]
+                rows.append((str(i), synth_id3_mp3(
+                    title=f"Ti{i % 11}", artist=f"Ar{i % 7}",
+                    album=f"Al{i % 5}", year=str(1990 + i % 30),
+                    version=version)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col)).mapInPandas(
+        fn, "doc_id string, payload binary")
