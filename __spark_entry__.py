@@ -3616,6 +3616,44 @@ def q_id3_extract(spark, sf_dir):
     return extract_id3_df(synth_id3_documents(d.select("doc_id")))
 
 
+def q_span_rebase(spark, sf_dir):
+    """Offset-rebasing cleaning pass over interleaved spans
+    (interleaved.py::rebase_span_offsets): a vowel-strip demo transform
+    shifts every cumulative offset; media spans re-anchor by the kernel
+    rule (sum of prior cleaned text lengths).  Pure codegen array
+    arithmetic — the oracle replays the length sums directly."""
+    from news_rss_spark.operators.interleaved import rebase_span_offsets
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+        & F.col("source").isNotNull())
+    spans = F.array(
+        F.struct(F.lit("meta").alias("kind"),
+                 F.concat(F.lit("meta  "), F.col("lang")).alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"),
+                 F.lit(0).alias("offset")),
+        F.struct(F.lit("img").alias("kind"),
+                 F.lit(None).cast("string").alias("text"),
+                 F.concat(F.lit("m"), F.col("doc_id").cast("string"))
+                  .alias("media_ref"),
+                 F.lit(0).alias("offset")),
+        F.struct(F.lit("html").alias("kind"), F.col("text").alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"),
+                 F.lit(0).alias("offset")),
+        F.struct(F.lit("desc").alias("kind"),
+                 F.concat(F.lit("d "), F.col("source")).alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"),
+                 F.lit(0).alias("offset")))
+    out = rebase_span_offsets(
+        d.select("doc_id", spans.alias("spans")),
+        lambda t: F.regexp_replace(t, "[aeiou]", ""))
+    ex = out.select("doc_id", F.posexplode("spans").alias("idx", "s"))
+    return ex.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "idx",
+        F.col("s.kind").alias("kind"),
+        F.coalesce(F.col("s.text"), F.lit("")).alias("text"),
+        F.col("s.offset").alias("offset"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3702,6 +3740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtitle_parse": q_subtitle_parse,
         "exif_extract": q_exif_extract,
         "id3_extract": q_id3_extract,
+        "span_rebase": q_span_rebase,
         # link_extract / anchor_index (r3-new, past-the-window): 32
         # kernel unit locks (RFC 3986 table, autoclose, entities,
         # pseudo-link drops) + replica parity + same-session sf0.01
@@ -7314,6 +7353,26 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 9 END AS n_table_cells,
        trim(text) AS first_span_text
 FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+""",
+        # replays the cleaned-length offset sums span by span
+        "span_rebase": """
+WITH c AS (
+  SELECT doc_id, lang, source,
+         regexp_replace('meta  ' || lang, '[aeiou]', '', 'g') AS t0,
+         regexp_replace(text, '[aeiou]', '', 'g') AS t2,
+         regexp_replace('d ' || source, '[aeiou]', '', 'g') AS t3
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS idx, 'meta' AS kind,
+       t0 AS text, 0 AS offset FROM c
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 1, 'img', '', strlen(t0) FROM c
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 2, 'html', t2, strlen(t0) FROM c
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 3, 'desc', t3,
+       strlen(t0) + strlen(t2) FROM c
 """,
         # replays the ID3 synth id-rule incl. the version rotation
         "id3_extract": """

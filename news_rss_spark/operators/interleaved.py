@@ -213,3 +213,47 @@ def interleaved_sequence_stats(packed: DataFrame) -> DataFrame:
                .otherwise(0)).alias("media_tokens"),
         F.count_distinct("doc_id").alias("n_docs"),
     ))
+
+
+_SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
+
+
+def rebase_span_offsets(df: DataFrame, clean,
+                        spans_col: str = "spans") -> DataFrame:
+    """Apply a text-cleaning expression to the TEXT spans of an
+    interleaved document and RE-ANCHOR every span's cumulative offset —
+    the invariant a cleaning pass must preserve for multimodal training:
+    media placeholders sit at exact character positions in the rendered
+    text, and any normalization (mojibake repair, whitespace collapse,
+    vowel-stripping demo transforms) shifts everything after it.
+
+    ``clean`` is a Column -> Column JVM expression applied to spans with
+    text and no media_ref; media spans pass through untouched.  Offsets
+    are recomputed with the kernel's exact rule
+    (``kernel/extract.py::_finalize_spans``: offset of span i = sum of
+    prior span text lengths, null text adds 0).
+
+    Pure whole-stage-codegen array arithmetic — one ``transform`` + one
+    ``aggregate`` per row, zero Python, zero shuffle, so it fuses into
+    whatever scan feeds it at 100 TB.
+    """
+    cleaned = F.transform(F.col(spans_col), lambda s: F.struct(
+        s["kind"].alias("kind"),
+        F.when(s["media_ref"].isNull() & s["text"].isNotNull(),
+               clean(s["text"]))
+         .otherwise(s["text"]).alias("text"),
+        s["media_ref"].alias("media_ref")))
+    zero = F.struct(
+        F.lit(0).alias("pos"),
+        F.array().cast(f"array<{_SPAN_STRUCT}>").alias("out"))
+    rebased = F.aggregate(
+        cleaned, zero,
+        lambda acc, s: F.struct(
+            (acc["pos"]
+             + F.coalesce(F.length(s["text"]), F.lit(0))).alias("pos"),
+            F.concat(acc["out"], F.array(F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                acc["pos"].cast("int").alias("offset")))).alias("out")),
+        lambda acc: acc["out"])
+    return df.withColumn(spans_col, rebased)

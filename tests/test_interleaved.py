@@ -171,3 +171,56 @@ class TestPacking:
             "media_ref:string,offset:int>>")
         with pytest.raises(ValueError, match="duplicate"):
             pack_interleaved_sequences(bad, seq_len=8).collect()
+
+
+class TestRebaseSpanOffsets:
+    SPAN_DDL = ("doc_id string, spans array<struct<kind:string,text:string,"
+                "media_ref:string,offset:int>>")
+
+    def _mk(self, spark, spans):
+        return spark.createDataFrame([("d", spans)], self.SPAN_DDL)
+
+    def test_python_replay(self, spark):
+        from news_rss_spark.operators.interleaved import rebase_span_offsets
+        from pyspark.sql import functions as F
+        spans = [("meta", "hello  world", None, 99),
+                 ("img", None, "m1", 99),
+                 ("html", "aeiou text", None, 99),
+                 ("desc", "tail", None, 99)]
+        df = self._mk(spark, spans)
+        out = rebase_span_offsets(
+            df, lambda t: F.regexp_replace(t, "[aeiou]", ""))
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in out.collect()[0]["spans"]]
+        # python replay of clean + _finalize_spans rule
+        import re
+        pos, want = 0, []
+        for kind, text, ref, _ in spans:
+            t = re.sub("[aeiou]", "", text) if (ref is None
+                                                and text is not None) \
+                else text
+            want.append((kind, t, ref, pos))
+            pos += len(t) if t is not None else 0
+        assert got == want
+        assert got[1][3] == got[0][3] + len("hll  wrld")  # media re-anchored
+
+    def test_identity_clean_matches_kernel_rule(self, spark):
+        from news_rss_spark.kernel.extract import _finalize_spans
+        from news_rss_spark.operators.interleaved import rebase_span_offsets
+        spans = [("a", "xx", None, 0), ("m", None, "r", 0),
+                 ("b", "yyy", None, 0)]
+        df = self._mk(spark, spans)
+        out = rebase_span_offsets(df, lambda t: t)
+        got = [s["offset"] for s in out.collect()[0]["spans"]]
+        want = [d["offset"] for d in _finalize_spans(
+            [(k, t, r) for k, t, r, _ in spans])]
+        assert got == want
+
+    def test_codegen_only_plan(self, spark):
+        from news_rss_spark.operators.interleaved import rebase_span_offsets
+        from pyspark.sql import functions as F
+        df = self._mk(spark, [("a", "x", None, 0)])
+        plan = rebase_span_offsets(df, lambda t: F.upper(t)) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "mapInPandas" not in plan.lower()
