@@ -3654,6 +3654,18 @@ def q_span_rebase(spark, sf_dir):
         F.col("s.offset").alias("offset"))
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank / TrustRank (pagerank.py): restart + dangling
+    mass return to a 4-node seed set over the shared link graph; nodes
+    unreachable from the seeds score exactly 0.  2 iterations, 9-digit
+    per-iteration rounding; oracle unrolls the same arithmetic (note the
+    (1.0-0.85) literal — Python's 1.0-damping double is NOT 0.15)."""
+    from news_rss_spark.operators.pagerank import personalized_pagerank
+    e = _hyperball_edges(spark, sf_dir)
+    seeds = spark.createDataFrame([(0,), (7,), (13,), (21,)], "node long")
+    return personalized_pagerank(e, seeds, iters=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3741,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_extract": q_exif_extract,
         "id3_extract": q_id3_extract,
         "span_rebase": q_span_rebase,
+        "personalized_pagerank": q_personalized_pagerank,
         # link_extract / anchor_index (r3-new, past-the-window): 32
         # kernel unit locks (RFC 3986 table, autoclose, entities,
         # pseudo-link drops) + replica parity + same-session sf0.01
@@ -7353,6 +7366,46 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 9 END AS n_table_cells,
        trim(text) AS first_span_text
 FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+""",
+        # unrolled 2-iteration PPR replay; (1.0-0.85) mirrors the
+        # Python-double restart constant exactly
+        "personalized_pagerank": """
+WITH edges AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 31 + i * 97) % 1000 AS dst
+  FROM documents, UNNEST(generate_series(1, doc_id % 4)) AS g(i)
+  WHERE doc_id % 4 > 0
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+base AS (
+  SELECT n.node, d.deg, n.node IN (0, 7, 13, 21) AS is_seed
+  FROM nodes n LEFT JOIN deg d ON d.src = n.node
+),
+s0 AS (SELECT node, deg, is_seed,
+              CASE WHEN is_seed THEN 0.25 ELSE 0.0 END AS rank FROM base),
+d0 AS (SELECT coalesce(sum(rank), 0.0) AS m FROM s0 WHERE deg IS NULL),
+c1 AS (SELECT e.dst, sum(s.rank / s.deg) AS c
+       FROM s0 s JOIN edges e ON s.node = e.src GROUP BY e.dst),
+s1 AS (
+  SELECT b.node, b.deg, b.is_seed,
+         round(0.85 * coalesce(c.c, 0.0)
+               + CASE WHEN b.is_seed
+                      THEN ((1.0 - 0.85) + 0.85 * (SELECT m FROM d0)) / 4
+                      ELSE 0.0 END, 9) AS rank
+  FROM base b LEFT JOIN c1 c ON b.node = c.dst
+),
+d1 AS (SELECT coalesce(sum(rank), 0.0) AS m FROM s1 WHERE deg IS NULL),
+c2 AS (SELECT e.dst, sum(s.rank / s.deg) AS c
+       FROM s1 s JOIN edges e ON s.node = e.src GROUP BY e.dst),
+s2 AS (
+  SELECT b.node, b.deg, b.is_seed,
+         round(0.85 * coalesce(c.c, 0.0)
+               + CASE WHEN b.is_seed
+                      THEN ((1.0 - 0.85) + 0.85 * (SELECT m FROM d1)) / 4
+                      ELSE 0.0 END, 9) AS rank
+  FROM base b LEFT JOIN c2 c ON b.node = c.dst
+)
+SELECT node, rank FROM s2
 """,
         # replays the cleaned-length offset sums span by span
         "span_rebase": """

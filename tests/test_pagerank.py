@@ -78,3 +78,58 @@ def test_deterministic_under_repartition(spark):
 def test_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df, iters=2).count() == 0
+
+
+import pytest
+
+
+class TestPersonalizedPagerank:
+    EDGES = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)]  # 5,6 unreachable
+
+    def _run(self, spark, seeds, iters=3):
+        from news_rss_spark.operators.pagerank import personalized_pagerank
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        return {r["node"]: r["rank"]
+                for r in personalized_pagerank(e, s, iters=iters).collect()}
+
+    def reference(self, seeds, iters, d=0.85):
+        nodes = sorted({x for e in self.EDGES for x in e})
+        out = {}
+        for s_, t in self.EDGES:
+            out.setdefault(s_, []).append(t)
+        rank = {v: (1.0 / len(seeds) if v in seeds else 0.0)
+                for v in nodes}
+        for _ in range(iters):
+            dangling = sum(r for v, r in rank.items() if v not in out)
+            contrib = {v: 0.0 for v in nodes}
+            for u, targets in out.items():
+                for t in targets:
+                    contrib[t] += rank[u] / len(targets)
+            restart = (1 - d) + d * dangling
+            rank = {v: round(d * contrib[v]
+                             + (restart / len(seeds) if v in seeds else 0.0),
+                             9) for v in nodes}
+        return rank
+
+    def test_matches_reference(self, spark):
+        got = self._run(spark, [1], iters=3)
+        want = self.reference({1}, 3)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+    def test_unreachable_nodes_zero(self, spark):
+        got = self._run(spark, [1])
+        assert got[5] == 0.0 and got[6] == 0.0
+        assert got[2] > 0.0
+
+    def test_two_seeds_split_restart(self, spark):
+        got = self._run(spark, [1, 5], iters=2)
+        want = self.reference({1, 5}, 2)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), v
+        assert got[6] > 0.0  # now reachable from seed 5
+
+    def test_empty_seed_set(self, spark):
+        got = self._run(spark, [])
+        assert all(r == 0.0 for r in got.values())
