@@ -3666,6 +3666,36 @@ def q_personalized_pagerank(spark, sf_dir):
     return personalized_pagerank(e, seeds, iters=2)
 
 
+def q_opml_import(spark, sf_dir):
+    """OPML subscription import (kernel/opmlx.py): synth per-doc OPML
+    (a categorized feed + a top-level feed; every 11th doc malformed and
+    silently dropped) -> registry rows; oracle replays the construction
+    rule."""
+    from news_rss_spark.sources.opml import registry_from_opml
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull())
+    did = F.col("doc_id").cast("string")
+    good = F.concat(
+        F.lit('<opml version="2.0"><head><title>S</title></head><body>'
+              '<outline text="Cat '), F.col("lang"),
+        F.lit('"><outline title="F1 '), F.col("source"),
+        F.lit('" xmlUrl="https://feeds.example/'), did,
+        F.lit('.xml" htmlUrl="https://'), F.col("source"),
+        F.lit('.example"/></outline><outline title="F2" xmlUrl='
+              '"https://feeds.example/top-'), did,
+        F.lit('.xml"/></body></opml>'))
+    opml = F.when(F.col("doc_id") % 11 == 0,
+                  F.lit("<opml><body><outline")).otherwise(good)
+    out = registry_from_opml(
+        d.select(F.col("doc_id").alias("user_id"), opml.alias("opml")),
+        id_col="user_id")
+    return out.select(
+        "user_id", "feed_url",
+        F.coalesce("title", F.lit("")).alias("title"),
+        F.coalesce("site_url", F.lit("")).alias("site_url"),
+        F.coalesce("category", F.lit("")).alias("category"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3754,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id3_extract": q_id3_extract,
         "span_rebase": q_span_rebase,
         "personalized_pagerank": q_personalized_pagerank,
+        "opml_import": q_opml_import,
         # link_extract / anchor_index (r3-new, past-the-window): 32
         # kernel unit locks (RFC 3986 table, autoclose, entities,
         # pseudo-link drops) + replica parity + same-session sf0.01
@@ -7366,6 +7397,21 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 9 END AS n_table_cells,
        trim(text) AS first_span_text
 FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+""",
+        # replays the OPML synth rule; malformed docs (%11) drop out
+        "opml_import": """
+SELECT CAST(doc_id AS VARCHAR) AS user_id,
+       'https://feeds.example/' || doc_id || '.xml' AS feed_url,
+       'F1 ' || source AS title,
+       'https://' || source || '.example' AS site_url,
+       'Cat ' || lang AS category
+FROM documents
+WHERE doc_id % 11 <> 0 AND source IS NOT NULL AND lang IS NOT NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR),
+       'https://feeds.example/top-' || doc_id || '.xml', 'F2', '', ''
+FROM documents
+WHERE doc_id % 11 <> 0 AND source IS NOT NULL AND lang IS NOT NULL
 """,
         # unrolled 2-iteration PPR replay; (1.0-0.85) mirrors the
         # Python-double restart constant exactly
