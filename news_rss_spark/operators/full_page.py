@@ -20,7 +20,10 @@ Products per page:
   (``array<struct<target_url,anchor_text,nofollow>>`` — exactly
   :func:`linkx.extract_links`);
 - ``n_table_cells`` — the table walker's cell count (full grids via
-  :mod:`operators.tables` when needed downstream).
+  :mod:`operators.tables` when needed downstream);
+- ``noindex``/``noai``/``train_ok`` — the meta-robots policy gate
+  (:func:`metax.robots_directives`), so a corpus build filters
+  publisher opt-outs in the SAME pass that extracted the page.
 
 The per-kernel stages stay the right tool when only ONE product is
 needed (column pruning then ships less through Arrow); the fused stage
@@ -38,7 +41,11 @@ from pyspark.sql import functions as F
 
 from news_rss_spark.kernel.htmlx import extract_page_spans
 from news_rss_spark.kernel.linkx import extract_links
-from news_rss_spark.kernel.metax import METADATA_FIELDS, extract_metadata
+from news_rss_spark.kernel.metax import (
+    METADATA_FIELDS,
+    extract_metadata,
+    robots_directives,
+)
 from news_rss_spark.kernel.tablex import extract_tables
 
 BUNDLE_DDL = (
@@ -49,7 +56,8 @@ BUNDLE_DDL = (
     "n_meta_tags int, "
     "links array<struct<target_url:string, anchor_text:string, "
     "nofollow:boolean>>, "
-    "n_table_cells int"
+    "n_table_cells int, "
+    "noindex boolean, noai boolean, train_ok boolean"
 )
 
 _SPAN_TYPE = pa.list_(pa.struct([
@@ -62,7 +70,9 @@ _BUNDLE_ARROW_SCHEMA = pa.schema(
     [("doc_id", pa.string()), ("spans", _SPAN_TYPE)]
     + [(f, pa.int32() if f == "n_meta_tags" else pa.string())
        for f in METADATA_FIELDS]
-    + [("links", _LINK_TYPE), ("n_table_cells", pa.int32())])
+    + [("links", _LINK_TYPE), ("n_table_cells", pa.int32()),
+       ("noindex", pa.bool_()), ("noai", pa.bool_()),
+       ("train_ok", pa.bool_())])
 
 
 def extract_page_bundle_df(df: DataFrame, html_col: str = "html",
@@ -86,6 +96,7 @@ def extract_page_bundle_df(df: DataFrame, html_col: str = "html",
             htmls = cols[html_col].to_pylist()
             bases = cols[base_col].to_pylist()
             spans_col, links_col, cells_col = [], [], []
+            noindex_col, noai_col, train_col = [], [], []
             meta_cols: dict[str, list] = {f: [] for f in METADATA_FIELDS}
             for html, base in zip(htmls, bases):
                 spans_col.append([
@@ -98,6 +109,10 @@ def extract_page_bundle_df(df: DataFrame, html_col: str = "html",
                     {"target_url": u, "anchor_text": a, "nofollow": nf}
                     for u, a, nf in extract_links(html, base or "")])
                 cells_col.append(len(extract_tables(html)))
+                pol = robots_directives(html)
+                noindex_col.append(pol["noindex"])
+                noai_col.append(pol["noai"])
+                train_col.append(not (pol["noindex"] or pol["noai"]))
             arrays = [
                 pa.array([str(i) if i is not None else None for i in ids],
                          type=pa.string()),
@@ -110,6 +125,9 @@ def extract_page_bundle_df(df: DataFrame, html_col: str = "html",
             ] + [
                 pa.array(links_col, type=_LINK_TYPE),
                 pa.array(cells_col, type=pa.int32()),
+                pa.array(noindex_col, type=pa.bool_()),
+                pa.array(noai_col, type=pa.bool_()),
+                pa.array(train_col, type=pa.bool_()),
             ]
             yield pa.RecordBatch.from_arrays(
                 arrays, schema=_BUNDLE_ARROW_SCHEMA)

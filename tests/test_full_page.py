@@ -68,6 +68,21 @@ class TestFusedEqualsSeparate:
             got = [row.asDict() for row in bundle[did]["spans"]]
             assert got == want, did
 
+    def test_policy_product(self, spark, bundle):
+        from news_rss_spark.operators.metadata import page_policy_df
+        pages = spark.createDataFrame(
+            PAGES + [("p4", '<html><head><meta name="robots" '
+                            'content="noai"></head><body></body></html>',
+                      "https://s.example/")], SCHEMA)
+        from news_rss_spark.operators.full_page import extract_page_bundle_df
+        fused = {r["doc_id"]: r for r in
+                 extract_page_bundle_df(pages).collect()}
+        sep = {r["doc_id"]: r for r in page_policy_df(pages).collect()}
+        for did in sep:
+            for f in ("noindex", "noai", "train_ok"):
+                assert fused[did][f] == sep[did][f], (did, f)
+        assert fused["p4"]["train_ok"] is False
+
     def test_bundle_job_resume_idempotent(self, spark, tmp_path):
         """run_page_bundle_job: full-run -> resume skips all buckets;
         truncated lineage -> rerun restores a value-identical sink."""
