@@ -3696,6 +3696,39 @@ def q_opml_import(spark, sf_dir):
         F.coalesce("category", F.lit("")).alias("category"))
 
 
+def _pagination_pages(spark, sf_dir):
+    """Deterministic 4-page article chains over the doc-id line: page
+    u_i points at u_{i+1} unless i%4==3 (chain tail); the corpus-end
+    pointer dangles and must be dropped by the pages-only guard."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    nxt = F.when(F.col("doc_id") % 4 != 3,
+                 F.concat(F.lit("u"),
+                          (F.col("doc_id") + 1).cast("string")))
+    text = F.concat(F.lit("T"), F.col("doc_id").cast("string"))
+    return d.select(url.alias("url"), nxt.alias("next_url"),
+                    text.alias("text"))
+
+
+def q_pagination_chains(spark, sf_dir):
+    """rel=next pagination-chain labeling (operators/pagination.py):
+    bounded-round frontier expansion from the heads — frontier-sized
+    shuffles, cycles/truncations surface as unassigned; the oracle
+    replays chain_id/pos from the synth id rule."""
+    from news_rss_spark.operators.pagination import chain_positions
+    return chain_positions(_pagination_pages(spark, sf_dir))
+
+
+def q_pagination_assembly(spark, sf_dir):
+    """Multi-page article reassembly: per-chain texts joined in position
+    order (bounded per-chain sort); oracle = ordered string_agg over the
+    same replayed chains."""
+    from news_rss_spark.operators.pagination import (
+        assemble_chain_texts, chain_positions)
+    pages = _pagination_pages(spark, sf_dir)
+    return assemble_chain_texts(chain_positions(pages), pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3785,6 +3818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_rebase": q_span_rebase,
         "personalized_pagerank": q_personalized_pagerank,
         "opml_import": q_opml_import,
+        "pagination_chains": q_pagination_chains,
+        "pagination_assembly": q_pagination_assembly,
         # link_extract / anchor_index (r3-new, past-the-window): 32
         # kernel unit locks (RFC 3986 table, autoclose, entities,
         # pseudo-link drops) + replica parity + same-session sf0.01
@@ -7397,6 +7432,18 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 9 END AS n_table_cells,
        trim(text) AS first_span_text
 FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+""",
+        # replays the 4-page chain rule from id arithmetic
+        "pagination_chains": """
+SELECT 'u' || (doc_id - doc_id % 4) AS chain_id,
+       'u' || doc_id AS url, CAST(doc_id % 4 AS INT) AS pos
+FROM documents
+""",
+        "pagination_assembly": """
+SELECT 'u' || (doc_id - doc_id % 4) AS chain_id,
+       count(*) AS n_pages,
+       string_agg('T' || doc_id, chr(10) ORDER BY doc_id) AS full_text
+FROM documents GROUP BY doc_id - doc_id % 4
 """,
         # replays the OPML synth rule; malformed docs (%11) drop out
         "opml_import": """

@@ -277,3 +277,29 @@ def robots_directives(html: str | None) -> dict[str, bool]:
                 out["noindex"] = True
                 out["nofollow"] = True
     return out
+
+
+def pagination_links(html: str | None) -> dict[str, str | None]:
+    """``{"next": href|None, "prev": href|None}`` from ``<link
+    rel="next"/"prev">`` head declarations (token-based rel matching,
+    ``previous`` accepted as the common ``prev`` alias; first occurrence
+    wins) — the signal multi-page articles publish for reassembly
+    (``operators/pagination.py`` builds the chains)."""
+    out: dict[str, str | None] = {"next": None, "prev": None}
+    if not html:
+        return out
+    for tok in tokenize(html):
+        if tok[0] != "start" or tok[1] != "link":
+            continue
+        attrs = tok[2]
+        rel_tokens = {t.lower() for t in _REL_WS_RE.split(
+            attrs.get("rel", "")) if t}
+        href = (attrs.get("href") or "").strip()
+        if not href:
+            continue
+        if "next" in rel_tokens and out["next"] is None:
+            out["next"] = href
+        if (("prev" in rel_tokens or "previous" in rel_tokens)
+                and out["prev"] is None):
+            out["prev"] = href
+    return out
