@@ -3729,6 +3729,29 @@ def q_pagination_assembly(spark, sf_dir):
     return assemble_chain_texts(chain_positions(pages), pages)
 
 
+def q_hreflang_clusters(spark, sf_dir):
+    """Translation-cluster grouping from hreflang alternates
+    (metax.py::hreflang_links + links.py::hreflang_clusters): docs in
+    synth groups of 3 declaring each other en/fr/de; cluster_id = the
+    LEXICOGRAPHIC min of the declared set (oracle replays with least(),
+    incl. the digit-width boundary where 'u1000' < 'u999')."""
+    from news_rss_spark.operators.links import (
+        hreflang_alternates_df, hreflang_clusters)
+    d = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") - F.col("doc_id") % 3).cast("string")
+    g1 = (F.col("doc_id") - F.col("doc_id") % 3 + 1).cast("string")
+    g2 = (F.col("doc_id") - F.col("doc_id") % 3 + 2).cast("string")
+    html = F.concat(
+        F.lit('<html><head><link rel="alternate" hreflang="en" href="u'),
+        g, F.lit('"><link rel="alternate" hreflang="fr" href="u'), g1,
+        F.lit('"><link rel="alternate" hreflang="de" href="u'), g2,
+        F.lit('"></head><body></body></html>'))
+    url = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    alts = hreflang_alternates_df(
+        d.select(url.alias("url"), html.alias("html")))
+    return hreflang_clusters(alts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3819,6 +3842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "opml_import": q_opml_import,
         "pagination_chains": q_pagination_chains,
+        "hreflang_clusters": q_hreflang_clusters,
         "pagination_assembly": q_pagination_assembly,
         # link_extract / anchor_index (r3-new, past-the-window): 32
         # kernel unit locks (RFC 3986 table, autoclose, entities,
@@ -7432,6 +7456,14 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 9 END AS n_table_cells,
        trim(text) AS first_span_text
 FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+""",
+        # lexicographic-min replay of the declared alternate set
+        "hreflang_clusters": """
+SELECT least('u' || (doc_id - doc_id % 3),
+             'u' || (doc_id - doc_id % 3 + 1),
+             'u' || (doc_id - doc_id % 3 + 2)) AS cluster_id,
+       'u' || doc_id AS url, 3 AS n_langs
+FROM documents
 """,
         # replays the 4-page chain rule from id arithmetic
         "pagination_chains": """

@@ -303,3 +303,27 @@ def pagination_links(html: str | None) -> dict[str, str | None]:
                 and out["prev"] is None):
             out["prev"] = href
     return out
+
+
+def hreflang_links(html: str | None) -> list[tuple[str, str]]:
+    """``[(lang, href), ...]`` from ``<link rel="alternate"
+    hreflang=...>`` declarations in document order — the multilingual
+    variant map publishers ship for the SAME article in other languages
+    (``x-default`` included verbatim).  Feeds translation-cluster
+    grouping: translations must NOT be near-dup'd away across languages
+    but SHOULD count as one logical article for language-balanced
+    sampling (``operators/links.py::hreflang_clusters``)."""
+    if not html:
+        return []
+    out: list[tuple[str, str]] = []
+    for tok in tokenize(html):
+        if tok[0] != "start" or tok[1] != "link":
+            continue
+        attrs = tok[2]
+        rel_tokens = {t.lower() for t in _REL_WS_RE.split(
+            attrs.get("rel", "")) if t}
+        lang = attrs.get("hreflang", "").strip()
+        href = (attrs.get("href") or "").strip()
+        if "alternate" in rel_tokens and lang and href:
+            out.append((lang.lower(), href))
+    return out

@@ -66,3 +66,49 @@ def anchor_text_index(links: DataFrame, max_anchor_len: int = 256
                  F.sum(F.col("nofollow").cast("long")).alias("n_nofollow"),
                  F.array_sort(F.collect_set(
                      F.when(F.length(a) > 0, a))).alias("anchors")))
+
+
+HREFLANG_DDL = "url string, lang string, href string"
+
+
+def hreflang_alternates_df(df: DataFrame, html_col: str = "html",
+                           url_col: str = "url") -> DataFrame:
+    """Pages -> one row per hreflang declaration (url, lang, href);
+    scan-shaped."""
+    from news_rss_spark.kernel.metax import hreflang_links
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                for lang, href in hreflang_links(html):
+                    rows.append((str(url), lang, href))
+            yield pd.DataFrame(rows, columns=["url", "lang", "href"])
+
+    return df.select(F.col(url_col), F.col(html_col)) \
+             .mapInPandas(fn, HREFLANG_DDL)
+
+
+def hreflang_clusters(alternates: DataFrame) -> DataFrame:
+    """``(cluster_id, url, n_langs)`` — translation clusters from the
+    alternate relation: cluster_id = lexicographic MIN over the page's
+    declared alternate set INCLUDING itself.
+
+    This one-projection rule is exact when hreflang sets are symmetric
+    and complete (what the spec requires and search engines enforce —
+    every variant lists every other); pages with inconsistent partial
+    sets split into per-subset clusters, which is the honest reading of
+    broken annotations (a full CC over the bipartite graph —
+    operators/components.py — is the escape hatch when you'd rather
+    merge them).  No pair join: one per-page array fold + one hash agg
+    for the language count."""
+    per_page = (alternates
+                .groupBy("url")
+                .agg(F.array_sort(F.array_union(
+                        F.collect_set("href"),
+                        F.array(F.first("url")))).alias("members"),
+                     F.countDistinct("lang").alias("n_langs")))
+    return per_page.select(
+        F.element_at("members", 1).alias("cluster_id"),
+        "url", "n_langs")

@@ -126,3 +126,36 @@ class TestSparkOperators:
         assert row["n_links"] == 3 and row["n_docs"] == 2
         assert row["n_nofollow"] == 1
         assert row["anchors"] == ["alpha", "beta"]
+
+
+class TestHreflang:
+    def test_kernel(self):
+        from news_rss_spark.kernel.metax import hreflang_links
+        html = ('<html><head>'
+                '<link rel="alternate" hreflang="EN" href="/en">'
+                '<link rel="alternate" hreflang="fr" href="/fr">'
+                '<link rel="alternate" hreflang="x-default" href="/">'
+                '<link rel="alternate" type="application/rss+xml" '
+                'href="/feed">'
+                '<link rel="canonical" href="/c"></head></html>')
+        assert hreflang_links(html) == [
+            ("en", "/en"), ("fr", "/fr"), ("x-default", "/")]
+        assert hreflang_links(None) == []
+
+    def test_clusters(self, spark):
+        from news_rss_spark.operators.links import hreflang_clusters
+        # symmetric 2-variant cluster + a singleton self-referencing page
+        rows = [
+            ("https://s/en", "en", "https://s/en"),
+            ("https://s/en", "fr", "https://s/fr"),
+            ("https://s/fr", "en", "https://s/en"),
+            ("https://s/fr", "fr", "https://s/fr"),
+            ("https://t/solo", "de", "https://t/solo"),
+        ]
+        df = spark.createDataFrame(rows, "url string, lang string, "
+                                         "href string")
+        got = {r["url"]: (r["cluster_id"], r["n_langs"])
+               for r in hreflang_clusters(df).collect()}
+        assert got["https://s/en"] == ("https://s/en", 2)
+        assert got["https://s/fr"] == ("https://s/en", 2)
+        assert got["https://t/solo"] == ("https://t/solo", 1)
