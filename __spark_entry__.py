@@ -3752,6 +3752,25 @@ def q_hreflang_clusters(spark, sf_dir):
     return hreflang_clusters(alts)
 
 
+def q_retry_schedule(spark, sf_dir):
+    """Exponential-backoff refetch schedule (url_ops.py::
+    retry_backoff_schedule — the reference's S2 retry loop as a crawl
+    ledger): shiftleft power-of-two, cap, give-up flag; oracle replays
+    the integer arithmetic (epoch seconds projected back to long for
+    the tz-free value compare)."""
+    from news_rss_spark.operators.url_ops import retry_backoff_schedule
+    d = _t(spark, sf_dir, "documents")
+    fails = d.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 12).cast("int").alias("n_failures"),
+        (F.lit(1_700_000_000) + F.col("doc_id")).alias("last_attempt_ts"))
+    out = retry_backoff_schedule(fails)
+    return out.select(
+        "url", "backoff_secs",
+        F.col("next_attempt_ts").cast("long").alias("next_epoch"),
+        "give_up")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST
     # 50 entries of this dict.  Round 2's 23 newest queries fell outside
@@ -3843,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opml_import": q_opml_import,
         "pagination_chains": q_pagination_chains,
         "hreflang_clusters": q_hreflang_clusters,
+        "retry_schedule": q_retry_schedule,
         "pagination_assembly": q_pagination_assembly,
         # link_extract / anchor_index (r3-new, past-the-window): 32
         # kernel unit locks (RFC 3986 table, autoclose, entities,
@@ -7456,6 +7476,18 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 9 END AS n_table_cells,
        trim(text) AS first_span_text
 FROM documents WHERE text IS NOT NULL AND n_chars >= 50
+""",
+        # integer backoff replay: min(60 * 2^(max(n,1)-1), 86400)
+        "retry_schedule": """
+SELECT 'u' || doc_id AS url,
+       least(60 * (1::BIGINT << (greatest(CAST(doc_id % 12 AS INT), 1) - 1)),
+             86400) AS backoff_secs,
+       1700000000 + doc_id
+         + least(60 * (1::BIGINT
+                       << (greatest(CAST(doc_id % 12 AS INT), 1) - 1)),
+                 86400) AS next_epoch,
+       doc_id % 12 > 8 AS give_up
+FROM documents
 """,
         # lexicographic-min replay of the declared alternate set
         "hreflang_clusters": """

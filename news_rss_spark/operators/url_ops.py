@@ -190,3 +190,41 @@ def url_trap_patterns(df: DataFrame, url_col: str = "url",
                     F.col("n_urls").cast("long").alias("n_urls"),
                     F.col("n_distinct").cast("long").alias("n_distinct"),
                     (F.col("n_distinct") >= min_distinct).alias("is_trap")))
+
+
+def retry_backoff_schedule(failures: DataFrame, base_secs: int = 60,
+                           max_backoff_secs: int = 86_400,
+                           max_retries: int = 8,
+                           url_col: str = "url",
+                           n_failures_col: str = "n_failures",
+                           last_ts_col: str = "last_attempt_ts"
+                           ) -> DataFrame:
+    """Exponential-backoff refetch schedule for failed fetches: the
+    crawl-ledger form of the reference's in-process retry loop (S2 —
+    ``src/feeds/rss_feeds/mod.rs`` fetch-retry; in a batch engine the
+    retry state is a RELATION, not a sleep).
+
+    ``(url, n_failures, last_attempt_ts)`` ->
+    ``(url, backoff_secs, next_attempt_ts, give_up)`` with
+    ``backoff = min(base * 2^(n-1), max_backoff)`` (n >= 1) and
+    ``give_up`` after ``max_retries`` — give-ups keep their capped
+    next_attempt_ts so a downstream policy can still re-admit them on a
+    slow cycle.  Pure codegen'd projection: shiftleft for the power of
+    two (no float pow), integer-second timestamp arithmetic, no
+    shuffle."""
+    staged = failures.select(
+        F.col(url_col).alias("url"),
+        F.greatest(F.col(n_failures_col).cast("int"), F.lit(1))
+         .alias("_n"),
+        F.col(n_failures_col).alias("_raw_n"),
+        F.col(last_ts_col).cast("long").alias("_ts"))
+    backoff = F.least(
+        F.lit(int(base_secs)).cast("long")
+        * F.expr("shiftleft(1L, _n - 1)"),
+        F.lit(int(max_backoff_secs)).cast("long"))
+    return staged.select(
+        "url",
+        backoff.alias("backoff_secs"),
+        (F.col("_ts") + backoff).cast("timestamp")
+        .alias("next_attempt_ts"),
+        (F.col("_raw_n") > max_retries).alias("give_up"))

@@ -174,3 +174,21 @@ def test_trap_patterns_case_query_and_empty_segments(spark):
            for r in url_trap_patterns(df, min_distinct=3).collect()}
     # case folded, query stripped, empty segments dropped -> one pattern
     assert got == {"ex.org/a/<d>": 3}
+
+
+class TestRetryBackoffSchedule:
+    def test_exponential_and_cap(self, spark):
+        from news_rss_spark.operators.url_ops import retry_backoff_schedule
+        rows = [("u1", 1, 1000), ("u2", 3, 1000), ("u3", 20, 1000),
+                ("u0", 0, 1000), ("u9", 9, 1000)]
+        df = spark.createDataFrame(
+            rows, "url string, n_failures int, last_attempt_ts long")
+        got = {r["url"]: (r["backoff_secs"],
+                          int(r["next_attempt_ts"].timestamp()),
+                          r["give_up"])
+               for r in retry_backoff_schedule(df).collect()}
+        assert got["u1"] == (60, 1060, False)
+        assert got["u2"] == (240, 1240, False)       # 60 * 2^2
+        assert got["u3"] == (86_400, 87_400, True)   # capped + give up
+        assert got["u0"] == (60, 1060, False)        # n clamps to 1
+        assert got["u9"] == (15_360, 16_360, True)   # 60*2^8, > max_retries
