@@ -65,9 +65,26 @@ def extract_id3(payload: bytes | None) -> dict:
         return out
     if payload[:3] == b"ID3" and len(payload) >= 10:
         major = payload[3]
+        flags = payload[5]
         size = _syncsafe(payload[6:10])
         end = min(10 + size, len(payload))
         pos = 10
+        if flags & 0x80:
+            # tag-level unsynchronisation shifts every frame offset; we
+            # don't re-synchronise, so emit absent fields (the v1 tail
+            # fallback below may still recover them) rather than walking
+            # garbled offsets
+            out["tag_version"] = f"id3v2.{major}"
+            pos = end
+        elif flags & 0x40 and pos + 4 <= end:
+            # skip the extended header: v2.4 stores its length syncsafe
+            # and INCLUDES the 4 length bytes; v2.3 stores it big-endian
+            # EXCLUDING them
+            if major >= 4:
+                pos += max(_syncsafe(payload[pos:pos + 4]), 6)
+            else:
+                (ehlen,) = struct.unpack_from(">I", payload, pos)
+                pos += 4 + ehlen
         while pos + 10 <= end:
             fid = payload[pos:pos + 4]
             if not fid.strip(b"\x00"):
@@ -76,13 +93,20 @@ def extract_id3(payload: bytes | None) -> dict:
                 fsize = _syncsafe(payload[pos + 4:pos + 8])
             else:
                 (fsize,) = struct.unpack_from(">I", payload, pos + 4)
+            fflags = payload[pos + 9] if pos + 10 <= len(payload) else 0
+            # per-frame compression/encryption/unsync: data is not plain
+            # text — leave the field absent instead of decoding garbage
+            skip = (fflags & 0x0F) if major >= 4 else (fflags & 0xC0)
             data = payload[pos + 10:pos + 10 + fsize]
             field = _FRAME_FIELDS.get(fid.decode("latin-1", "replace"))
-            if field and out[field] is None:
+            if field and out[field] is None and not skip:
                 out[field] = _decode_text(data)
             pos += 10 + fsize
         out["tag_version"] = f"id3v2.{major}"
-        return out
+        if any(out[k] is not None for k in ID3_FIELDS if k != "tag_version") \
+                or not (flags & 0x80):
+            return out
+        # unsync tag with nothing recovered: fall through to the v1 tail
     if len(payload) >= 128 and payload[-128:-125] == b"TAG":
         t = payload[-128:]
 

@@ -66,10 +66,16 @@ def resolve_url(base: str, href: str) -> str | None:
     if href.startswith("/"):
         path, _, query = href.partition("?")
     else:
-        # merge: drop the base path's last segment, append the reference
-        merged = base_path.rsplit("/", 1)[0] + "/" if "/" in base_path else "/"
         rel_path, _, query = href.partition("?")
-        path = merged + rel_path
+        if not rel_path and query:
+            # RFC 3986 §5.3: an empty-path reference with a query keeps
+            # the base path unchanged ('?page=2' on /a/b.html stays on
+            # /a/b.html, not /a/)
+            path = base_path or "/"
+        else:
+            # merge: drop the base path's last segment, append the ref
+            merged = base_path.rsplit("/", 1)[0] + "/" if "/" in base_path else "/"
+            path = merged + rel_path
     # dot-segment removal (RFC 3986 §5.2.4)
     out: list[str] = []
     for seg in path.split("/"):

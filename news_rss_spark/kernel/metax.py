@@ -151,8 +151,12 @@ def extract_metadata(html: str | None) -> dict[str, Any]:
                             and mname not in meta):
                         meta[mname] = content
             elif name == "link":
-                if (attrs.get("rel", "").lower() == "canonical"
-                        and canonical is None):
+                # token-based rel matching, same as discover_feeds /
+                # pagination_links / hreflang_links below: handles
+                # rel="canonical alternate" and padded values
+                rel_tokens = {t.lower() for t in _REL_WS_RE.split(
+                    attrs.get("rel", "").strip()) if t}
+                if "canonical" in rel_tokens and canonical is None:
                     href = attrs.get("href")
                     if href:
                         canonical = href.strip()

@@ -203,7 +203,10 @@ def corpus_overlap_estimate(df_a: DataFrame, df_b: DataFrame,
     a cross-snapshot MinHash pass is worth scheduling at all.
 
     ``k_used = |S|`` (< k when the union itself has fewer distinct
-    values); the estimate is exact in that regime.
+    values); the estimate is exact in that regime.  Contract for the
+    degenerate case: two empty/all-NULL value sets give ``k_used = 0``
+    and a PINNED ``est_jaccard = 0.0`` (never NULL or a division error),
+    so downstream gates comparing the estimate always see a number.
     """
     sa = bottomk_sketch(df_a, value_col, k)
     sb = bottomk_sketch(df_b, value_col, k)
@@ -214,8 +217,10 @@ def corpus_overlap_estimate(df_a: DataFrame, df_b: DataFrame,
             .crossJoin(F.broadcast(
                 hits.agg(F.count("*").cast("long").alias("n_both"))))
             .select("k_used", "n_both",
-                    F.round(F.col("n_both").cast("double")
-                            / F.col("k_used"), 6).alias("est_jaccard")))
+                    F.when(F.col("k_used") > 0,
+                           F.round(F.col("n_both").cast("double")
+                                   / F.col("k_used"), 6))
+                    .otherwise(F.lit(0.0)).alias("est_jaccard")))
 
 
 def quantile_sample_sketch(df: DataFrame, value_col: str,

@@ -96,8 +96,43 @@ def snm_numkey_sql(norm_col: str, key_len: int = 10) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# Rank-partition skew pre-flight (the SNM analog of text_dedup's
+# _enforce_candidate_budget): a degenerate numkey distribution — e.g.
+# every document opening with the same boilerplate prefix — collapses
+# the quantile bounds so one range partition holds most of the corpus,
+# and the per-partition row_number window becomes a single-task
+# straggler.  The per-partition counts are ALREADY collected for the
+# prefix-sum, so the check is free: abort with a diagnosis BEFORE the
+# straggler stage when the largest partition exceeds
+# max(_SKEW_FLOOR_ROWS, _SKEW_FACTOR x the mean partition size).  The
+# floor keeps every small-corpus run (tests, sf benches) unaffected;
+# the factor is what trips at 100 TB.
+_SKEW_FLOOR_ROWS = 2_000_000
+_SKEW_FACTOR = 8
+
+
+def _enforce_rank_partition_budget(counts: list[tuple[int, int]],
+                                   max_partition_rows: int | None) -> None:
+    if not counts:
+        return
+    total = sum(n for _, n in counts)
+    mean = total / len(counts)
+    limit = (max_partition_rows if max_partition_rows is not None
+             else max(_SKEW_FLOOR_ROWS, int(_SKEW_FACTOR * mean)))
+    worst_pid, worst = max(counts, key=lambda c: c[1])
+    if worst > limit:
+        raise ValueError(
+            f"SNM rank partition {worst_pid} holds {worst:,} rows "
+            f"(> budget {limit:,}; corpus {total:,} over {len(counts)} "
+            f"range partitions) — the blocking-key distribution is "
+            f"degenerate (a shared prefix?). Lengthen key_len, use a "
+            f"different key expression (multi-pass SNM), or raise "
+            f"max_partition_rows if the straggler window is acceptable.")
+
+
 def snm_global_rank(df: DataFrame, numkey_col: str, id_col: str,
-                    num_partitions: int | None = None) -> DataFrame:
+                    num_partitions: int | None = None,
+                    max_partition_rows: int | None = None) -> DataFrame:
     """Adds ``_snm_rn``: the global 1-based ``row_number`` in
     ``(numkey_col, id_col)`` order, computed without a global window.
 
@@ -126,6 +161,7 @@ def snm_global_rank(df: DataFrame, numkey_col: str, id_col: str,
         (r["_snm_pid"], r["n"])
         for r in keyed.groupBy("_snm_pid").agg(
             F.count("*").alias("n")).collect())
+    _enforce_rank_partition_budget(counts, max_partition_rows)
     offsets, acc = [], 0
     for pid_val, n in counts:
         offsets.append((pid_val, acc))

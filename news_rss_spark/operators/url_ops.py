@@ -210,11 +210,13 @@ def retry_backoff_schedule(failures: DataFrame, base_secs: int = 60,
     ``give_up`` after ``max_retries`` — give-ups keep their capped
     next_attempt_ts so a downstream policy can still re-admit them on a
     slow cycle.  Pure codegen'd projection: shiftleft for the power of
-    two (no float pow), integer-second timestamp arithmetic, no
-    shuffle."""
+    two (no float pow, exponent clamped to 40 so the int64 product can
+    never overflow before the max_backoff cap applies), integer-second
+    timestamp arithmetic, no shuffle."""
     staged = failures.select(
         F.col(url_col).alias("url"),
-        F.greatest(F.col(n_failures_col).cast("int"), F.lit(1))
+        F.least(F.greatest(F.col(n_failures_col).cast("int"), F.lit(1)),
+                F.lit(40))
          .alias("_n"),
         F.col(n_failures_col).alias("_raw_n"),
         F.col(last_ts_col).cast("long").alias("_ts"))

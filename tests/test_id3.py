@@ -43,3 +43,56 @@ class TestId3:
              + bytes(((n >> 21) & 0x7F, (n >> 14) & 0x7F,
                       (n >> 7) & 0x7F, n & 0x7F)) + f)
         assert extract_id3(p)["title"] == "ab"
+
+    @staticmethod
+    def _v2(frames: bytes, major: int = 3, flags: int = 0,
+            ext: bytes = b"") -> bytes:
+        body = ext + frames
+        n = len(body)
+        return (b"ID3" + bytes((major,)) + b"\x00" + bytes((flags,))
+                + bytes(((n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                         (n >> 7) & 0x7F, n & 0x7F)) + body)
+
+    def test_extended_header_v23_skipped(self):
+        import struct
+        # v2.3 ext header: 4-byte big-endian length EXCLUDING the 4
+        # length bytes, here 6 bytes of payload
+        ext = struct.pack(">I", 6) + b"\x00" * 6
+        f = b"TIT2" + struct.pack(">I", 3) + b"\x00\x00" + b"\x00ab"
+        m = extract_id3(self._v2(f, major=3, flags=0x40, ext=ext))
+        assert m["title"] == "ab" and m["tag_version"] == "id3v2.3"
+
+    def test_extended_header_v24_skipped(self):
+        import struct
+        # v2.4 ext header: syncsafe length INCLUDING the 4 length bytes
+        ext = b"\x00\x00\x00\x06\x01\x00"
+        f = b"TIT2" + b"\x00\x00\x00\x03" + b"\x00\x00" + b"\x03ab"
+        m = extract_id3(self._v2(f, major=4, flags=0x40, ext=ext))
+        assert m["title"] == "ab" and m["tag_version"] == "id3v2.4"
+
+    def test_unsync_tag_bails_to_absent_or_v1(self):
+        import struct
+        f = b"TIT2" + struct.pack(">I", 3) + b"\x00\x00" + b"\x00ab"
+        # unsync flag set: no garbled walk — absent fields
+        m = extract_id3(self._v2(f, major=3, flags=0x80))
+        assert m["title"] is None and m["tag_version"] == "id3v2.3"
+        # with a v1 trailer the fields are still recovered from there
+        tag = (b"TAG" + b"V1 Title".ljust(30, b"\x00")
+               + b"\x00" * 60 + b"2002" + b"\x00" * 31)
+        m = extract_id3(self._v2(f, major=3, flags=0x80) + tag)
+        assert m["title"] == "V1 Title" and m["tag_version"] == "id3v1"
+
+    def test_compressed_encrypted_frames_skipped(self):
+        import struct
+        # v2.3 frame format flags: 0x80 compression, 0x40 encryption
+        comp = b"TIT2" + struct.pack(">I", 3) + b"\x00\x80" + b"\x00ab"
+        enc = b"TPE1" + struct.pack(">I", 3) + b"\x00\x40" + b"\x00cd"
+        ok = b"TALB" + struct.pack(">I", 3) + b"\x00\x00" + b"\x00ef"
+        m = extract_id3(self._v2(comp + enc + ok, major=3))
+        assert m["title"] is None and m["artist"] is None
+        assert m["album"] == "ef"
+        # v2.4: low nibble carries compression/encryption/unsync
+        comp4 = b"TIT2" + b"\x00\x00\x00\x03" + b"\x00\x08" + b"\x03ab"
+        ok4 = b"TALB" + b"\x00\x00\x00\x03" + b"\x00\x00" + b"\x03ef"
+        m = extract_id3(self._v2(comp4 + ok4, major=4))
+        assert m["title"] is None and m["album"] == "ef"

@@ -16,7 +16,10 @@ class TestResolveUrl:
         ("../europe/a", "https://news.example.org/world/europe/a"),
         ("./same/b", "https://news.example.org/world/asia/same/b"),
         ("..", "https://news.example.org/world/"),
-        ("?q=2", "https://news.example.org/world/asia/?q=2"),
+        # RFC 3986 §5.3: query-only refs keep the base PATH unchanged
+        ("?q=2", "https://news.example.org/world/asia/story.html?q=2"),
+        ("?page=2&s=d", "https://news.example.org/world/asia/story.html"
+                        "?page=2&s=d"),
         ("x?a=1&b=2", "https://news.example.org/world/asia/x?a=1&b=2"),
         ("x#frag", "https://news.example.org/world/asia/x"),
         ("../../../../up", "https://news.example.org/up"),
@@ -33,6 +36,11 @@ class TestResolveUrl:
 
     def test_bare_host_base(self):
         assert resolve_url("https://h.example", "x") == "https://h.example/x"
+
+    def test_query_only_on_bare_host_base(self):
+        # empty base path + query-only ref -> root path, ref query
+        assert resolve_url("https://h.example", "?p=2") \
+            == "https://h.example/?p=2"
 
     def test_scheme_relative_preserves_base_scheme(self):
         assert resolve_url("http://h.example/a", "//c.example/y") \

@@ -74,6 +74,19 @@ class TestPrecedence:
             '<meta property="og:url" content="https://b.example/y">'))
         assert m["canonical_url"] == "https://b.example/y"
 
+    def test_canonical_rel_token_set(self):
+        # rel is a whitespace token list (same matching as feed/
+        # pagination/hreflang links): multi-token and padded values hit
+        m = extract_metadata(page(
+            '<link rel="canonical alternate" href="https://a.example/m">'))
+        assert m["canonical_url"] == "https://a.example/m"
+        m = extract_metadata(page(
+            '<link rel="  canonical " href="https://a.example/p">'))
+        assert m["canonical_url"] == "https://a.example/p"
+        m = extract_metadata(page(
+            '<link rel="canonicalish" href="https://a.example/no">'))
+        assert m["canonical_url"] is None
+
 
 class TestParsingRobustness:
     def test_attribute_order_and_quotes(self):

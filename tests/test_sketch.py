@@ -214,3 +214,14 @@ class TestBottomKOverlap:
         r2 = corpus_overlap_estimate(a.repartition(7), b.repartition(3),
                                      "v", k=128).collect()[0]
         assert r1.asDict() == r2.asDict()
+
+    def test_empty_inputs_pinned_zero(self, spark):
+        """Two empty (or all-NULL) value sets: k_used = 0 and the
+        estimate is the PINNED 0.0, never NULL or a division error."""
+        from news_rss_spark.operators.sketch import corpus_overlap_estimate
+        empty = spark.createDataFrame([], "v string")
+        nulls = spark.createDataFrame([(None,), (None,)], "v string")
+        for a, b in [(empty, empty), (nulls, nulls), (empty, nulls)]:
+            r = corpus_overlap_estimate(a, b, "v", k=16).collect()[0]
+            assert r["k_used"] == 0 and r["n_both"] == 0
+            assert r["est_jaccard"] == 0.0

@@ -129,6 +129,26 @@ def test_global_rank_matches_single_window(spark):
         assert got[doc_id] == rn, doc_id
 
 
+def test_degenerate_key_distribution_pre_flight(spark):
+    """All-identical blocking keys collapse the quantile bounds into one
+    range partition; with an explicit budget the rank pass aborts with a
+    diagnosis BEFORE the straggler window stage.  A healthy key spread
+    under the same budget passes untouched."""
+    hot = spark.createDataFrame(
+        [(f"d{i}", 7) for i in range(40)], "doc_id string, nk long")
+    with pytest.raises(ValueError, match="degenerate"):
+        snm_global_rank(hot, "nk", "doc_id", num_partitions=4,
+                        max_partition_rows=10).collect()
+    spread = spark.createDataFrame(
+        [(f"d{i}", i) for i in range(40)], "doc_id string, nk long")
+    ranked = snm_global_rank(spread, "nk", "doc_id", num_partitions=4,
+                             max_partition_rows=30)
+    assert {r["_snm_rn"] for r in ranked.collect()} == set(range(1, 41))
+    # the automatic rule (no explicit budget) never trips at test scale
+    assert snm_global_rank(hot, "nk", "doc_id",
+                           num_partitions=4).count() == 40
+
+
 @pytest.mark.parametrize("window", [1, 3, 8])
 def test_candidates_match_reference_window(spark, window):
     df = _mkdocs(spark, CORPUS)

@@ -192,3 +192,17 @@ class TestRetryBackoffSchedule:
         assert got["u3"] == (86_400, 87_400, True)   # capped + give up
         assert got["u0"] == (60, 1060, False)        # n clamps to 1
         assert got["u9"] == (15_360, 16_360, True)   # 60*2^8, > max_retries
+
+    def test_huge_failure_counts_never_overflow(self, spark):
+        """Exponent is clamped at 40: n_failures of 58+, 63, 64+ and
+        INT_MAX all land on the max_backoff cap with a sane positive
+        next_attempt_ts (no int64 wrap, no shiftleft mod-64 wrap)."""
+        from news_rss_spark.operators.url_ops import retry_backoff_schedule
+        rows = [("a", 58, 1000), ("b", 63, 1000), ("c", 64, 1000),
+                ("d", 200, 1000), ("e", 2**31 - 1, 1000)]
+        df = spark.createDataFrame(
+            rows, "url string, n_failures int, last_attempt_ts long")
+        for r in retry_backoff_schedule(df).collect():
+            assert r["backoff_secs"] == 86_400
+            assert int(r["next_attempt_ts"].timestamp()) == 87_400
+            assert r["give_up"] is True
