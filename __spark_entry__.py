@@ -3648,6 +3648,20 @@ def q_id3_extract(spark, sf_dir):
     return extract_id3_df(synth_id3_documents(d.select("doc_id")))
 
 
+def q_mp3_frame_stats(spark, sf_dir):
+    """MP3 frame-header metadata (kernel/mp3x.py): real sync walk +
+    spec bitrate/samplerate tables over synthesized MPEG1 Layer III
+    streams — CBR and VBR mixes, ID3v2 tags to skip on even ids — so
+    duration/bitrate metadata is REAL parse output (the ID3/EXIF
+    honesty posture; full DSP decode stays the marked stand-in).  The
+    oracle re-derives every integer from the synthesis rule: one wrong
+    frame-length computation, table entry, or tag skip breaks it."""
+    from news_rss_spark.operators.multimodal import (
+        mp3_frame_stats_df, synth_mp3_documents)
+    d = _t(spark, sf_dir, "documents")
+    return mp3_frame_stats_df(synth_mp3_documents(d.select("doc_id")))
+
+
 def q_span_rebase(spark, sf_dir):
     """Offset-rebasing cleaning pass over interleaved spans
     (interleaved.py::rebase_span_offsets): a vowel-strip demo transform
@@ -3884,6 +3898,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quantile_estimate": q_streaming_quantile_estimate,
         "streaming_cms_estimate": q_streaming_cms_estimate,
         "heavy_hitters": q_heavy_hitters,
+        # --- round-4 addition (past the window per policy; synthesis-
+        # rule oracle + kernel unit locks; joins the round-5 feed) -----
+        "mp3_frame_stats": q_mp3_frame_stats,
         # --- still never-driver-verified (40): round-5 window feed ---
         # Each retains the independent locks documented in round 3
         # (pure-Python reference replays, driver-green shared-substrate
@@ -7461,6 +7478,26 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(1990 + doc_id % 30 AS VARCHAR) AS year,
        CASE doc_id % 3 WHEN 0 THEN 'id3v2.3' WHEN 1 THEN 'id3v2.4'
             ELSE 'id3v1' END AS tag_version
+FROM documents
+""",
+        # replays the MP3 synth id-rule: every stat is closed-form in
+        # doc_id (frame count, rates, VBR alternation, ID3 presence)
+        "mp3_frame_stats": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       (doc_id % 2 = 0) AS has_id3,
+       CAST(3 + doc_id % 5 AS INT) AS n_frames,
+       'v1' AS version,
+       CAST(3 AS INT) AS layer,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            ELSE 32000 END AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 128
+            ELSE (CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 160
+                  ELSE 192 END) END AS INT) AS bitrate_kbps_min,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 192
+            ELSE (CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 160
+                  ELSE 192 END) END AS INT) AS bitrate_kbps_max,
+       (doc_id % 4 = 0) AS vbr,
+       CAST((3 + doc_id % 5) * 1152 AS BIGINT) AS total_samples
 FROM documents
 """,
         # replays the EXIF synth id-rule incl. DMS -> decimal degrees

@@ -839,7 +839,8 @@ def decode_real(payload: bytes, kind: str):
         return decode_mjpeg(payload)
     raise NotImplementedError(
         f"no pure-Python codec for kind={kind} with this payload; "
-        "wire librosa/av here for MP3/H.264"
+        "wire librosa/av here for MP3/H.264 SAMPLE decode (MP3 frame "
+        "METADATA is real already — kernel/mp3x.py via mp3_frame_stats_df)"
     )
 
 
@@ -1702,6 +1703,69 @@ def extract_id3_df(df: DataFrame, payload_col: str = "payload",
 
     return df.select(F.col(id_col), F.col(payload_col)) \
              .mapInPandas(fn, ID3_DDL)
+
+
+MP3_STATS_DDL = (
+    "doc_id string, has_id3 boolean, n_frames int, version string, "
+    "layer int, sample_rate int, bitrate_kbps_min int, "
+    "bitrate_kbps_max int, vbr boolean, total_samples bigint"
+)
+
+
+def mp3_frame_stats_df(df: DataFrame, payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """MP3 payloads -> frame-header metadata columns (kernel/mp3x.py:
+    sync walk + spec bitrate/samplerate tables, ID3v2 skip) — real
+    duration/bitrate/CBR-vs-VBR metadata WITHOUT a DSP decode, the same
+    posture as the ID3/EXIF kernels.  Scan-shaped, never raises; docs
+    with no parseable leading frame report NULL stats (has_id3 still
+    honest)."""
+    from news_rss_spark.kernel.mp3x import MP3_FIELDS, parse_mp3_frames
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_mp3_frames(bytes(payload)
+                                     if payload is not None else None)
+                rows.append((str(did),) + tuple(m[k] for k in MP3_FIELDS))
+            yield (pd.DataFrame(rows, columns=["doc_id", *MP3_FIELDS])
+                   .astype({"n_frames": "Int32", "layer": "Int32",
+                            "sample_rate": "Int32",
+                            "bitrate_kbps_min": "Int32",
+                            "bitrate_kbps_max": "Int32",
+                            "total_samples": "Int64"}))
+
+    return df.select(F.col(id_col), F.col(payload_col)) \
+             .mapInPandas(fn, MP3_STATS_DDL)
+
+
+def synth_mp3_documents(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (id, payload) MP3 table with closed-form stats for
+    oracle replay: samplerate rotates (44100, 48000, 32000) by id%3,
+    n_frames = 3 + id%5, every 4th doc is VBR alternating 128/192 kbps
+    (others CBR at (128, 160, 192)[id%3]), every even doc carries an
+    ID3v2.3 tag the parser must skip."""
+    from news_rss_spark.kernel.mp3x import synth_mp3
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                i = int(did)
+                rates = [128, 192] if i % 4 == 0 \
+                    else (128, 160, 192)[i % 3]
+                rows.append((str(i), synth_mp3(
+                    n_frames=3 + i % 5,
+                    samplerate=(44100, 48000, 32000)[i % 3],
+                    bitrates_kbps=rates,
+                    with_id3=(i % 2 == 0), title=f"Ti{i % 11}")))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col)).mapInPandas(
+        fn, "doc_id string, payload binary")
 
 
 def synth_id3_documents(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
