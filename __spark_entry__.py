@@ -2602,7 +2602,12 @@ def q_sparse_cosine(spark, sf_dir):
     # materialize the derived relation ONCE: the operator's DAG reads its
     # input from three branches (tf, dictionary, corpus-n stats), and
     # each would re-run the trigram derivation otherwise (measured 17.9 s
-    # -> 5.5 s at sf0.1; the dedup-family signature-sharing rule)
+    # -> 5.5 s at sf0.1; the dedup-family signature-sharing rule).
+    # SCALE NOTE: localCheckpoint + the fixed repartition(32) width are
+    # bench-scale conveniences — at a real 100-TB corpus the equivalent
+    # is a STAGED TEMP TABLE of the trigram relation (written once,
+    # lifecycle-managed, partition count sized to the cluster), not an
+    # executor-pinned lineage checkpoint with a hard-coded width
     d = d.select("doc_id", tri.alias("tri_text")).localCheckpoint(eager=True)
     return all_pairs_cosine(d, threshold=0.3, min_df=2, max_df=1000,
                             text_col="tri_text", id_col="doc_id",
@@ -3662,6 +3667,20 @@ def q_mp3_frame_stats(spark, sf_dir):
     return mp3_frame_stats_df(synth_mp3_documents(d.select("doc_id")))
 
 
+def q_mp4_box_stats(spark, sf_dir):
+    """MP4/ISO-BMFF container metadata (kernel/mp4x.py): real
+    length-prefixed box walk — ftyp brand, moov/mvhd timescale+duration
+    (v0 and, in pytest, v1 64-bit), per-trak hdlr classification, tkhd
+    16.16 dimensions — over synthesized containers whose stats are
+    closed-form in doc_id.  The container complement of
+    mp3_frame_stats: duration/track metadata is REAL parse output;
+    H.264/AAC sample decode stays the marked decoded=False stand-in."""
+    from news_rss_spark.operators.multimodal import (
+        mp4_box_stats_df, synth_mp4_documents)
+    d = _t(spark, sf_dir, "documents")
+    return mp4_box_stats_df(synth_mp4_documents(d.select("doc_id")))
+
+
 def q_span_rebase(spark, sf_dir):
     """Offset-rebasing cleaning pass over interleaved spans
     (interleaved.py::rebase_span_offsets): a vowel-strip demo transform
@@ -3901,6 +3920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 addition (past the window per policy; synthesis-
         # rule oracle + kernel unit locks; joins the round-5 feed) -----
         "mp3_frame_stats": q_mp3_frame_stats,
+        "mp4_box_stats": q_mp4_box_stats,
         # --- still never-driver-verified (40): round-5 window feed ---
         # Each retains the independent locks documented in round 3
         # (pure-Python reference replays, driver-green shared-substrate
@@ -7498,6 +7518,27 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                   ELSE 192 END) END AS INT) AS bitrate_kbps_max,
        (doc_id % 4 = 0) AS vbr,
        CAST((3 + doc_id % 5) * 1152 AS BIGINT) AS total_samples
+FROM documents
+""",
+        # replays the MP4 synth id-rule: brand/tracks/duration closed-
+        # form in doc_id (durations are multiples of 20 ms, exact
+        # through every timescale in the rotation)
+        "mp4_box_stats": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       TRUE AS is_bmff,
+       CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+       CAST((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN doc_id % 3 > 0 THEN 1 ELSE 0 END) AS INT)
+         AS n_tracks,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 90000
+            ELSE 600 END AS INT) AS timescale,
+       CAST(1000 + (doc_id % 300) * 20 AS BIGINT) AS duration_ms,
+       (doc_id % 2 = 0) AS has_video,
+       (doc_id % 3 > 0) AS has_audio,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(160 + (doc_id % 16) * 8 AS INT) END AS width,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(90 + (doc_id % 9) * 6 AS INT) END AS height
 FROM documents
 """,
         # replays the EXIF synth id-rule incl. DMS -> decimal degrees

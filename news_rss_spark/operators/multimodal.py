@@ -1768,6 +1768,68 @@ def synth_mp3_documents(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         fn, "doc_id string, payload binary")
 
 
+MP4_STATS_DDL = (
+    "doc_id string, is_bmff boolean, major_brand string, n_tracks int, "
+    "timescale int, duration_ms bigint, has_video boolean, "
+    "has_audio boolean, width int, height int"
+)
+
+
+def mp4_box_stats_df(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "doc_id") -> DataFrame:
+    """MP4/BMFF payloads -> container metadata columns (kernel/mp4x.py:
+    length-prefixed box walk, mvhd duration, tkhd dimensions, hdlr
+    track classification) — the container complement of
+    mp3_frame_stats_df; codec sample decode stays the marked stand-in.
+    Scan-shaped, never raises."""
+    from news_rss_spark.kernel.mp4x import MP4_FIELDS, parse_mp4_boxes
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_mp4_boxes(bytes(payload)
+                                    if payload is not None else None)
+                rows.append((str(did),) + tuple(m[k] for k in MP4_FIELDS))
+            yield (pd.DataFrame(rows, columns=["doc_id", *MP4_FIELDS])
+                   .astype({"n_tracks": "Int32", "timescale": "Int32",
+                            "duration_ms": "Int64", "width": "Int32",
+                            "height": "Int32"}))
+
+    return df.select(F.col(id_col), F.col(payload_col)) \
+             .mapInPandas(fn, MP4_STATS_DDL)
+
+
+def synth_mp4_documents(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (id, payload) BMFF table with closed-form stats for
+    oracle replay: timescale rotates (1000, 90000, 600) by id%3,
+    duration_ms = 1000 + (id%300)*20 (multiples of 20 round-trip exactly
+    through every timescale in the rotation), video track with
+    w=160+(id%16)*8, h=90+(id%9)*6 on even ids, audio track when
+    id%3>0, brand isom/mp42 by parity."""
+    from news_rss_spark.kernel.mp4x import synth_mp4
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                i = int(did)
+                w = 160 + (i % 16) * 8 if i % 2 == 0 else 0
+                h = 90 + (i % 9) * 6 if i % 2 == 0 else 0
+                rows.append((str(i), synth_mp4(
+                    duration_ms=1000 + (i % 300) * 20,
+                    timescale=(1000, 90000, 600)[i % 3],
+                    width=w, height=h,
+                    with_audio=(i % 3 > 0),
+                    major_brand=b"isom" if i % 2 == 0 else b"mp42")))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col)).mapInPandas(
+        fn, "doc_id string, payload binary")
+
+
 def synth_id3_documents(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic (id, payload) audio table: tag flavor rotates
     v2.3/v2.4/v1 by id so all three parse paths run under the gate;
