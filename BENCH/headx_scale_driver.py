@@ -133,6 +133,31 @@ def main() -> None:
         "exact": c["cells"] == 6 * n_landed
                  and c["headers"] == 3 * n_landed}), flush=True)
 
+    # separate body-span stage (the fourth product the fused bundle
+    # carries): scan-shaped mapInPandas counting spans per page — a
+    # LOWER bound on a real separate spans stage's cost (it ships no
+    # nested span structs back through Arrow, only one int per page),
+    # so the 4-stage fusion ratio below is conservative
+    from news_rss_spark.kernel.htmlx import extract_page_spans
+
+    def _span_counts(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "n": [len(extract_page_spans(h or ""))
+                      for h in pdf["html"]]})
+
+    t8 = time.time()
+    n_spans_sep = (docs.select("html")
+                   .mapInPandas(_span_counts, "n int")
+                   .agg(F.sum("n").alias("s")).collect()[0]["s"])
+    t9 = time.time()
+    print(json.dumps({
+        "stage": "spans_separate", "docs": n_landed,
+        "sec": round(t9 - t8, 1),
+        "docs_per_sec": round(n_landed / (t9 - t8)),
+        "spans": n_spans_sep}), flush=True)
+
     # fused one-pass bundle (adds the body-span extractor on top of the
     # three products above) vs the separate stages measured separately
     from news_rss_spark.operators.full_page import extract_page_bundle_df
@@ -147,12 +172,15 @@ def main() -> None:
         F.sum(F.size("spans")).alias("spans")).collect()[0]
     t7 = time.time()
     sep_total = round((t1 - t0) + (t3 - t2) + (t5 - t4), 1)
+    sep4_total = round(sep_total + (t9 - t8), 1)
     print(json.dumps({
         "stage": "fused_bundle", "docs": n_landed,
         "sec": round(t7 - t6, 1),
         "docs_per_sec": round(n_landed / (t7 - t6)),
         "separate_stages_sec": sep_total,
+        "separate_4stage_sec": sep4_total,
         "fusion_speedup": round(sep_total / (t7 - t6), 2),
+        "fusion_speedup_vs_4stage": round(sep4_total / (t7 - t6), 2),
         "rows": b["rows"], "og_headlines": b["og"], "links": b["links"],
         "cells": b["cells"], "spans": b["spans"],
         "exact": b["rows"] == n_landed == b["og"]

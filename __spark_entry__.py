@@ -1069,6 +1069,33 @@ def q_blocklist_verdict(spark, sf_dir):
         max_hits=0)
 
 
+_QGATE_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
+def _qgate(spark, sf_dir):
+    """Memoized audit-mode quality_gate relation per (session, sf_dir),
+    localCheckpoint'd once — BOTH gate queries (per-doc audit and the
+    reason histogram) consume the identical fused projection, whose
+    dup-gram scan is the expensive half (~5 s each at sf0.1, paid once
+    here).  Same idiom/lifecycle as _sig60/_cappedemb; rows are one
+    short audit tuple per doc."""
+    global _QGATE_CACHE
+    import weakref
+    if _QGATE_CACHE is None:
+        _QGATE_CACHE = weakref.WeakKeyDictionary()
+    per_session = _QGATE_CACHE.setdefault(spark, {})
+    g = per_session.get(sf_dir)
+    if g is None:
+        from news_rss_spark.operators.quality_gate import quality_gate
+        d = _t(spark, sf_dir, "documents")
+        g = quality_gate(d, "text", min_tokens=5, max_tokens=10_000,
+                         max_dup_gram_frac=0.5, min_quality=0.3,
+                         keep_rejects=True) \
+            .localCheckpoint(eager=True)
+        per_session[sf_dir] = g
+    return g
+
+
 def q_gate_reason_counts(spark, sf_dir):
     """Quality-gate operability histogram (operators/quality_gate.py
     gate_reason_counts): one row per reject_reason with count and
@@ -1076,15 +1103,8 @@ def q_gate_reason_counts(spark, sf_dir):
     mix.  One hash agg + an in-plan broadcast 1-row total (no driver
     count).  The oracle wraps the full quality_gate replay and
     re-derives the shares."""
-    from news_rss_spark.operators.quality_gate import (
-        gate_reason_counts,
-        quality_gate,
-    )
-    d = _t(spark, sf_dir, "documents")
-    g = quality_gate(d, "text", min_tokens=5, max_tokens=10_000,
-                     max_dup_gram_frac=0.5, min_quality=0.3,
-                     keep_rejects=True)
-    return gate_reason_counts(g)
+    from news_rss_spark.operators.quality_gate import gate_reason_counts
+    return gate_reason_counts(_qgate(spark, sf_dir))
 
 
 def q_winnow_fingerprints(spark, sf_dir):
@@ -3152,12 +3172,9 @@ def q_quality_gate(spark, sf_dir):
     """Fused one-pass quality gate (C4 + Gopher-style rules in ONE
     projection over the raw scan) in audit mode: every doc with its
     first-failing-rule attribution.  At 100 TB this is the stage that
-    keeps 50-90% of raw docs out of every downstream shuffle."""
-    from news_rss_spark.operators.quality_gate import quality_gate
-    d = _t(spark, sf_dir, "documents")
-    g = quality_gate(d, "text", min_tokens=5, max_tokens=10_000,
-                     max_dup_gram_frac=0.5, min_quality=0.3,
-                     keep_rejects=True)
+    keeps 50-90% of raw docs out of every downstream shuffle.  Shares
+    the memoized _qgate relation with gate_reason_counts."""
+    g = _qgate(spark, sf_dir)
     return g.select("doc_id", "n_tokens", "quality_score",
                     "dup_gram_frac", "reject_reason")
 

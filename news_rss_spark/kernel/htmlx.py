@@ -294,14 +294,18 @@ def tokenize(html: str) -> list[tuple]:
     return out
 
 
-def build_dom(html: str) -> Node:
-    """Stack-based DOM builder with void elements and mismatch tolerance."""
+def build_dom(html: str, tokens: list | None = None) -> Node:
+    """Stack-based DOM builder with void elements and mismatch tolerance.
+
+    ``tokens`` lets a fused multi-kernel pass (operators/full_page.py)
+    tokenize the page ONCE and share the list; semantics are identical
+    to the default self-tokenizing path."""
     root = Node("#root")
     stack = [root]
     # auto-close: a new <p>/<li> closes an open one at the same level
     AUTOCLOSE = {"p": {"p"}, "li": {"li"}, "td": {"td", "th"}, "th": {"td", "th"},
                  "tr": {"tr"}, "dd": {"dd", "dt"}, "dt": {"dd", "dt"}}
-    for tok in tokenize(html):
+    for tok in (tokenize(html) if tokens is None else tokens):
         if tok[0] == "text":
             stack[-1].children.append(Node(None, text=tok[1]))
         elif tok[0] == "start":

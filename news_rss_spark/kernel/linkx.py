@@ -96,9 +96,11 @@ def resolve_url(base: str, href: str) -> str | None:
 
 
 def extract_links(html: str | None,
-                  base_url: str = "") -> list[tuple[str, str, bool]]:
+                  base_url: str = "",
+                  tokens: list | None = None) -> list[tuple[str, str, bool]]:
     """``[(resolved_url, anchor_text, nofollow), ...]`` in document
-    order; see module contract."""
+    order; see module contract.  ``tokens`` shares a pre-tokenized page
+    (fused-pass path); identical semantics either way."""
     if not html:
         return []
     out: list[tuple[str, str, bool]] = []
@@ -115,7 +117,7 @@ def extract_links(html: str | None,
         open_href = None
         parts.clear()
 
-    for tok in tokenize(html):
+    for tok in (tokenize(html) if tokens is None else tokens):
         kind = tok[0]
         if kind == "text":
             if open_href is not None:

@@ -112,9 +112,12 @@ def _find_jsonld(html: str) -> dict[str, Any] | None:
     return None
 
 
-def extract_metadata(html: str | None) -> dict[str, Any]:
+def extract_metadata(html: str | None,
+                     tokens: list | None = None) -> dict[str, Any]:
     """Parse one HTML document's metadata; see module docstring for the
-    precedence contract.  Never raises; absent fields are ``None``."""
+    precedence contract.  Never raises; absent fields are ``None``.
+    ``tokens`` shares a pre-tokenized page (fused-pass path); identical
+    semantics either way."""
     out: dict[str, Any] = {k: None for k in METADATA_FIELDS}
     out["n_meta_tags"] = 0
     if not html:
@@ -128,7 +131,7 @@ def extract_metadata(html: str | None) -> dict[str, Any]:
     jsonld: dict[str, Any] | None = _find_jsonld(html)
     published_prop: str | None = None
 
-    tokens = tokenize(html)
+    tokens = tokenize(html) if tokens is None else tokens
     i, n = 0, len(tokens)
     while i < n:
         tok = tokens[i]
@@ -257,7 +260,8 @@ _TOKEN_SPLIT_RE = re.compile(r"[,\s]+")
 _REL_WS_RE = re.compile(r"\s+")
 
 
-def robots_directives(html: str | None) -> dict[str, bool]:
+def robots_directives(html: str | None,
+                      tokens: list | None = None) -> dict[str, bool]:
     """Page-level robots policy from ``<meta name="robots">`` (and the
     ``googlebot`` variant): dict of the recognized directive booleans,
     plus ``none`` expanding to noindex+nofollow per the standard.  The
@@ -267,7 +271,7 @@ def robots_directives(html: str | None) -> dict[str, bool]:
     out = {k: False for k in _DIRECTIVE_FIELDS}
     if not html:
         return out
-    for tok in tokenize(html):
+    for tok in (tokenize(html) if tokens is None else tokens):
         if tok[0] != "start" or tok[1] != "meta":
             continue
         attrs = tok[2]

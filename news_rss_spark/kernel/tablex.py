@@ -52,10 +52,13 @@ def _cell_text(node: Node) -> str:
     return _norm_text(decode_entities("".join(parts)))
 
 
-def extract_tables(html: str | None) -> list[tuple[int, int, int, bool, str]]:
+def extract_tables(html: str | None,
+                   tokens: list | None = None
+                   ) -> list[tuple[int, int, int, bool, str]]:
     """All tables in one document as a flat cell grid (see module
     contract).  Returns ``[(table_idx, row_idx, col_idx, is_header,
-    cell_text), ...]`` in document order."""
+    cell_text), ...]`` in document order.  ``tokens`` shares a
+    pre-tokenized page (fused-pass path); identical semantics."""
     if not html:
         return []
     out: list[tuple[int, int, int, bool, str]] = []
@@ -121,6 +124,6 @@ def extract_tables(html: str | None) -> list[tuple[int, int, int, bool, str]]:
                 found.extend(_find_tables(ch))
         return found
 
-    for top in _find_tables(build_dom(html)):
+    for top in _find_tables(build_dom(html, tokens=tokens)):
         handle_table(top)
     return out

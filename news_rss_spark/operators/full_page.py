@@ -39,7 +39,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from news_rss_spark.kernel.htmlx import extract_page_spans
+from news_rss_spark.kernel.htmlx import extract_page_spans, tokenize
 from news_rss_spark.kernel.linkx import extract_links
 from news_rss_spark.kernel.metax import (
     METADATA_FIELDS,
@@ -102,14 +102,20 @@ def extract_page_bundle_df(df: DataFrame, html_col: str = "html",
                 spans_col.append([
                     {"kind": k, "text": t, "media_ref": m}
                     for k, t, m in extract_page_spans(html or "")])
-                meta = extract_metadata(html)
+                # tokenize ONCE for the four token-walking kernels (the
+                # body-span extractor keeps its fused streaming route —
+                # no token list is ever materialized there); measured
+                # 3 redundant tokenizer passes saved per page
+                toks = tokenize(html) if html else []
+                meta = extract_metadata(html, tokens=toks)
                 for f in METADATA_FIELDS:
                     meta_cols[f].append(meta[f])
                 links_col.append([
                     {"target_url": u, "anchor_text": a, "nofollow": nf}
-                    for u, a, nf in extract_links(html, base or "")])
-                cells_col.append(len(extract_tables(html)))
-                pol = robots_directives(html)
+                    for u, a, nf in extract_links(html, base or "",
+                                                  tokens=toks)])
+                cells_col.append(len(extract_tables(html, tokens=toks)))
+                pol = robots_directives(html, tokens=toks)
                 noindex_col.append(pol["noindex"])
                 noai_col.append(pol["noai"])
                 train_col.append(not (pol["noindex"] or pol["noai"]))
