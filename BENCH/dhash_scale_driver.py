@@ -96,21 +96,40 @@ def main() -> None:
     t_synth = time.perf_counter() - t0
     media = spark.read.parquet(media_path)
 
+    wide = len(sys.argv) > 4 and sys.argv[4] == "wide"
+
     # stage 1: decode + hash (the Arrow/pandas kernel stage)
     t0 = time.perf_counter()
-    sig = (dhash_images(media).filter("decoded")
-           .select("media_id", F.col("dhash").alias("simhash")))
+    if wide:
+        # 120-bit pre-banded variant — the documented >=10M path after
+        # the 10M 56-bit run measured birthday collisions within 2x of
+        # the planted signal (BENCH/BASELINE.md round 4)
+        from news_rss_spark.operators.multimodal import dhash_wide_images
+        from news_rss_spark.operators.text_dedup import (
+            simhash_bands_near_dup_pairs)
+        sig = (dhash_wide_images(media).filter("decoded")
+               .select("media_id", "sig"))
+    else:
+        sig = (dhash_images(media).filter("decoded")
+               .select("media_id", F.col("dhash").alias("simhash")))
     sig_path = f"{work}/sig"
     sig.write.mode("overwrite").parquet(sig_path)
     t_hash = time.perf_counter() - t0
     sig = spark.read.parquet(sig_path)
     n_hashed = sig.count()
-    n_distinct = sig.select("simhash").distinct().count()
+    n_distinct = sig.select("sig" if wide else "simhash") \
+                    .distinct().count()
 
     # stage 2: near-dup pair mining (pigeonhole banding, ONE equi-join)
     t0 = time.perf_counter()
-    pairs = simhash_near_dup_pairs(sig, max_hamming=2, id_col="media_id",
-                                   n_bits=56, sig=sig)
+    if wide:
+        pairs = simhash_bands_near_dup_pairs(
+            None, max_hamming=2, id_col="media_id",
+            band_bits=30, n_bands=4, sig=sig)
+    else:
+        pairs = simhash_near_dup_pairs(sig, max_hamming=2,
+                                       id_col="media_id",
+                                       n_bits=56, sig=sig)
     planted = pairs.filter(
         (F.col("a").cast("long") / 100).cast("long")
         == (F.col("b").cast("long") / 100).cast("long"))
@@ -123,6 +142,7 @@ def main() -> None:
     t_pairs = time.perf_counter() - t0
 
     print(json.dumps({
+        "variant": "wide120" if wide else "dhash56",
         "cores": cores,
         "images": n_images,
         "hashed": n_hashed,

@@ -1381,6 +1381,81 @@ def _dhash_of_array(arr: np.ndarray, hash_w: int, hash_h: int) -> int:
     return int((weights * bits).sum())
 
 
+def _dhash_bands_of_array(arr: np.ndarray, hash_w: int, hash_h: int,
+                          n_bands: int) -> list[int]:
+    """Wide difference hash as pre-banded int64s: the same grayscale /
+    NN-resample / gradient-bit rule as :func:`_dhash_of_array`, but
+    ``hash_w * hash_h`` bits split into ``n_bands`` contiguous chunks
+    (bit k lands in band ``k // (total//n_bands)`` at local weight
+    ``k %``) — the array<long> signature shape
+    ``simhash_bands_near_dup_pairs`` mines directly."""
+    if arr.ndim == 2:
+        gray = arr.astype(np.int64)
+    else:
+        gray = (arr[:, :, 0].astype(np.int64)
+                + arr[:, :, 1] + arr[:, :, 2]) // 3
+    g = _resize_nn(gray, hash_w + 1, hash_h)
+    bits = (g[:, :-1] > g[:, 1:]).ravel()
+    total = hash_w * hash_h
+    width = total // n_bands
+    w_local = np.int64(1) << (np.arange(total, dtype=np.int64) % width)
+    out = []
+    for j in range(n_bands):
+        seg = slice(j * width, (j + 1) * width)
+        out.append(int((w_local[seg] * bits[seg]).sum()))
+    return out
+
+
+DHASH_WIDE_DDL = ("media_id string, kind string, decoded boolean, "
+                  "sig array<bigint>")
+
+
+def dhash_wide_images(media: DataFrame, hash_w: int = 15,
+                      hash_h: int = 8, n_bands: int = 4) -> DataFrame:
+    """Wide perceptual dHash (default 15x8 = 120 bits as 4 x 30-bit
+    bands) — the documented >=10M-image scale path of the 56-bit
+    :func:`dhash_images`.
+
+    Why it exists (measured): at 10M images the 56-bit hash's radius-2
+    birthday-collision floor reached 656k spurious pairs against 300k
+    planted — within 2x of signal (`BENCH/BASELINE.md` round-4 10M run).
+    120 bits pushes the same analytic floor down by ~2^64: collisions
+    stop being a corpus-size concern through any realistic image count.
+    The signature is emitted PRE-BANDED (``sig array<bigint>``, the
+    :func:`text_dedup.simhash_bands` shape) so near-dup mining is
+    ``simhash_bands_near_dup_pairs(sig=..., max_hamming<=n_bands-1)``
+    verbatim — one (band_idx, band_val) equi-join, zip_with/bit_count
+    exact verify, band-census pre-flight available as always.  Same
+    decode/grayscale/resample rule as the 56-bit hash, so re-encodes
+    still collide at hamming 0 and small perturbations at 1-2."""
+    _dhash_width_guard(hash_w * hash_h // n_bands, 1)
+    if (hash_w * hash_h) % n_bands:
+        raise ValueError(
+            f"hash_w*hash_h = {hash_w * hash_h} must divide into "
+            f"{n_bands} equal bands")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                try:
+                    arr = decode_real(payload, kind)
+                except (NotImplementedError, ValueError):
+                    rows.append((mid, kind, False, None))
+                    continue
+                rows.append((mid, kind, True,
+                             _dhash_bands_of_array(arr, hash_w, hash_h,
+                                                   n_bands)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "decoded", "sig",
+            ]).astype({"decoded": "bool"})
+
+    return (media.filter(F.col("kind") == "image")
+            .select("media_id", "kind", "payload")
+            .mapInPandas(fn, DHASH_WIDE_DDL))
+
+
 def dhash_images(media: DataFrame, hash_w: int = 7,
                  hash_h: int = 8) -> DataFrame:
     """Perceptual difference-hash (dHash) over REAL decoded pixels —

@@ -971,6 +971,73 @@ class TestDhash:
             dhash_images(df, hash_w=8, hash_h=8)
 
 
+class TestDhashWide:
+    """120-bit array-banded dHash: the documented >=10M-image scale path
+    (the 56-bit hash's radius-2 collision floor reached within 2x of
+    signal at 10M — BENCH/BASELINE.md round 4)."""
+
+    _img = staticmethod(TestDhash._img)
+
+    def _media_df(self, spark, payloads):
+        rows = [(str(i), "image", p, "image/*", None, None, None)
+                for i, p in enumerate(payloads)]
+        return spark.createDataFrame(
+            rows, "media_id string, kind string, payload binary, "
+                  "mime string, width int, height int, duration_ms int")
+
+    def test_band_split_matches_python_reference(self, spark):
+        """Concatenating the 4 x 30-bit bands reproduces the full
+        120-bit integer a sequential reference packs directly."""
+        import numpy as np
+        from news_rss_spark.operators.multimodal import (
+            _resize_nn, dhash_wide_images, encode_png)
+        arr = self._img(5, 48, 40)
+        out = dhash_wide_images(self._media_df(
+            spark, [encode_png(arr)])).collect()[0]
+        assert out["decoded"] and len(out["sig"]) == 4
+        gray = (arr[:, :, 0].astype(np.int64) + arr[:, :, 1]
+                + arr[:, :, 2]) // 3
+        g = _resize_nn(gray, 16, 8)
+        bits = (g[:, :-1] > g[:, 1:]).ravel()
+        full = sum(int(b) << k for k, b in enumerate(bits))
+        got = sum(int(band) << (30 * j)
+                  for j, band in enumerate(out["sig"]))
+        assert got == full
+
+    def test_reencode_hamming_zero_and_mining(self, spark):
+        """Byte-different re-encode of the same picture collides at
+        hamming 0; a perturbed copy lands within radius 2; distinct
+        pictures produce no pair — mined by the generic array-banded
+        simhash machinery verbatim."""
+        import numpy as np
+        from news_rss_spark.operators.multimodal import (
+            dhash_wide_images, encode_png, encode_ppm)
+        from news_rss_spark.operators.text_dedup import (
+            simhash_bands_near_dup_pairs)
+        arr = self._img(7, 64, 48)
+        pert = arr.copy()
+        pert[10, 10] = np.minimum(pert[10, 10] + 64, 255)
+        other = self._img(23, 64, 48)[:, ::-1]
+        sig = dhash_wide_images(self._media_df(spark, [
+            encode_png(arr), encode_ppm(arr), encode_png(pert),
+            encode_png(other)])).filter("decoded") \
+            .select(F.col("media_id"), "sig")
+        pairs = {(r["a"], r["b"]): r["hamming"]
+                 for r in simhash_bands_near_dup_pairs(
+                     None, max_hamming=2, id_col="media_id",
+                     band_bits=30, n_bands=4, sig=sig).collect()}
+        assert pairs[("0", "1")] == 0          # re-encode: exact
+        assert ("0", "2") in pairs             # perturbed: radius <= 2
+        assert not any("3" in p for p in pairs)
+
+    def test_band_divisibility_guard(self, spark):
+        from news_rss_spark.operators.multimodal import dhash_wide_images
+        import pytest as _pytest
+        df = self._media_df(spark, [])
+        with _pytest.raises(ValueError, match="equal bands"):
+            dhash_wide_images(df, hash_w=13, hash_h=7, n_bands=4)
+
+
 class TestAudioFingerprint:
     """Envelope hash: stable under lossy ADPCM re-encode of the same
     clip, far apart for different clips, skip-row on garbage."""
