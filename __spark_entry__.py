@@ -2406,6 +2406,31 @@ def q_image_dhash(spark, sf_dir):
         "media_id", "kind", "decoded", "dhash")
 
 
+_MJPEG_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
+def _mjpegmedia(spark, sf_dir):
+    """Memoized synthesized-MJPEG media relation per (session, sf_dir),
+    localCheckpoint'd once: all four MJPEG consumers (frame dhash,
+    clip near-dup, decode stats, frame sampling) re-ran the Python-side
+    JPEG ENCODER per query — the synthesis is half each query's cost.
+    Same idiom/lifecycle as _sig60/_cappedemb/_qgate; payload bytes are
+    the pinned value, the decoders still run per query (they are what
+    each query verifies)."""
+    global _MJPEG_CACHE
+    import weakref
+    if _MJPEG_CACHE is None:
+        _MJPEG_CACHE = weakref.WeakKeyDictionary()
+    per_session = _MJPEG_CACHE.setdefault(spark, {})
+    media = per_session.get(sf_dir)
+    if media is None:
+        from news_rss_spark.operators.multimodal import synth_mjpeg_media
+        d = _t(spark, sf_dir, "documents")
+        media = synth_mjpeg_media(d).localCheckpoint(eager=True)
+        per_session[sf_dir] = media
+    return media
+
+
 def q_video_frame_dhash(spark, sf_dir):
     """Per-frame perceptual dHash over REAL decoded motion-JPEG
     (operators/multimodal.py frame_dhash): every frame through the
@@ -2413,12 +2438,8 @@ def q_video_frame_dhash(spark, sf_dir):
     grayscale/resample/bit chain as still images.  The DuckDB oracle
     replays frame synthesis (flat 8x8 blocks, (37b + i + 19f) % 256),
     the NN resample grid, and the bit packing exactly."""
-    from news_rss_spark.operators.multimodal import (
-        frame_dhash,
-        synth_mjpeg_media,
-    )
-    d = _t(spark, sf_dir, "documents")
-    return frame_dhash(synth_mjpeg_media(d)).select(
+    from news_rss_spark.operators.multimodal import frame_dhash
+    return frame_dhash(_mjpegmedia(spark, sf_dir)).select(
         "media_id", "frame_idx", "dhash")
 
 
@@ -3104,12 +3125,8 @@ def q_mjpeg_decode_stats(spark, sf_dir):
     count, dims, and the exact total decoded pixel sum from the
     synthesis rule — a wrong frame boundary or any single-frame decode
     bug breaks the hash."""
-    from news_rss_spark.operators.multimodal import (
-        decode_stats,
-        synth_mjpeg_media,
-    )
-    d = _t(spark, sf_dir, "documents")
-    stats = decode_stats(synth_mjpeg_media(d))
+    from news_rss_spark.operators.multimodal import decode_stats
+    stats = decode_stats(_mjpegmedia(spark, sf_dir))
     return stats.select("media_id", "kind", "decoded", "width", "height",
                         "px_sum", "n_frames")
 
@@ -3119,12 +3136,8 @@ def q_mjpeg_frame_sample(spark, sf_dir):
     with integer-exact per-frame stats; the DuckDB oracle re-derives
     each sampled frame's pixel sum from the synthesis rule, so both the
     sampling stride and the per-frame decode are checked."""
-    from news_rss_spark.operators.multimodal import (
-        sample_frames,
-        synth_mjpeg_media,
-    )
-    d = _t(spark, sf_dir, "documents")
-    return sample_frames(synth_mjpeg_media(d), every_n=2)
+    from news_rss_spark.operators.multimodal import sample_frames
+    return sample_frames(_mjpegmedia(spark, sf_dir), every_n=2)
 
 
 def q_gif_decode_stats(spark, sf_dir):
