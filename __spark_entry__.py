@@ -3866,18 +3866,37 @@ def q_retry_schedule(spark, sf_dir):
         "give_up")
 
 
+# Round-5 window: the exact output of ``python3 scripts/next_window.py``
+# at round start (after the anchor_index oracle CAST fix flipped it back
+# to never-green, and with the hash_match predicate fix).  8 reserved
+# SURVEY §2 core slots + 42 never-driver-verified entries.  One
+# never-verified entry (skew_profile) doesn't fit the 50-slot window
+# this round; it is judge-verified green (VERDICT_r04 20-query sample)
+# and leads the next rotation.
+_R5_WINDOW = [
+    "extract_pipeline", "rss_parse", "tag_strip", "date_parse_fallback",
+    "dedup_exact", "anti_join_seen", "lineage_agg", "semantic_blocks",
+    "anchor_index", "mp3_frame_stats", "mp4_box_stats", "corpus_health",
+    "span_rebase", "opml_import", "pagination_chains", "hreflang_clusters",
+    "retry_schedule", "jsonl_ingest", "k_anonymity", "k_anonymity_summary",
+    "cdc_shared_chunks", "blocklist_verdict", "gate_reason_counts",
+    "quality_gate", "zorder_layout", "textrank_keywords", "split_sentences",
+    "simhash_band_census", "pii_redact_extended", "interleaved_seq_stats",
+    "interleaved_assembly", "mjpeg_frame_sample", "corpus_shuffle",
+    "unimax_select", "negative_samples", "hard_negatives",
+    "corruption_spans", "url_trap_patterns", "fim_splits",
+    "cms_token_counts", "bpe_pair_counts", "sampled_quantiles",
+    "script_profile", "sq_topk", "sliding_passages", "trending_counts",
+    "char_entropy", "mojibake_repair", "dedup_audit", "table_stats",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # =================================================================
     # ROTATION POLICY (mechanical, adopted round 4 per VERDICT_r03 #1/#2)
     # =================================================================
     # * The driver's correctness gate checks the FIRST 50 entries of
     #   this dict ("the window").
-    # * Round-4 window (below): the 50 never-driver-verified entries,
-    #   exactly the round-3 judge's ranked list (float/graph tail,
-    #   fused stages, page kernels, binary kernels) plus the twelve
-    #   whose prior independent verification leaned most on shared-
-    #   substrate arguments (graph family, star-CC, SNM, simhash128,
-    #   streaming estimates, Misra-Gries).
     # * Round 5 onward: the first 8 slots are PERMANENTLY reserved for
     #   the SURVEY §2 reference-parity core —
     #       extract_pipeline, rss_parse, tag_strip, date_parse_fallback,
@@ -3885,14 +3904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   the remaining 42 slots rotate never-verified-first, then
     #   oldest-verified-first.  scripts/next_window.py derives the
     #   next window mechanically from CORRECTNESS_r*.json + this dict;
-    #   run it at round start and reorder to its output.  With the 40
-    #   still-unverified entries after round 4 (plus any round-4
-    #   additions) that closes ever-green coverage of the whole
-    #   registry in round 5.
+    #   the window below (_R5_WINDOW) is its round-5 output, enforced
+    #   by tests/test_registry_window.py.
     # * NEW queries are appended AFTER the window with a documented
     #   independent lock, and join the never-verified-first pool for
     #   the next rotation.
-    return {
+    full = {
         # --- round-4 window: 50 never-driver-verified entries --------
         # (judge-ranked; each also carries sf0.001+sf0.01 replica
         # parity via tests/test_oracle_parity.py and per-family pytest
@@ -4097,6 +4114,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "worker_info": q_worker_info,
         "repetition_stats": q_repetition_stats,
     }
+    # Mechanical reorder: window first (scripts/next_window.py output),
+    # then everything else in the literal order above.  Keeping the
+    # literal dict grouped by provenance preserves the per-entry notes;
+    # this comprehension only changes iteration order, never content.
+    ordered = {name: full.pop(name) for name in _R5_WINDOW}
+    ordered.update(full)
+    return ordered
 
 
 # ---------------------------------------------------------------------------
@@ -7702,7 +7726,7 @@ WITH links AS (
 )
 SELECT target_url, count(*) AS n_links,
        count(DISTINCT doc_id) AS n_docs,
-       sum(CASE WHEN nofollow THEN 1 ELSE 0 END) AS n_nofollow,
+       CAST(sum(CASE WHEN nofollow THEN 1 ELSE 0 END) AS BIGINT) AS n_nofollow,
        string_agg(DISTINCT anchor_text, '|' ORDER BY anchor_text)
          AS anchors_joined
 FROM links GROUP BY target_url

@@ -77,7 +77,14 @@ def parse_mp4_boxes(payload: bytes | None) -> dict:
         for ctype, cs, ce in _boxes(payload, s, e):
             if ctype == b"mvhd" and ce - cs >= 20:
                 version = payload[cs]
-                if version == 1 and ce - cs >= 28:
+                if version == 1:
+                    # v1 layout: the >IQ unpack at cs+20 needs 12 bytes
+                    # (through cs+32).  A shorter v1 box is malformed —
+                    # skip it rather than raise at end-of-payload or
+                    # silently read the next sibling's bytes mid-file
+                    # (ADVICE r4, fixed round 5).
+                    if ce - cs < 32:
+                        continue
                     timescale, duration = struct.unpack_from(
                         ">IQ", payload, cs + 20)
                 else:

@@ -42,7 +42,8 @@ def _green_by_round(repo_root):
             data = json.load(f)
         for name, row in data.items():
             if (isinstance(row, dict) and row.get("rows_match")
-                    and row.get("schema_match") and not row.get("err")):
+                    and row.get("schema_match")
+                    and row.get("hash_match", True) and not row.get("err")):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 

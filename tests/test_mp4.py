@@ -46,6 +46,25 @@ class TestMp4Kernel:
         m = parse_mp4_boxes(p)
         assert m["timescale"] == 48000 and m["duration_ms"] == 2000
 
+    def test_truncated_v1_mvhd_never_raises(self):
+        # ADVICE r4: a version-1 mvhd shorter than 32 bytes must be
+        # skipped, not struct.error at end-of-file or silently read the
+        # next sibling's bytes mid-file.
+        def box(t, pl):
+            return struct.pack(">I", 8 + len(pl)) + t + pl
+        ftyp = box(b"ftyp", b"isom" + b"\x00\x00\x00\x00" + b"isom")
+        # 28-byte v1 mvhd payload at end-of-file (>IQ at +20 needs 32)
+        short_v1 = b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0) + b"\x00" * 4
+        m = parse_mp4_boxes(ftyp + box(b"moov", box(b"mvhd", short_v1)))
+        assert m["is_bmff"] is True and m["timescale"] is None
+
+        # mid-file: truncated v1 mvhd followed by a sibling box whose
+        # bytes must NOT be read as the duration
+        sibling = box(b"free", struct.pack(">IQ", 48000, 96000))
+        m = parse_mp4_boxes(
+            ftyp + box(b"moov", box(b"mvhd", short_v1) + sibling))
+        assert m["timescale"] is None and m["duration_ms"] is None
+
     def test_largesize_box_skipped(self):
         # an unknown box using the size==1 / u64 largesize form between
         # ftyp and moov must be skipped cleanly
