@@ -83,7 +83,15 @@ def main() -> None:
     timings["flagship_extract"] = round(flagship_sec, 3)
 
     # -- headline query suite over the driver sf tables --
-    for name, fn in entry_mod.queries().items():
+    # FIXED alphabetical order, independent of the registry's rotating
+    # correctness-window prefix (VERDICT r4 "what's wrong" #4): with the
+    # suite order pinned, whichever queries run cold (pay substrate
+    # build / first-touch page-cache cost) are the SAME every round, so
+    # round-over-round per-query deltas measure code changes, not the
+    # rotation's cache-state reshuffle.  r4's apparent regressions
+    # (hyperball, pr_curve, interleaved_seq_stats) were exactly this
+    # artifact.
+    for name, fn in sorted(entry_mod.queries().items()):
         t0 = time.perf_counter()
         try:
             _force(fn(spark, SF_DIR))
