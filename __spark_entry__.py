@@ -3697,6 +3697,23 @@ def q_mp3_frame_stats(spark, sf_dir):
     return mp3_frame_stats_df(synth_mp3_documents(d.select("doc_id")))
 
 
+def q_mp3_sidecar_stats(spark, sf_dir):
+    """Xing/Info/VBRI VBR sidecar metadata (kernel/mp3x.py
+    parse_mp3_sidecar): exact frame count / stream bytes / duration
+    from the first frame's sidecar header — the O(1) complement of
+    mp3_frame_stats' frame walk (VERDICT r4 stretch #8).  The oracle
+    re-derives every integer from the synthesis rule including the
+    spec frame-length floor division (144*kbps*1000 // samplerate), so
+    one wrong side-info offset, flag decode, or byte count breaks it;
+    docs at id%5 in (3,4) carry NO sidecar (4 is genuinely VBR — the
+    case where only the frame walk can tell) and must report NULLs."""
+    from news_rss_spark.operators.multimodal import (
+        mp3_sidecar_stats_df, synth_mp3_sidecar_documents)
+    d = _t(spark, sf_dir, "documents")
+    return mp3_sidecar_stats_df(synth_mp3_sidecar_documents(
+        d.select("doc_id")))
+
+
 def q_mp4_box_stats(spark, sf_dir):
     """MP4/ISO-BMFF container metadata (kernel/mp4x.py): real
     length-prefixed box walk — ftyp brand, moov/mvhd timescale+duration
@@ -4113,6 +4130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rss_parse": q_rss_parse,
         "worker_info": q_worker_info,
         "repetition_stats": q_repetition_stats,
+        # --- round-5 addition (past the window per policy; synthesis-
+        # rule oracle + kernel unit locks; joins the next rotation) ----
+        "mp3_sidecar_stats": q_mp3_sidecar_stats,
     }
     # Mechanical reorder: window first (scripts/next_window.py output),
     # then everything else in the literal order above.  Keeping the
@@ -7573,6 +7593,34 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        (doc_id % 4 = 0) AS vbr,
        CAST((3 + doc_id % 5) * 1152 AS BIGINT) AS total_samples
 FROM documents
+""",
+        # replays the sidecar synth id-rule: Xing/Info/VBRI frame
+        # counts, exact stream bytes via the spec frame-length floor
+        # division (144*kbps*1000 // sr, VBR streams alternating two
+        # rates), and frames*1152*1000 // sr durations; id%5 in (3,4)
+        # has no sidecar -> NULLs
+        "mp3_sidecar_stats": """
+WITH base AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 6 AS BIGINT) AS n,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS BIGINT) AS sr,
+         doc_id % 5 AS k
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CASE k WHEN 0 THEN 'xing' WHEN 1 THEN 'info'
+              WHEN 2 THEN 'vbri' END AS sidecar,
+       CASE WHEN k <= 2 THEN CAST(n AS INT) END AS sc_frames,
+       CASE k
+         WHEN 0 THEN ((n + 1) // 2) * (144 * 128 * 1000 // sr)
+                     + (n // 2) * (144 * 192 * 1000 // sr)
+         WHEN 1 THEN n * (144 * 160 * 1000 // sr)
+         WHEN 2 THEN n * (144 * 96 * 1000 // sr)
+       END AS sc_bytes,
+       CASE WHEN k <= 2 THEN CAST(doc_id % 101 AS INT) END AS sc_quality,
+       CASE WHEN k <= 2 THEN n * 1152 * 1000 // sr END AS duration_ms
+FROM base
 """,
         # replays the MP4 synth id-rule: brand/tracks/duration closed-
         # form in doc_id (durations are multiples of 20 ms, exact

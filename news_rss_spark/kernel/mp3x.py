@@ -25,7 +25,8 @@ pipelines.
 
 from __future__ import annotations
 
-__all__ = ["parse_mp3_frames", "synth_mp3", "MP3_FIELDS"]
+__all__ = ["parse_mp3_frames", "parse_mp3_sidecar", "synth_mp3",
+           "MP3_FIELDS", "MP3_SIDECAR_FIELDS"]
 
 MP3_FIELDS = ("has_id3", "n_frames", "version", "layer", "sample_rate",
               "bitrate_kbps_min", "bitrate_kbps_max", "vbr",
@@ -145,13 +146,108 @@ def parse_mp3_frames(payload: bytes | None) -> dict:
     return out
 
 
+MP3_SIDECAR_FIELDS = ("sidecar", "sc_frames", "sc_bytes", "sc_quality",
+                      "duration_ms")
+
+# side-information size in bytes by (version_key, mono?) — ISO 11172-3
+# §2.4.1.7 (MPEG1: 17 mono / 32 otherwise) and the LSF extension
+# (9 mono / 17 otherwise).  The Xing/Info tag sits immediately after it.
+_SIDE_INFO = {("v1", True): 17, ("v1", False): 32,
+              ("v2", True): 9, ("v2", False): 17}
+
+
+def _u32(p: bytes, pos: int) -> int:
+    return int.from_bytes(p[pos:pos + 4], "big")
+
+
+def parse_mp3_sidecar(payload: bytes | None) -> dict:
+    """Bytes -> dict of :data:`MP3_SIDECAR_FIELDS`: the VBR sidecar
+    header (Xing / Info / VBRI) carried in the FIRST frame's body, which
+    gives the exact total frame count — and therefore exact duration —
+    of a VBR stream without walking every frame (the frame-walk
+    min/max in :func:`parse_mp3_frames` stays the fallback).
+
+    * ``Xing``/``Info`` (LAME lineage): after the side information;
+      flag-gated u32 fields in order frames, bytes, TOC(100), quality.
+    * ``VBRI`` (Fraunhofer): fixed 32 bytes after the 4-byte header;
+      u16 version/delay/quality, u32 bytes, u32 frames, then TOC shape.
+
+    All fields are reported verbatim from the header (no reconciliation
+    against a frame walk); ``duration_ms`` is derived exactly as
+    ``frames * samples_per_frame * 1000 // samplerate`` from the first
+    frame's spec tables.  Never raises; returns all-None ``sidecar``
+    when no valid first frame or no tag is present.
+    """
+    out: dict = {k: None for k in MP3_SIDECAR_FIELDS}
+    if not payload:
+        return out
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        pos = 10 + _syncsafe(payload[6:10])
+    fr = _frame_at(payload, pos)
+    if fr is None:
+        return out
+    flen, vkey, layer, samplerate, _bitrate, spf = fr
+    end = min(pos + flen, len(payload))
+    mono = ((payload[pos + 3] >> 6) & 3) == 3 if pos + 4 <= len(payload) \
+        else False
+
+    tag_pos = pos + 4 + _SIDE_INFO[(vkey, mono)]
+    tag = payload[tag_pos:tag_pos + 4]
+    if tag in (b"Xing", b"Info") and tag_pos + 8 <= end:
+        flags = _u32(payload, tag_pos + 4)
+        q = tag_pos + 8
+        frames = nbytes = quality = None
+        if flags & 0x1:
+            if q + 4 > end:
+                return out
+            frames = _u32(payload, q)
+            q += 4
+        if flags & 0x2:
+            if q + 4 > end:
+                return out
+            nbytes = _u32(payload, q)
+            q += 4
+        if flags & 0x4:  # 100-byte seek TOC
+            if q + 100 > end:
+                return out
+            q += 100
+        if flags & 0x8:
+            if q + 4 > end:
+                return out
+            quality = _u32(payload, q)
+        out.update(sidecar="xing" if tag == b"Xing" else "info",
+                   sc_frames=frames, sc_bytes=nbytes, sc_quality=quality)
+        if frames is not None:
+            out["duration_ms"] = frames * spf * 1000 // samplerate
+        return out
+
+    vbri_pos = pos + 4 + 32
+    if payload[vbri_pos:vbri_pos + 4] == b"VBRI" and vbri_pos + 26 <= end:
+        quality = int.from_bytes(payload[vbri_pos + 8:vbri_pos + 10], "big")
+        nbytes = _u32(payload, vbri_pos + 10)
+        frames = _u32(payload, vbri_pos + 14)
+        out.update(sidecar="vbri", sc_frames=frames, sc_bytes=nbytes,
+                   sc_quality=quality,
+                   duration_ms=frames * spf * 1000 // samplerate)
+    return out
+
+
 def synth_mp3(n_frames: int, samplerate: int = 44100,
               bitrates_kbps: list[int] | int = 128,
-              with_id3: bool = False, title: str = "T") -> bytes:
+              with_id3: bool = False, title: str = "T",
+              sidecar: str | None = None, sc_quality: int = 0) -> bytes:
     """Deterministic CBR/VBR MPEG1 Layer III byte stream: real frame
     headers + zeroed frame bodies (header arithmetic is what the parser
     reads; the body content is irrelevant to metadata).  ``bitrates_kbps``
-    may be a constant or a per-frame list (cycled)."""
+    may be a constant or a per-frame list (cycled).
+
+    ``sidecar`` ("xing" | "info" | "vbri") injects the corresponding VBR
+    header into the first frame's body at its spec offset (stereo MPEG1:
+    Xing/Info after the 32-byte side information, VBRI at the fixed +32)
+    with frames = ``n_frames``, bytes = total stream length, and the
+    given quality — so :func:`parse_mp3_sidecar` output is closed-form
+    in the synth arguments."""
     sr_table = _SAMPLERATE[3]
     if samplerate not in sr_table:
         raise ValueError(f"samplerate must be one of {sr_table}")
@@ -159,7 +255,7 @@ def synth_mp3(n_frames: int, samplerate: int = 44100,
     rates = ([bitrates_kbps] if isinstance(bitrates_kbps, int)
              else list(bitrates_kbps))
     table = _BITRATE[("v1", 3)]
-    body = b""
+    frames: list[bytearray] = []
     for j in range(n_frames):
         kbps = rates[j % len(rates)]
         br_idx = table.index(kbps) + 1
@@ -167,7 +263,37 @@ def synth_mp3(n_frames: int, samplerate: int = 44100,
         hdr = bytes((0xFF, 0xFB,  # sync + MPEG1 + Layer III + no CRC
                      (br_idx << 4) | (sr_idx << 2),  # no padding
                      0x00))
-        body += hdr + b"\x00" * (flen - 4)
+        frames.append(bytearray(hdr + b"\x00" * (flen - 4)))
+    if sidecar is not None:
+        if not frames:
+            raise ValueError("sidecar needs at least one frame")
+        total_bytes = sum(len(f) for f in frames)
+        first = frames[0]
+        if sidecar in ("xing", "info"):
+            tag = b"Xing" if sidecar == "xing" else b"Info"
+            blob = (tag + (0xF).to_bytes(4, "big")
+                    + n_frames.to_bytes(4, "big")
+                    + total_bytes.to_bytes(4, "big")
+                    + b"\x00" * 100  # seek TOC (zeroed; not parsed)
+                    + sc_quality.to_bytes(4, "big"))
+            off = 4 + _SIDE_INFO[("v1", False)]
+        elif sidecar == "vbri":
+            blob = (b"VBRI" + (1).to_bytes(2, "big")  # version
+                    + (0).to_bytes(2, "big")          # delay
+                    + sc_quality.to_bytes(2, "big")
+                    + total_bytes.to_bytes(4, "big")
+                    + n_frames.to_bytes(4, "big")
+                    + (0).to_bytes(2, "big")          # toc entries
+                    + (1).to_bytes(2, "big")          # toc scale
+                    + (2).to_bytes(2, "big")          # toc entry size
+                    + (1).to_bytes(2, "big"))         # frames per entry
+            off = 4 + 32
+        else:
+            raise ValueError(f"unknown sidecar kind {sidecar!r}")
+        if off + len(blob) > len(first):
+            raise ValueError("first frame too small for sidecar")
+        first[off:off + len(blob)] = blob
+    body = b"".join(bytes(f) for f in frames)
     if with_id3:
         from news_rss_spark.kernel.id3x import synth_id3_mp3
         tag = synth_id3_mp3(title, version="v2.3")

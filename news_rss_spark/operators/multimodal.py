@@ -1843,6 +1843,75 @@ def synth_mp3_documents(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         fn, "doc_id string, payload binary")
 
 
+MP3_SIDECAR_DDL = (
+    "doc_id string, sidecar string, sc_frames int, sc_bytes bigint, "
+    "sc_quality int, duration_ms bigint"
+)
+
+
+def mp3_sidecar_stats_df(df: DataFrame, payload_col: str = "payload",
+                         id_col: str = "doc_id") -> DataFrame:
+    """MP3 payloads -> VBR sidecar metadata (kernel/mp3x.py
+    parse_mp3_sidecar): Xing/Info/VBRI first-frame headers giving exact
+    VBR frame count / stream bytes / duration without a full frame walk
+    — the O(1)-per-file complement of mp3_frame_stats_df's min/max
+    walk.  Scan-shaped, never raises; files without a sidecar (or
+    without a parseable first frame) report NULL sidecar columns."""
+    from news_rss_spark.kernel.mp3x import (MP3_SIDECAR_FIELDS,
+                                            parse_mp3_sidecar)
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_mp3_sidecar(bytes(payload)
+                                      if payload is not None else None)
+                rows.append((str(did),)
+                            + tuple(m[k] for k in MP3_SIDECAR_FIELDS))
+            yield (pd.DataFrame(rows,
+                                columns=["doc_id", *MP3_SIDECAR_FIELDS])
+                   .astype({"sc_frames": "Int32", "sc_bytes": "Int64",
+                            "sc_quality": "Int32",
+                            "duration_ms": "Int64"}))
+
+    return df.select(F.col(id_col), F.col(payload_col)) \
+             .mapInPandas(fn, MP3_SIDECAR_DDL)
+
+
+def synth_mp3_sidecar_documents(df: DataFrame,
+                                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (id, payload) MP3 table exercising the sidecar
+    parser, closed-form for oracle replay: samplerate rotates
+    (44100, 48000, 32000) by id%3, n_frames = 4 + id%6, and id%5 picks
+    the shape — 0: Xing over VBR [128,192]; 1: Info over CBR 160;
+    2: VBRI over CBR 96; 3: CBR 112 with no sidecar; 4: VBR [64,96]
+    with no sidecar (the case the frame walk must catch instead).
+    Sidecar quality = id%101; every 3rd doc carries an ID3v2 tag the
+    parser must skip first."""
+    from news_rss_spark.kernel.mp3x import synth_mp3
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                i = int(did)
+                kind = (("xing", [128, 192]), ("info", 160),
+                        ("vbri", 96), (None, 112),
+                        (None, [64, 96]))[i % 5]
+                rows.append((str(i), synth_mp3(
+                    n_frames=4 + i % 6,
+                    samplerate=(44100, 48000, 32000)[i % 3],
+                    bitrates_kbps=kind[1],
+                    with_id3=(i % 3 == 0), title=f"Sc{i % 7}",
+                    sidecar=kind[0], sc_quality=i % 101)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col)).mapInPandas(
+        fn, "doc_id string, payload binary")
+
+
 MP4_STATS_DDL = (
     "doc_id string, is_bmff boolean, major_brand string, n_tracks int, "
     "timescale int, duration_ms bigint, has_video boolean, "
