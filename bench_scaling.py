@@ -10,7 +10,15 @@ Results are appended to BENCH/BASELINE.md.  The corpus is generated
 deterministically on the executors (sources.synth.documents_df_distributed)
 — no external data.
 
-Usage:  python bench_scaling.py [n_docs]   (default 120000)
+Usage:  python bench_scaling.py [n_docs]   (default 1200000)
+
+The default is the OFFICIAL run size every recorded pass used: at
+120k docs the 8-core job lasts ~12 s and fixed per-run costs (Python
+worker pool spin-up, residual JIT) eat the large-cluster side —
+measured eff 0.611 at 120k vs 0.86-0.92 at 1.2M on the same code
+(round 5, BENCH/scaling_runs.jsonl).  On a real cluster the same
+principle holds: scaling evidence needs a job long enough to amortize
+per-executor startup.
 """
 
 from __future__ import annotations
@@ -48,7 +56,7 @@ def sh(cmd: list[str]) -> str:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
 
     sh(["zip", "-qr", PKG, "news_rss_spark"])
 
