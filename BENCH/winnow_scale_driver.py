@@ -82,16 +82,25 @@ def main() -> None:
     t2 = time.time()
     # min_shared=1: a 12-token run == w+k-1 guarantees exactly >= 1
     # shared fingerprint (longer runs are needed to guarantee 2)
-    pairs = winnow_overlap_pairs(fps, min_shared=1, max_df=20).collect()
+    pairs = winnow_overlap_pairs(fps, min_shared=1, max_df=20)
+    # count + recall DISTRIBUTED: at 1.2M the background-pair set was
+    # already 7.46M rows; collecting it to the driver stops scaling to
+    # 10M (the same no-unbounded-collect rule the engine's operators
+    # follow — the probe harness has to obey it too)
+    n_pairs, matched = (
+        pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(((F.col("a") % 100 == 0)
+                   & (F.col("b") == F.col("a") + 1)).cast("long"))
+            .alias("m")).collect()[0])
     t3 = time.time()
-    planted_pairs = {(i, i + 1) for i in range(0, n_docs - 1, 100)}
-    got = {(r["a"], r["b"]) for r in pairs}
-    recall = len(got & planted_pairs) / len(planted_pairs)
+    n_planted = len(range(0, n_docs - 1, 100))
+    recall = (matched or 0) / n_planted
     print(json.dumps({"stage": "winnow_overlap_pairs", "docs": n_docs,
                       "sec": round(t3 - t2, 1),
                       "docs_per_sec": round(n_docs / (t3 - t2)),
-                      "n_pairs": len(got),
-                      "planted": len(planted_pairs),
+                      "n_pairs": n_pairs,
+                      "planted": n_planted,
                       "recall": round(recall, 4)}), flush=True)
     spark.stop()
 
