@@ -32,6 +32,12 @@ from news_rss_spark.sources.synth import documents_df_distributed
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
+    # optional df cap for the mining stage (default 20, the r3 setting).
+    # The 10M run measured 423M background pairs at max_df=20 vs 100k
+    # planted; pair-unique signal has df == 2, so a tight cap is the
+    # production knob that prunes the templated background without
+    # touching recall — pass e.g. 5 to measure that counterfactual.
+    max_df = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     spark = (
         SparkSession.builder.appName("winnow-scale")
         .config("spark.sql.shuffle.partitions", "64")
@@ -82,7 +88,7 @@ def main() -> None:
     t2 = time.time()
     # min_shared=1: a 12-token run == w+k-1 guarantees exactly >= 1
     # shared fingerprint (longer runs are needed to guarantee 2)
-    pairs = winnow_overlap_pairs(fps, min_shared=1, max_df=20)
+    pairs = winnow_overlap_pairs(fps, min_shared=1, max_df=max_df)
     # count + recall DISTRIBUTED: at 1.2M the background-pair set was
     # already 7.46M rows; collecting it to the driver stops scaling to
     # 10M (the same no-unbounded-collect rule the engine's operators
@@ -97,6 +103,7 @@ def main() -> None:
     n_planted = len(range(0, n_docs - 1, 100))
     recall = (matched or 0) / n_planted
     print(json.dumps({"stage": "winnow_overlap_pairs", "docs": n_docs,
+                      "max_df": max_df,
                       "sec": round(t3 - t2, 1),
                       "docs_per_sec": round(n_docs / (t3 - t2)),
                       "n_pairs": n_pairs,
